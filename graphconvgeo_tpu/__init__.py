@@ -1,0 +1,27 @@
+"""graphconvgeo_tpu — a TPU-native Highway-GCN geolocation framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+``afcarl/graphconvgeo`` (Rahimi, Cohn & Baldwin, "Semi-supervised User
+Geolocation via Graph Convolutional Networks", ACL 2018):
+
+- sparse normalized-adjacency SpMM forward/backward (Pallas block-sparse
+  kernels on TPU, XLA gather fallback elsewhere),
+- highway-gated GCN layers over a Twitter @-mention graph,
+- BoW/TF-IDF text features, k-d-tree label discretization,
+- full-graph and neighbor-sampled training, geolocation evaluation
+  (Acc@161 / mean / median error km),
+- multi-chip edge-partitioned training via ``jax.sharding`` + ``shard_map``.
+
+Reference parity notes cite the reference layout as ``file.py :: symbol``
+(see SURVEY.md §0 — the reference mount was empty; the survey's component
+inventory is the spec of record).
+"""
+
+__version__ = "0.1.0"
+
+from graphconvgeo_tpu.sparse.formats import (  # noqa: F401
+    EllMatrix,
+    SparseGraph,
+    normalize_adjacency,
+)
+from graphconvgeo_tpu.ops.spmm import spmm  # noqa: F401

@@ -1,0 +1,7 @@
+from graphconvgeo_tpu.ops.spmm import spmm, spmm_ell, spmm_oracle  # noqa: F401
+from graphconvgeo_tpu.ops.sddmm import sddmm_ell  # noqa: F401
+from graphconvgeo_tpu.ops.scatter_gather import (  # noqa: F401
+    gather_rows,
+    segment_mean,
+    segment_sum,
+)

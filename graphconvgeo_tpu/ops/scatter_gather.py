@@ -1,0 +1,30 @@
+"""Gather/scatter primitives for the neighbor-sampled mini-batch path.
+
+The reference trains full-graph only; BASELINE.json:11 additionally requires
+a GraphSAGE-style sampled path ("neighbor-sampled mini-batches"). On TPU the
+idiom is: host-side sampler emits *padded, static-shape* index tensors; the
+device does dense row-gathers and segment reductions (no dynamic shapes under
+jit).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def gather_rows(h: jax.Array, idx: jax.Array) -> jax.Array:
+    """Row gather with a static output shape; idx may contain padding (=0)."""
+    return jnp.take(h, idx, axis=0)
+
+
+def segment_sum(data: jax.Array, segment_ids: jax.Array, num_segments: int) -> jax.Array:
+    return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
+
+
+def segment_mean(data: jax.Array, segment_ids: jax.Array, num_segments: int) -> jax.Array:
+    s = jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
+    cnt = jax.ops.segment_sum(
+        jnp.ones((data.shape[0],), dtype=data.dtype), segment_ids, num_segments=num_segments
+    )
+    return s / jnp.maximum(cnt, 1.0)[:, None]

@@ -1,0 +1,37 @@
+"""SDDMM — sampled dense-dense matmul.
+
+Computes per-edge scores ``s[i,k] = <a[i], b[indices[i,k]]>`` over the sparse
+pattern of an :class:`EllMatrix`. This is the gradient of SpMM w.r.t. edge
+values (and the building block for attention-style GNN extensions the
+baseline asks for, BASELINE.json:5 "SpMM/SDDMM at speed-of-light").
+
+XLA formulation: scan over slot chunks; each step gathers rows of ``b`` and
+reduces over the feature dim — MXU-friendly when fused by XLA.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_CHUNK = 8
+
+
+def sddmm_ell(indices: jax.Array, a: jax.Array, b: jax.Array) -> jax.Array:
+    """s[i, k] = dot(a[i], b[indices[i, k]]).  indices: [N, K] → s: [N, K]."""
+    n, k = indices.shape
+    chunk = min(_CHUNK, k)
+    pad = (-k) % chunk
+    if pad:
+        indices = jnp.pad(indices, ((0, 0), (0, pad)))
+    kp = k + pad
+    idx_steps = indices.reshape(n, kp // chunk, chunk).transpose(1, 0, 2)
+
+    def step(_, idx):
+        g = b[idx]  # [N, chunk, F]
+        s = jnp.einsum("nf,ncf->nc", a, g)
+        return None, s
+
+    _, scores = jax.lax.scan(step, None, idx_steps)  # [steps, N, chunk]
+    scores = scores.transpose(1, 0, 2).reshape(n, kp)
+    return scores[:, :k]

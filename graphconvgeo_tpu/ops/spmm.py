@@ -1,0 +1,126 @@
+"""Sparse-matrix × dense-matrix products (the framework's hot op).
+
+The reference computes one GCN propagation as
+``theano.sparse.structured_dot(A_hat, H.dot(W))``
+(``gcnmodel.py :: SparseConvolutionDenseLayer``); its backward is
+``A_hatᵀ · G`` which Theano derives automatically. Here the op is a
+first-class primitive with a custom VJP:
+
+- forward: ``out = A · H`` for an :class:`EllMatrix` / :class:`BsrMatrix` A
+- backward w.r.t. H: ``Aᵀ · G`` — for the symmetric normalized adjacency this
+  reuses the same operand; for asymmetric operators (e.g. the BoW feature
+  matrix X) the caller supplies the transpose's device format.
+- backward w.r.t. values (optional, for trainable edge weights): SDDMM.
+
+Backends:
+- ``ell``  — XLA path: K row-gathers + weighted accumulation via
+  ``lax.scan`` over slot chunks. Works on CPU/TPU; the oracle-checked default.
+- ``bsr``  — Pallas MXU path (see :mod:`graphconvgeo_tpu.ops.spmm_pallas`),
+  dense 128×128 tile matmuls over materialized nonzero tiles.
+- ``oracle`` — pure segment-sum reference used by tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphconvgeo_tpu.sparse.formats import BsrMatrix, EllMatrix, SparseGraph
+
+Backend = Literal["auto", "ell", "bsr", "oracle"]
+
+# Number of ELL slots folded into one scan step. 8 keeps the gather large
+# enough to saturate HBM reads while bounding the [N, CHUNK, F] temporary.
+_ELL_CHUNK = 8
+
+
+def spmm_oracle(indices: jax.Array, values: jax.Array, h: jax.Array) -> jax.Array:
+    """Segment-sum reference: out[i] = Σ_k values[i,k] * h[indices[i,k]].
+
+    Used as the correctness oracle for every other backend (SURVEY.md §4.2).
+    """
+    n, k = indices.shape
+    gathered = h[indices.reshape(-1)] * values.reshape(-1, 1)
+    seg = jnp.repeat(jnp.arange(n), k)
+    return jax.ops.segment_sum(gathered, seg, num_segments=n)
+
+
+def _ell_matvec(indices: jax.Array, values: jax.Array, h: jax.Array) -> jax.Array:
+    """XLA SpMM: scan over slot chunks, each step gathers CHUNK rows of h per
+    output row and accumulates. Memory high-water: [N, CHUNK, F]."""
+    h = jnp.asarray(h)
+    n, k = indices.shape
+    chunk = min(_ELL_CHUNK, k)
+    if k % chunk:
+        pad = chunk - k % chunk
+        indices = jnp.pad(indices, ((0, 0), (0, pad)))
+        values = jnp.pad(values, ((0, 0), (0, pad)))
+        k += pad
+    idx_steps = indices.reshape(n, k // chunk, chunk).transpose(1, 0, 2)
+    val_steps = values.reshape(n, k // chunk, chunk).transpose(1, 0, 2)
+
+    def step(acc, iv):
+        idx, val = iv
+        g = h[idx]  # [N, chunk, F]
+        acc = acc + jnp.einsum("nc,ncf->nf", val, g.astype(val.dtype))
+        return acc, None
+
+    init = jnp.zeros((n, h.shape[1]), dtype=jnp.promote_types(h.dtype, values.dtype))
+    out, _ = jax.lax.scan(step, init, (idx_steps, val_steps))
+    return out
+
+
+@jax.custom_vjp
+def _spmm_ell_core(indices, values, indices_t, values_t, h):
+    return _ell_matvec(indices, values, h)
+
+
+def _spmm_ell_fwd(indices, values, indices_t, values_t, h):
+    return _ell_matvec(indices, values, h), (indices, values, indices_t, values_t)
+
+
+def _spmm_ell_bwd(res, g):
+    indices, values, indices_t, values_t = res
+    dh = _ell_matvec(indices_t, values_t, g)
+    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return (f0(indices), jnp.zeros_like(values), f0(indices_t), jnp.zeros_like(values_t), dh)
+
+
+_spmm_ell_core.defvjp(_spmm_ell_fwd, _spmm_ell_bwd)
+
+
+def spmm_ell(mat: EllMatrix, mat_t: EllMatrix, h: jax.Array) -> jax.Array:
+    """ELL SpMM with custom VJP (``mat_t`` used for the backward gather).
+
+    Note: ``_spmm_ell_bwd`` swaps the roles, so grads-of-grads also work
+    (second transpose = forward matrix is not tracked; fine for the training
+    objectives here which only need first-order grads of h).
+    """
+    out = _spmm_ell_core(mat.indices, mat.values, mat_t.indices, mat_t.values, h)
+    return out[: mat.indices.shape[0]]
+
+
+def spmm(graph: SparseGraph, h: jax.Array, *, backend: Backend = "auto") -> jax.Array:
+    """SpMM against a host-managed :class:`SparseGraph`.
+
+    ``h`` must have ``graph.shape[1]`` rows (padding rows beyond that are
+    allowed and ignored). Returns ``graph.shape[0]`` rows.
+    """
+    if backend == "auto":
+        backend = "ell"
+    if backend == "oracle":
+        ell = graph.ell()
+        return spmm_oracle(ell.indices, ell.values, h)[: graph.shape[0]]
+    if backend == "ell":
+        out = spmm_ell(graph.ell(), graph.ell_t(), h)
+        return out[: graph.shape[0]]
+    if backend == "bsr":
+        from graphconvgeo_tpu.ops.spmm_pallas import spmm_bsr
+
+        out = spmm_bsr(graph.bsr(), graph.bsr_t(), h)
+        return out[: graph.shape[0]]
+    raise ValueError(f"unknown backend {backend!r}")

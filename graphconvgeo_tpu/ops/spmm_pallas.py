@@ -1,0 +1,165 @@
+"""Pallas TPU kernel: block-sparse SpMM over densified adjacency tiles.
+
+TPU-first design rationale (SURVEY.md §7 "hard parts" #1): TPUs have no fast
+scalar gather; the MXU wants dense 128×128 contractions. A mention graph's
+adjacency, cut into 128×128 tiles, has relatively few nonzero tiles (graph
+locality improves further after reordering) — so SpMM becomes a *block-sparse
+dense matmul*:
+
+    out[r·B : r·B+B, :] = Σ_k  tiles[tile_idx[r,k]] @ h[tile_col[r,k]·B : ·B+B, :]
+
+Every grid step is a (B×B) @ (B×FBLK) MXU matmul; the per-row-block tile
+lists arrive via scalar prefetch so the pipeline can DMA the right A-tile and
+h-block ahead of compute. Padding slots point at the reserved zero tile
+(index 0) and column block 0 — they contribute nothing and need no masking.
+
+The output block index is constant while ``k`` (the innermost grid dim)
+varies, so Mosaic keeps the accumulator in VMEM across the whole reduction.
+
+Backward: ``Âᵀ·G`` with the transpose's tile lists — same kernel (symmetric
+Â reuses the forward operand). Reference parity: this op replaces
+``theano.sparse.structured_dot`` (``gcnmodel.py :: SparseConvolutionDenseLayer``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from graphconvgeo_tpu.sparse.formats import BsrMatrix
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(tidx_ref, tcol_ref, tiles_ref, h_ref, o_ref):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    o_ref[:] += jnp.dot(
+        tiles_ref[0], h_ref[:], preferred_element_type=o_ref.dtype
+    )
+
+
+def _bsr_matmul(
+    tiles: jax.Array,
+    tile_idx: jax.Array,
+    tile_col: jax.Array,
+    h: jax.Array,
+    *,
+    fblk: int = 512,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """h: [n_cols_padded, F_pad] (rows multiple of block, F multiple of 128).
+    Returns [n_row_blocks * block, F_pad] float32."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    rb, k_max = tile_idx.shape
+    block = tiles.shape[1]
+    f_pad = h.shape[1]
+    fblk = min(fblk, f_pad)
+    assert f_pad % fblk == 0, (f_pad, fblk)
+    jb = f_pad // fblk
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(rb, jb, k_max),
+        in_specs=[
+            pl.BlockSpec(
+                (1, block, block),
+                lambda r, j, k, tidx, tcol: (tidx[r, k], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block, fblk),
+                lambda r, j, k, tidx, tcol: (tcol[r, k], j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (block, fblk),
+            lambda r, j, k, tidx, tcol: (r, j),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    n_tiles = tiles.shape[0] - 1
+    flops = 2 * n_tiles * block * block * f_pad
+    bytes_accessed = (
+        tiles.size * tiles.dtype.itemsize
+        + h.size * h.dtype.itemsize * max(1, n_tiles // max(rb, 1))
+        + rb * block * f_pad * 4
+    )
+    return pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((rb * block, f_pad), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+    )(tile_idx, tile_col, tiles, h)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _spmm_bsr_core(tiles, tidx, tcol, tiles_t, tidx_t, tcol_t, h, fblk):
+    return _bsr_matmul(tiles, tidx, tcol, h, fblk=fblk)
+
+
+def _spmm_bsr_fwd(tiles, tidx, tcol, tiles_t, tidx_t, tcol_t, h, fblk):
+    out = _bsr_matmul(tiles, tidx, tcol, h, fblk=fblk)
+    return out, (tiles, tidx, tcol, tiles_t, tidx_t, tcol_t)
+
+
+def _spmm_bsr_bwd(fblk, res, g):
+    tiles, tidx, tcol, tiles_t, tidx_t, tcol_t = res
+    dh = _bsr_matmul(tiles_t, tidx_t, tcol_t, g.astype(tiles_t.dtype), fblk=fblk)
+    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return (
+        jnp.zeros_like(tiles),
+        f0(tidx),
+        f0(tcol),
+        jnp.zeros_like(tiles_t),
+        f0(tidx_t),
+        f0(tcol_t),
+        dh.astype(g.dtype),
+    )
+
+
+_spmm_bsr_core.defvjp(_spmm_bsr_fwd, _spmm_bsr_bwd)
+
+
+def spmm_bsr(mat: BsrMatrix, mat_t: BsrMatrix, h: jax.Array, *, fblk: int = 512) -> jax.Array:
+    """Block-sparse SpMM: pads ``h`` to the tile grid, runs the Pallas kernel,
+    returns ``mat.n_rows`` rows."""
+    f = h.shape[1]
+    f_pad = _round_up(f, 128)
+    rows_needed = mat.n_cols_padded
+    m = min(h.shape[0], rows_needed)
+    if h.shape[0] != rows_needed or f_pad != f:
+        h_p = jnp.zeros((rows_needed, f_pad), dtype=h.dtype)
+        h_p = h_p.at[:m, :f].set(h[:m])
+    else:
+        h_p = h
+    fblk = min(fblk, f_pad)
+    while f_pad % fblk:
+        fblk //= 2
+    out = _spmm_bsr_core(
+        mat.tiles,
+        mat.tile_idx,
+        mat.tile_col,
+        mat_t.tiles,
+        mat_t.tile_idx,
+        mat_t.tile_col,
+        h_p.astype(mat.tiles.dtype),
+        fblk,
+    )
+    return out[: mat.n_rows, :f]

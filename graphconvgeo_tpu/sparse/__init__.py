@@ -1,0 +1,6 @@
+from graphconvgeo_tpu.sparse.formats import (  # noqa: F401
+    BsrMatrix,
+    EllMatrix,
+    SparseGraph,
+    normalize_adjacency,
+)

@@ -1,0 +1,259 @@
+"""Sparse matrix containers for TPU graph convolution.
+
+Design (SURVEY.md §7 L0): host-side graphs live in scipy CSR/COO; the device
+formats are chosen for TPU's compute model, where scalar gather is expensive
+and the MXU wants large dense tiles:
+
+- ``EllMatrix`` — row-padded (ELLPACK) format. Every row is padded to a
+  common slot count ``K`` (a multiple of 8). SpMM becomes ``K`` row-gathers
+  of the dense operand plus a weighted accumulation — XLA lowers the row
+  gather to efficient dynamic-slice DMAs and this path works on every
+  backend. Padding slots point at column 0 with value 0.0, so no masking is
+  needed anywhere downstream.
+
+- ``BsrMatrix`` — block-sparse rows with *densified* tiles. The adjacency is
+  cut into ``block × block`` tiles; only tiles containing at least one edge
+  are materialized (dense). SpMM over this format is a sequence of dense
+  ``block×block @ block×F`` MXU matmuls — the Pallas kernel's native format.
+  One reserved all-zero tile (index 0) backs the per-row-block padding.
+
+Reference parity: the reference keeps its adjacency as scipy CSR and relies
+on Theano's ``structured_dot`` (``gcnmodel.py :: SparseConvolutionDenseLayer``);
+symmetric normalization Â = D^-1/2 (A+I) D^-1/2 happens in
+``gcnmain.py :: preprocess_data``. `normalize_adjacency` below reproduces
+that math exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def normalize_adjacency(adj: sp.spmatrix, *, add_self_loops: bool = True) -> sp.csr_matrix:
+    """Symmetric GCN normalization Â = D^-1/2 (A + I) D^-1/2.
+
+    Matches the reference preprocessing (``gcnmain.py :: preprocess_data``):
+    self-loops added, degree computed on A+I, isolated nodes get degree from
+    their self-loop (so no division by zero).
+    """
+    adj = sp.csr_matrix(adj, dtype=np.float64)
+    if add_self_loops:
+        adj = adj + sp.identity(adj.shape[0], format="csr", dtype=np.float64)
+    deg = np.asarray(adj.sum(axis=1)).ravel()
+    with np.errstate(divide="ignore"):
+        d_inv_sqrt = 1.0 / np.sqrt(deg)
+    d_inv_sqrt[~np.isfinite(d_inv_sqrt)] = 0.0
+    d_mat = sp.diags(d_inv_sqrt)
+    out = (d_mat @ adj @ d_mat).tocsr()
+    out.sort_indices()
+    return out.astype(np.float32)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EllMatrix:
+    """Row-padded sparse matrix on device.
+
+    indices: [n_rows, K] int32 column ids (pad = 0)
+    values:  [n_rows, K] float32 edge values (pad = 0.0)
+    """
+
+    indices: jax.Array
+    values: jax.Array
+    n_cols: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_rows(self) -> int:
+        return self.indices.shape[0]
+
+    @property
+    def k(self) -> int:
+        return self.indices.shape[1]
+
+    @staticmethod
+    def from_scipy(
+        mat: sp.spmatrix,
+        *,
+        pad_k_to: int = 8,
+        pad_rows_to: int = 1,
+        dtype=jnp.float32,
+    ) -> "EllMatrix":
+        """Convert a scipy sparse matrix to ELL, padding slot count to a
+        multiple of ``pad_k_to`` and row count to a multiple of
+        ``pad_rows_to`` (extra rows are all-padding)."""
+        csr = sp.csr_matrix(mat)
+        csr.sort_indices()
+        n_rows, n_cols = csr.shape
+        deg = np.diff(csr.indptr)
+        k = max(int(deg.max()) if n_rows else 0, 1)
+        k = _round_up(k, pad_k_to)
+        n_rows_pad = _round_up(max(n_rows, 1), pad_rows_to)
+        indices = np.zeros((n_rows_pad, k), dtype=np.int32)
+        values = np.zeros((n_rows_pad, k), dtype=np.float32)
+        if csr.nnz:
+            rows = np.repeat(np.arange(n_rows), deg)
+            slots = np.arange(csr.nnz) - np.repeat(csr.indptr[:-1], deg)
+            indices[rows, slots] = csr.indices
+            values[rows, slots] = csr.data
+        return EllMatrix(
+            indices=jnp.asarray(indices),
+            values=jnp.asarray(values, dtype=dtype),
+            n_cols=n_cols,
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BsrMatrix:
+    """Block-sparse-row matrix with densified tiles (device format for the
+    Pallas SpMM kernel).
+
+    tiles:      [n_tiles + 1, block, block]; tiles[0] is all-zero (padding).
+    tile_idx:   [n_row_blocks, k_max] int32 index into ``tiles`` (pad = 0).
+    tile_col:   [n_row_blocks, k_max] int32 block-column id (pad = 0).
+    n_rows/n_cols: logical (unpadded) shape.
+    """
+
+    tiles: jax.Array
+    tile_idx: jax.Array
+    tile_col: jax.Array
+    n_rows: int = dataclasses.field(metadata=dict(static=True))
+    n_cols: int = dataclasses.field(metadata=dict(static=True))
+    block: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_row_blocks(self) -> int:
+        return self.tile_idx.shape[0]
+
+    @property
+    def k_max(self) -> int:
+        return self.tile_idx.shape[1]
+
+    @property
+    def n_rows_padded(self) -> int:
+        return self.n_row_blocks * self.block
+
+    @property
+    def n_cols_padded(self) -> int:
+        return _round_up(self.n_cols, self.block)
+
+    @staticmethod
+    def from_scipy(mat: sp.spmatrix, *, block: int = 128, dtype=jnp.float32) -> "BsrMatrix":
+        coo = sp.coo_matrix(mat)
+        n_rows, n_cols = coo.shape
+        rb = _round_up(max(n_rows, 1), block) // block
+        cb = _round_up(max(n_cols, 1), block) // block
+        br = coo.row // block
+        bc = coo.col // block
+        tile_key = br.astype(np.int64) * cb + bc
+        order = np.argsort(tile_key, kind="stable")
+        tile_key_s = tile_key[order]
+        uniq_keys, start = np.unique(tile_key_s, return_index=True)
+        n_tiles = len(uniq_keys)
+        tiles = np.zeros((n_tiles + 1, block, block), dtype=np.float32)
+        rows_s = coo.row[order] % block
+        cols_s = coo.col[order] % block
+        data_s = coo.data[order]
+        tile_of_edge = np.searchsorted(uniq_keys, tile_key_s) + 1
+        np.add.at(tiles, (tile_of_edge, rows_s, cols_s), data_s)
+
+        # per-row-block padded tile lists
+        uniq_br = (uniq_keys // cb).astype(np.int64)
+        uniq_bc = (uniq_keys % cb).astype(np.int64)
+        counts = np.bincount(uniq_br, minlength=rb)
+        k_max = max(int(counts.max()) if n_tiles else 0, 1)
+        tile_idx = np.zeros((rb, k_max), dtype=np.int32)
+        tile_col = np.zeros((rb, k_max), dtype=np.int32)
+        if n_tiles:
+            # uniq_keys is sorted, so uniq_br is non-decreasing: slot within a
+            # row block = position minus the row block's first position.
+            row_starts = np.searchsorted(uniq_br, np.arange(rb))
+            slot = np.arange(n_tiles) - row_starts[uniq_br]
+            tile_idx[uniq_br, slot] = np.arange(n_tiles) + 1
+            tile_col[uniq_br, slot] = uniq_bc
+        return BsrMatrix(
+            tiles=jnp.asarray(tiles, dtype=dtype),
+            tile_idx=jnp.asarray(tile_idx),
+            tile_col=jnp.asarray(tile_col),
+            n_rows=n_rows,
+            n_cols=n_cols,
+            block=block,
+        )
+
+    def density_stats(self) -> dict:
+        """Diagnostics: how well edges fill the materialized tiles."""
+        nnz_tiles = int(self.tiles.shape[0]) - 1
+        vals = np.asarray(self.tiles)
+        fill = float((vals != 0).sum()) / max(nnz_tiles * self.block * self.block, 1)
+        return {
+            "n_tiles": nnz_tiles,
+            "tile_fill": fill,
+            "k_max": self.k_max,
+            "padded_shape": (self.n_rows_padded, self.n_cols_padded),
+        }
+
+
+@dataclasses.dataclass
+class SparseGraph:
+    """Host-side owner of one sparse operator, with lazily-built device
+    formats for both the forward matrix and its transpose (needed for the
+    SpMM backward pass; for the symmetric normalized adjacency the transpose
+    is the matrix itself).
+
+    This is the object layers receive. It is *not* a pytree — capture it in
+    closures outside jit, and pass ``.ell()`` / ``.bsr()`` (which are
+    pytrees) into jitted functions.
+    """
+
+    csr: sp.csr_matrix
+    symmetric: bool = False
+    _ell: Optional[EllMatrix] = dataclasses.field(default=None, repr=False)
+    _ell_t: Optional[EllMatrix] = dataclasses.field(default=None, repr=False)
+    _bsr: Optional[BsrMatrix] = dataclasses.field(default=None, repr=False)
+    _bsr_t: Optional[BsrMatrix] = dataclasses.field(default=None, repr=False)
+
+    @property
+    def shape(self):
+        return self.csr.shape
+
+    @property
+    def nnz(self) -> int:
+        return int(self.csr.nnz)
+
+    def ell(self) -> EllMatrix:
+        if self._ell is None:
+            self._ell = EllMatrix.from_scipy(self.csr)
+        return self._ell
+
+    def ell_t(self) -> EllMatrix:
+        if self.symmetric:
+            return self.ell()
+        if self._ell_t is None:
+            self._ell_t = EllMatrix.from_scipy(self.csr.T.tocsr())
+        return self._ell_t
+
+    def bsr(self, block: int = 128, dtype=jnp.float32) -> BsrMatrix:
+        if self._bsr is None or self._bsr.block != block:
+            self._bsr = BsrMatrix.from_scipy(self.csr, block=block, dtype=dtype)
+        return self._bsr
+
+    def bsr_t(self, block: int = 128, dtype=jnp.float32) -> BsrMatrix:
+        if self.symmetric:
+            return self.bsr(block, dtype)
+        if self._bsr_t is None or self._bsr_t.block != block:
+            self._bsr_t = BsrMatrix.from_scipy(self.csr.T.tocsr(), block=block, dtype=dtype)
+        return self._bsr_t
+
+    @staticmethod
+    def normalized_adjacency(adj: sp.spmatrix) -> "SparseGraph":
+        return SparseGraph(csr=normalize_adjacency(adj), symmetric=True)

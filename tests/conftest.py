@@ -1,0 +1,43 @@
+"""Test configuration: force the CPU backend with 8 virtual devices so the
+multi-chip sharding logic is exercised without TPU hardware (SURVEY.md §4.4).
+
+Must run before jax is imported anywhere.
+"""
+
+import os
+
+# The environment's sitecustomize force-registers the axon TPU platform and
+# overrides JAX_PLATFORMS from the env, so setting the env var is not enough;
+# jax.config.update *after* import does win (verified).
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+import scipy.sparse as sp  # noqa: E402
+
+
+def random_csr(rng, n_rows, n_cols, avg_deg, *, symmetric=False, empty_rows=True):
+    """Random sparse matrix with skewed degrees, optional empty rows."""
+    deg = rng.poisson(avg_deg, size=n_rows)
+    if not empty_rows:
+        deg = np.maximum(deg, 1)
+    rows = np.repeat(np.arange(n_rows), deg)
+    cols = rng.integers(0, n_cols, size=rows.shape[0])
+    vals = rng.normal(size=rows.shape[0]).astype(np.float32)
+    m = sp.coo_matrix((vals, (rows, cols)), shape=(n_rows, n_cols)).tocsr()
+    m.sum_duplicates()
+    if symmetric:
+        assert n_rows == n_cols
+        m = (m + m.T) * 0.5
+    return m.tocsr()
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

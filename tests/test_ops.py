@@ -1,0 +1,98 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graphconvgeo_tpu.ops.sddmm import sddmm_ell
+from graphconvgeo_tpu.ops.spmm import spmm, spmm_ell, spmm_oracle
+from graphconvgeo_tpu.sparse.formats import SparseGraph
+from tests.conftest import random_csr
+
+
+@pytest.mark.parametrize("shape,deg", [((40, 40), 3), ((64, 32), 5), ((7, 130), 2)])
+def test_spmm_ell_matches_scipy(rng, shape, deg):
+    m = random_csr(rng, shape[0], shape[1], deg)
+    g = SparseGraph(csr=m)
+    h = rng.normal(size=(shape[1], 17)).astype(np.float32)
+    want = m @ h
+    got = spmm(g, jnp.asarray(h), backend="ell")
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+    got_o = spmm(g, jnp.asarray(h), backend="oracle")
+    np.testing.assert_allclose(np.asarray(got_o), want, rtol=1e-4, atol=1e-5)
+
+
+def test_spmm_empty_rows_and_cols(rng):
+    import scipy.sparse as sp
+
+    m = sp.csr_matrix(
+        (np.array([2.0, 3.0], np.float32), (np.array([1, 5]), np.array([0, 3]))), shape=(8, 6)
+    )
+    g = SparseGraph(csr=m)
+    h = rng.normal(size=(6, 9)).astype(np.float32)
+    got = spmm(g, jnp.asarray(h))
+    np.testing.assert_allclose(np.asarray(got), m @ h, rtol=1e-5, atol=1e-6)
+
+
+def test_spmm_grad_is_transpose_spmm(rng):
+    m = random_csr(rng, 30, 24, 4)
+    g = SparseGraph(csr=m)
+    h = jnp.asarray(rng.normal(size=(24, 8)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(30, 8)).astype(np.float32))
+
+    def loss(h):
+        return jnp.sum(spmm(g, h) * w)
+
+    dh = jax.grad(loss)(h)
+    want = m.T @ np.asarray(w)
+    np.testing.assert_allclose(np.asarray(dh), want, rtol=1e-4, atol=1e-5)
+
+
+def test_spmm_grad_check_symmetric(rng):
+    m = random_csr(rng, 16, 16, 3, symmetric=True)
+    g = SparseGraph.normalized_adjacency(np.abs(m.toarray()))
+    h = jnp.asarray(rng.normal(size=(16, 4)).astype(np.float32))
+    from jax.test_util import check_grads
+
+    check_grads(lambda h: spmm(g, h), (h,), order=1, modes=["rev"], rtol=1e-3)
+
+
+def test_spmm_bsr_matches_scipy(rng):
+    m = random_csr(rng, 300, 260, 6)
+    g = SparseGraph(csr=m)
+    h = rng.normal(size=(260, 70)).astype(np.float32)
+    got = spmm(g, jnp.asarray(h), backend="bsr")
+    np.testing.assert_allclose(np.asarray(got), m @ h, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_bsr_grad(rng):
+    m = random_csr(rng, 140, 140, 4, symmetric=True)
+    g = SparseGraph(csr=m, symmetric=True)
+    h = jnp.asarray(rng.normal(size=(140, 12)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(140, 12)).astype(np.float32))
+
+    def loss(h):
+        return jnp.sum(spmm(g, h, backend="bsr") * w)
+
+    dh = jax.grad(loss)(h)
+    want = m.T @ np.asarray(w)
+    np.testing.assert_allclose(np.asarray(dh), want, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_under_jit(rng):
+    m = random_csr(rng, 33, 33, 3)
+    g = SparseGraph(csr=m)
+    h = jnp.asarray(rng.normal(size=(33, 5)).astype(np.float32))
+    f = jax.jit(lambda h: spmm(g, h))
+    np.testing.assert_allclose(np.asarray(f(h)), m @ np.asarray(h), rtol=1e-4, atol=1e-5)
+
+
+def test_sddmm_matches_dense(rng):
+    m = random_csr(rng, 20, 25, 4)
+    g = SparseGraph(csr=m)
+    ell = g.ell()
+    a = rng.normal(size=(ell.n_rows, 13)).astype(np.float32)
+    b = rng.normal(size=(25, 13)).astype(np.float32)
+    scores = sddmm_ell(ell.indices, jnp.asarray(a), jnp.asarray(b))
+    idx = np.asarray(ell.indices)
+    want = np.einsum("nf,nkf->nk", a, b[idx])
+    np.testing.assert_allclose(np.asarray(scores), want, rtol=1e-4, atol=1e-4)

@@ -1,0 +1,74 @@
+import numpy as np
+import scipy.sparse as sp
+
+from graphconvgeo_tpu.sparse.formats import BsrMatrix, EllMatrix, SparseGraph, normalize_adjacency
+from tests.conftest import random_csr
+
+
+def test_normalize_adjacency_matches_formula(rng):
+    a = random_csr(rng, 50, 50, 3, symmetric=True)
+    a.data = np.abs(a.data)
+    got = normalize_adjacency(a)
+    ai = a.toarray() + np.eye(50)
+    d = ai.sum(1)
+    want = ai / np.sqrt(d)[:, None] / np.sqrt(d)[None, :]
+    np.testing.assert_allclose(got.toarray(), want, rtol=1e-5, atol=1e-6)
+    # symmetric in, symmetric out
+    np.testing.assert_allclose(got.toarray(), got.toarray().T, rtol=1e-5)
+
+
+def test_normalize_isolated_nodes():
+    a = sp.csr_matrix((5, 5), dtype=np.float32)  # no edges at all
+    got = normalize_adjacency(a).toarray()
+    np.testing.assert_allclose(got, np.eye(5), atol=1e-6)
+
+
+def test_ell_roundtrip(rng):
+    m = random_csr(rng, 37, 23, 4)
+    ell = EllMatrix.from_scipy(m)
+    assert ell.k % 8 == 0
+    dense = np.zeros((37, 23), dtype=np.float32)
+    idx = np.asarray(ell.indices)
+    val = np.asarray(ell.values)
+    for i in range(37):
+        for k in range(ell.k):
+            dense[i, idx[i, k]] += val[i, k]
+    np.testing.assert_allclose(dense, m.toarray(), rtol=1e-6, atol=1e-6)
+
+
+def test_ell_empty_rows(rng):
+    m = sp.csr_matrix((np.ones(1, np.float32), (np.array([3]), np.array([1]))), shape=(8, 4))
+    ell = EllMatrix.from_scipy(m)
+    assert np.asarray(ell.values)[0].sum() == 0  # row 0 all padding
+
+
+def test_bsr_reconstruction(rng):
+    m = random_csr(rng, 300, 200, 5)
+    bsr = BsrMatrix.from_scipy(m, block=128)
+    # reconstruct dense from tiles
+    tiles = np.asarray(bsr.tiles)
+    tidx = np.asarray(bsr.tile_idx)
+    tcol = np.asarray(bsr.tile_col)
+    dense = np.zeros((bsr.n_rows_padded, bsr.n_cols_padded), dtype=np.float32)
+    for r in range(bsr.n_row_blocks):
+        for k in range(bsr.k_max):
+            t = tidx[r, k]
+            if t == 0:
+                continue
+            c = tcol[r, k]
+            dense[r * 128 : (r + 1) * 128, c * 128 : (c + 1) * 128] += tiles[t]
+    np.testing.assert_allclose(dense[:300, :200], m.toarray(), rtol=1e-6, atol=1e-6)
+    assert np.all(tiles[0] == 0)
+
+
+def test_sparse_graph_transpose(rng):
+    m = random_csr(rng, 20, 30, 3)
+    g = SparseGraph(csr=m)
+    ell_t = g.ell_t()
+    dense_t = np.zeros((g.ell_t().n_rows, 20), dtype=np.float32)
+    idx = np.asarray(ell_t.indices)
+    val = np.asarray(ell_t.values)
+    for i in range(30):
+        for k in range(ell_t.k):
+            dense_t[i, idx[i, k]] += val[i, k]
+    np.testing.assert_allclose(dense_t[:30], m.toarray().T, rtol=1e-6, atol=1e-6)
