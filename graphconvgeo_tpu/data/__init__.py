@@ -1,0 +1,2 @@
+from graphconvgeo_tpu.data.kdtree import KDTreeDiscretizer  # noqa: F401
+from graphconvgeo_tpu.data.pipeline import Dataset, preprocess  # noqa: F401

@@ -1,0 +1,51 @@
+"""BoW / TF-IDF text features (reference: ``data.py :: DataLoader.tfidf``).
+
+sklearn ``TfidfVectorizer`` fit on *train* text only, then transform dev and
+test. Defaults mirror the reference: unicode token pattern that excludes
+@-mentions and (optionally) hashtags, English stop words, ``min_df`` from the
+CLI, ``max_df=0.2``, sublinear tf, idf, l2 norm; output CSR float32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import scipy.sparse as sp
+from sklearn.feature_extraction.text import TfidfVectorizer
+
+# Matches word tokens of length ≥2 not preceded by '@' (mention handles carry
+# graph signal, not text signal); '#' is kept as part of hashtag tokens.
+TOKEN_PATTERN = r"(?u)(?<![@])#?\b\w\w+\b"
+
+
+@dataclasses.dataclass
+class TfidfConfig:
+    min_df: int = 10
+    max_df: float = 0.2
+    sublinear_tf: bool = True
+    use_idf: bool = True
+    binary: bool = False
+    norm: str = "l2"
+    stop_words: str | None = "english"
+
+
+def build_features(
+    train_text, dev_text, test_text, cfg: TfidfConfig = TfidfConfig()
+) -> tuple:
+    """Returns (X csr [n_total, vocab] float32, vectorizer)."""
+    vec = TfidfVectorizer(
+        token_pattern=TOKEN_PATTERN,
+        min_df=cfg.min_df,
+        max_df=cfg.max_df,
+        sublinear_tf=cfg.sublinear_tf,
+        use_idf=cfg.use_idf,
+        binary=cfg.binary,
+        norm=cfg.norm,
+        stop_words=cfg.stop_words,
+    )
+    x_train = vec.fit_transform(train_text)
+    x_dev = vec.transform(dev_text)
+    x_test = vec.transform(test_text)
+    x = sp.vstack([x_train, x_dev, x_test]).tocsr().astype(np.float32)
+    return x, vec

@@ -1,0 +1,106 @@
+"""@-mention graph construction (reference: ``data.py :: DataLoader.get_graph``
+and ``efficient_collaboration_weighted_projected_graph2``).
+
+Pipeline:
+1. regex ``@[a-zA-Z0-9_]+`` over each user's concatenated tweet text →
+   bipartite user/mention multigraph (mentions lowercased, like usernames);
+2. **celebrity removal**: mentioned accounts that are *not* dataset users and
+   whose degree exceeds ``celebrity_threshold`` are dropped;
+3. **projection** onto dataset users: two users are connected iff one mentions
+   the other, or both mention a common (surviving) external account — the
+   reference's ``efficient_collaboration_weighted_projected_graph2`` clique
+   expansion, O(Σ deg²) over external accounts.
+
+Node order in the returned adjacency is the caller's user order (train, dev,
+test contiguous — SURVEY.md C4), so index ranges slice the matrix directly.
+
+A C++ fast path (``graphconvgeo_tpu/native``) accelerates step 3 for
+Twitter-World-scale graphs; this module falls back to pure Python/numpy when
+the extension is unavailable.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, Sequence
+
+import numpy as np
+import scipy.sparse as sp
+
+MENTION_RE = re.compile(r"@[a-zA-Z0-9_]+")
+
+
+def extract_mentions(text: str) -> list:
+    """Lowercased mentioned usernames (without the '@')."""
+    return [m[1:].lower() for m in MENTION_RE.findall(text)]
+
+
+def build_mention_adjacency(
+    users: Sequence[str],
+    texts: Iterable[str],
+    *,
+    celebrity_threshold: int = 5,
+    include_direct_mentions: bool = True,
+) -> sp.csr_matrix:
+    """Symmetric unweighted adjacency over ``users`` (in the given order)."""
+    n = len(users)
+    uid = {u: i for i, u in enumerate(users)}
+
+    # External account -> list of dataset users mentioning it. Direct
+    # user->user mentions recorded separately.
+    ext_neighbors: dict = {}
+    direct_src: list = []
+    direct_dst: list = []
+    ext_degree: dict = {}
+    per_user_mentions: list = []
+    for i, text in enumerate(texts):
+        ms = set(extract_mentions(text))
+        per_user_mentions.append(ms)
+        for m in ms:
+            j = uid.get(m)
+            if j is not None:
+                if include_direct_mentions and j != i:
+                    direct_src.append(i)
+                    direct_dst.append(j)
+            else:
+                ext_degree[m] = ext_degree.get(m, 0) + 1
+
+    # celebrity removal: drop external accounts with degree > threshold
+    for i, ms in enumerate(per_user_mentions):
+        for m in ms:
+            if m in ext_degree and ext_degree[m] <= celebrity_threshold:
+                ext_neighbors.setdefault(m, []).append(i)
+
+    # projection: clique over users sharing an external mention
+    try:
+        from graphconvgeo_tpu.native import project_cliques  # C++ fast path
+
+        proj_src, proj_dst = project_cliques(ext_neighbors, n)
+    except Exception:
+        proj_src, proj_dst = _project_py(ext_neighbors)
+
+    src = np.concatenate([np.asarray(direct_src, np.int64), proj_src])
+    dst = np.concatenate([np.asarray(direct_dst, np.int64), proj_dst])
+    data = np.ones(src.shape[0], dtype=np.float32)
+    a = sp.coo_matrix((data, (src, dst)), shape=(n, n)).tocsr()
+    a = a + a.T  # symmetrize
+    a.data[:] = 1.0  # unweighted
+    a.setdiag(0)
+    a.eliminate_zeros()
+    a.sort_indices()
+    return a.astype(np.float32)
+
+
+def _project_py(ext_neighbors: dict):
+    src: list = []
+    dst: list = []
+    for nbrs in ext_neighbors.values():
+        k = len(nbrs)
+        if k < 2:
+            continue
+        for ai in range(k):
+            u = nbrs[ai]
+            for bi in range(ai + 1, k):
+                src.append(u)
+                dst.append(nbrs[bi])
+    return np.asarray(src, np.int64), np.asarray(dst, np.int64)

@@ -1,0 +1,79 @@
+"""Dataset dump loading (reference: ``data.py :: DataLoader.load_data``).
+
+Reads ``user_info.{train,dev,test}`` TSV files (columns: user, lat, lon,
+concatenated tweet text) with a per-dataset encoding (latin1 for GeoText,
+utf-8 for Twitter-World), lowercases usernames and deduplicates (keeping the
+first occurrence), and retains the user → (lat, lon) map used at eval.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+
+@dataclasses.dataclass
+class Split:
+    users: np.ndarray  # [n] str
+    lat: np.ndarray  # [n] float64
+    lon: np.ndarray  # [n] float64
+    text: np.ndarray  # [n] str
+
+    def __len__(self) -> int:
+        return len(self.users)
+
+
+def _read_split(path: str, encoding: str) -> Split:
+    df = pd.read_csv(
+        path,
+        sep="\t",
+        header=None,
+        names=["user", "lat", "lon", "text"],
+        encoding=encoding,
+        quoting=3,  # QUOTE_NONE — tweets contain stray quotes
+        dtype={"user": str, "text": str},
+        na_filter=False,
+    )
+    df["user"] = df["user"].str.lower()
+    df = df.drop_duplicates(subset="user", keep="first")
+    return Split(
+        users=df["user"].to_numpy(dtype=object),
+        lat=df["lat"].to_numpy(dtype=np.float64),
+        lon=df["lon"].to_numpy(dtype=np.float64),
+        text=df["text"].to_numpy(dtype=object),
+    )
+
+
+@dataclasses.dataclass
+class RawDataset:
+    train: Split
+    dev: Split
+    test: Split
+
+    @property
+    def all_users(self) -> np.ndarray:
+        return np.concatenate([self.train.users, self.dev.users, self.test.users])
+
+    @property
+    def all_text(self) -> np.ndarray:
+        return np.concatenate([self.train.text, self.dev.text, self.test.text])
+
+    @property
+    def splits_ranges(self):
+        n1, n2, n3 = len(self.train), len(self.dev), len(self.test)
+        return (0, n1), (n1, n1 + n2), (n1 + n2, n1 + n2 + n3)
+
+
+def load_dumps(data_home: str, *, encoding: str = "latin1") -> RawDataset:
+    def p(name: str) -> str:
+        return os.path.join(data_home, f"user_info.{name}")
+
+    return RawDataset(
+        train=_read_split(p("train"), encoding),
+        dev=_read_split(p("dev"), encoding),
+        test=_read_split(p("test"), encoding),
+    )

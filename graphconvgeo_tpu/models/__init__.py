@@ -1,0 +1,1 @@
+from graphconvgeo_tpu.models.gcn import GCNConfig, HighwayGCN  # noqa: F401

@@ -1,0 +1,210 @@
+"""Highway-GCN geolocation model (functional, jit/shard-friendly).
+
+Architecture (reference parity with ``gcnmodel.py :: GCN`` — see SURVEY.md
+§3.2 for the layer chain this must match allclose):
+
+    H₀ = act( X · W₀ + b₀ )                      # sparse BoW input layer
+    for each hidden layer i = 1..L:
+        H̃ᵢ = act( Â · (Hᵢ₋₁ Wᵢ) + bᵢ )           # graph convolution (SpMM)
+        Tᵢ = σ( Hᵢ₋₁ W_Tᵢ + b_Tᵢ )               # highway gate (optional)
+        Hᵢ = Tᵢ ⊙ H̃ᵢ + (1 − Tᵢ) ⊙ Hᵢ₋₁
+    logits = H_L W_out + b_out
+    loss   = CE(softmax(logits)[idx], y[idx]) + l2 · Σ‖W‖²   # masked to train idx
+
+Reference symbols: ``SparseInputDenseLayer`` (input), ``SparseConvolution-
+DenseLayer`` (conv), highway gate with carry-biased init (gate bias < 0),
+``SparseInputDropoutLayer`` + ``DropoutLayer`` (dropout). Parameters are a
+plain pytree dict; the model object holds only static config and the sparse
+operands' device formats, so the apply/loss functions jit and shard cleanly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from graphconvgeo_tpu.ops.dropout import dropout, ell_dropout_values
+from graphconvgeo_tpu.ops.spmm import _spmm_ell_core, spmm
+from graphconvgeo_tpu.sparse.formats import EllMatrix, SparseGraph
+
+_ACTIVATIONS = {
+    "tanh": jnp.tanh,
+    "relu": jax.nn.relu,
+    "none": lambda x: x,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class GCNConfig:
+    n_features: int
+    n_classes: int
+    hidden: tuple = (300, 300)
+    highway: bool = True
+    dropout: float = 0.5
+    l2: float = 0.0
+    activation: str = "tanh"
+    # gate bias init; negative = carry-biased, like the reference highway init
+    gate_bias_init: float = -1.0
+    spmm_backend: str = "auto"
+    dtype: str = "float32"
+
+    def __post_init__(self):
+        if self.highway:
+            hs = (self.hidden[0],) + tuple(self.hidden)
+            for a, b in zip(hs[1:-1], hs[2:]):
+                if a != b:
+                    raise ValueError(
+                        "highway gating needs equal consecutive hidden sizes, got "
+                        f"{self.hidden}"
+                    )
+        if self.activation not in _ACTIVATIONS:
+            raise ValueError(f"unknown activation {self.activation!r}")
+
+
+def _glorot(key, shape, dtype):
+    fan_in, fan_out = shape[0], shape[1]
+    limit = jnp.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+class HighwayGCN:
+    """Model = static config + sparse operands; params live outside.
+
+    Usage::
+
+        model = HighwayGCN(cfg, x_graph, adj_graph)
+        params = model.init(jax.random.key(0))
+        logits = model.apply(params, train=False)
+        loss   = model.loss(params, y, mask, rng=key)
+    """
+
+    def __init__(self, cfg: GCNConfig, x: SparseGraph, adj: Optional[SparseGraph]):
+        self.cfg = cfg
+        self.x = x
+        self.adj = adj
+        self._dtype = jnp.dtype(cfg.dtype)
+        # Materialize device formats eagerly: building them lazily inside a
+        # jitted trace would cache tracers (UnexpectedTracerError later).
+        x.ell(), x.ell_t()
+        if adj is not None:
+            if cfg.spmm_backend == "bsr":
+                adj.bsr(), adj.bsr_t()
+            else:
+                adj.ell(), adj.ell_t()
+
+    # ---- parameters -----------------------------------------------------
+    def init(self, key: jax.Array) -> dict:
+        cfg = self.cfg
+        dims = (cfg.n_features,) + tuple(cfg.hidden)
+        params: dict = {"layers": []}
+        keys = jax.random.split(key, len(cfg.hidden) + 1)
+        # input layer: n_features -> hidden[0]
+        params["input"] = {
+            "w": _glorot(keys[0], (cfg.n_features, cfg.hidden[0]), self._dtype),
+            "b": jnp.zeros((cfg.hidden[0],), self._dtype),
+        }
+        # conv layers: hidden[i-1] -> hidden[i] for i in 1..L, where layer 1
+        # consumes hidden[0] (the input layer's output)
+        in_dims = (cfg.hidden[0],) + tuple(cfg.hidden[:-1])
+        for i, (d_in, d_out) in enumerate(zip(in_dims, cfg.hidden)):
+            k1, k2 = jax.random.split(keys[i + 1])
+            layer = {
+                "w": _glorot(k1, (d_in, d_out), self._dtype),
+                "b": jnp.zeros((d_out,), self._dtype),
+            }
+            if cfg.highway and d_in == d_out:
+                layer["w_t"] = _glorot(k2, (d_in, d_out), self._dtype)
+                layer["b_t"] = jnp.full((d_out,), cfg.gate_bias_init, self._dtype)
+            params["layers"].append(layer)
+        k_out = jax.random.split(keys[-1])[1]
+        params["out"] = {
+            "w": _glorot(k_out, (cfg.hidden[-1], cfg.n_classes), self._dtype),
+            "b": jnp.zeros((cfg.n_classes,), self._dtype),
+        }
+        return params
+
+    # ---- forward --------------------------------------------------------
+    def _input_layer(self, params, *, train: bool, seed) -> jax.Array:
+        """H₀ = act(X W₀ + b₀) with sparse-input dropout at train time."""
+        cfg = self.cfg
+        x_ell = self.x.ell()
+        x_ell_t = self.x.ell_t()
+        fv, tv = x_ell.values, x_ell_t.values
+        if train and cfg.dropout > 0.0:
+            fv = ell_dropout_values(
+                x_ell.indices, fv, rate=cfg.dropout, seed=seed,
+                n_cols=self.x.shape[1], transposed=False,
+            )
+            tv = ell_dropout_values(
+                x_ell_t.indices, tv, rate=cfg.dropout, seed=seed,
+                n_cols=self.x.shape[1], transposed=True,
+            )
+        h = _spmm_ell_core(x_ell.indices, fv, x_ell_t.indices, tv, params["input"]["w"])
+        h = h[: self.x.shape[0]]
+        return _ACTIVATIONS[cfg.activation](h + params["input"]["b"])
+
+    def hidden_states(
+        self, params, *, train: bool = False, rng: Optional[jax.Array] = None
+    ) -> list:
+        """All per-layer activations (the allclose parity surface, §3.2)."""
+        cfg = self.cfg
+        act = _ACTIVATIONS[cfg.activation]
+        if train and cfg.dropout > 0.0 and rng is None:
+            raise ValueError("rng required when train=True and dropout > 0")
+        seeds = None
+        if train and cfg.dropout > 0.0:
+            n_seeds = 2 + 2 * len(cfg.hidden)
+            seeds = jax.random.split(rng, n_seeds)
+            x_seed = jax.random.randint(seeds[0], (), 0, 2**31 - 1, dtype=jnp.int32)
+        else:
+            x_seed = jnp.int32(0)
+
+        states = []
+        h = self._input_layer(params, train=train, seed=x_seed)
+        states.append(h)
+        for i, layer in enumerate(params["layers"]):
+            if train and cfg.dropout > 0.0:
+                h_in = dropout(h, rate=cfg.dropout, rng=seeds[1 + i])
+            else:
+                h_in = h
+            hw = h_in @ layer["w"]
+            conv = spmm(self.adj, hw, backend=cfg.spmm_backend)
+            conv = act(conv + layer["b"])
+            if "w_t" in layer:
+                gate = jax.nn.sigmoid(h_in @ layer["w_t"] + layer["b_t"])
+                h = gate * conv + (1.0 - gate) * h
+            else:
+                h = conv
+            states.append(h)
+        if train and cfg.dropout > 0.0:
+            h = dropout(h, rate=cfg.dropout, rng=seeds[-1])
+        logits = h @ params["out"]["w"] + params["out"]["b"]
+        states.append(logits)
+        return states
+
+    def apply(self, params, *, train: bool = False, rng: Optional[jax.Array] = None):
+        """Returns logits [n_nodes, n_classes]."""
+        return self.hidden_states(params, train=train, rng=rng)[-1]
+
+    # ---- loss -----------------------------------------------------------
+    def loss(self, params, y: jax.Array, mask: jax.Array, *, rng=None, train=True):
+        """Masked cross-entropy + L2 (reference: ``GCN.build`` loss).
+
+        y: [n_nodes] int labels; mask: [n_nodes] bool/float (train idx set).
+        """
+        logits = self.apply(params, train=train, rng=rng)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ce = -jnp.take_along_axis(logp, y[:, None], axis=-1)[:, 0]
+        mask = mask.astype(ce.dtype)
+        loss = jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+        if self.cfg.l2 > 0.0:
+            l2 = sum(
+                jnp.sum(p["w"] ** 2) for p in [params["input"], params["out"]]
+            ) + sum(
+                jnp.sum(l[k] ** 2) for l in params["layers"] for k in l if k.startswith("w")
+            )
+            loss = loss + self.cfg.l2 * l2
+        return loss

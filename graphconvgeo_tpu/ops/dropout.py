@@ -1,0 +1,69 @@
+"""Dropout ops, including layout-consistent sparse-input dropout.
+
+The reference drops nonzero entries of the sparse BoW input
+(``gcnmodel.py :: SparseInputDropoutLayer``). Our SpMM keeps both X and Xᵀ in
+ELL layout (the transpose drives the backward pass), so the dropout mask must
+agree between the two layouts entry-for-entry. We therefore derive the mask
+from a *position-keyed integer hash* of each entry's global id
+``row * n_cols + col`` — identical no matter which layout enumerates the
+entry — rather than from shaped PRNG draws.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _wang_hash(x: jax.Array) -> jax.Array:
+    """Wang integer hash (uint32), good enough for dropout masks."""
+    x = x.astype(jnp.uint32)
+    x = (x ^ jnp.uint32(61)) ^ (x >> 16)
+    x = x * jnp.uint32(9)
+    x = x ^ (x >> 4)
+    x = x * jnp.uint32(0x27D4EB2D)
+    x = x ^ (x >> 15)
+    return x
+
+
+def entry_uniform(entry_id: jax.Array, seed: jax.Array) -> jax.Array:
+    """Uniform [0,1) per entry id, keyed by an int32 seed."""
+    h = _wang_hash(entry_id.astype(jnp.uint32) ^ _wang_hash(jnp.uint32(seed)))
+    return h.astype(jnp.float32) / jnp.float32(2**32)
+
+
+def ell_dropout_values(
+    indices: jax.Array,
+    values: jax.Array,
+    *,
+    rate: float,
+    seed: jax.Array,
+    n_cols: int,
+    transposed: bool,
+) -> jax.Array:
+    """Dropout over ELL values with an entry-position-keyed mask.
+
+    For the forward layout, entry (i, k) has global id i * n_cols + indices[i,k].
+    For the transposed layout the same logical entry appears at row j = its
+    column, so the id is indices[j,k] * n_cols + j — both enumerate the same
+    id set, hence identical masks.
+    """
+    if rate <= 0.0:
+        return values
+    n, k = indices.shape
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, k), 0)
+    if transposed:
+        entry_id = indices * jnp.int32(n_cols) + row_ids
+    else:
+        entry_id = row_ids * jnp.int32(n_cols) + indices
+    u = entry_uniform(entry_id, seed)
+    keep = (u >= rate).astype(values.dtype)
+    return values * keep / (1.0 - rate)
+
+
+def dropout(x: jax.Array, *, rate: float, rng: jax.Array) -> jax.Array:
+    """Standard inverted dropout (reference: ``lasagne.layers.DropoutLayer``)."""
+    if rate <= 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)

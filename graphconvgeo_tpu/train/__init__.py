@@ -1,0 +1,2 @@
+from graphconvgeo_tpu.train.evaluate import geo_eval, haversine_km  # noqa: F401
+from graphconvgeo_tpu.train.trainer import TrainConfig, Trainer  # noqa: F401

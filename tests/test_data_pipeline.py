@@ -1,0 +1,90 @@
+import numpy as np
+import pytest
+
+from graphconvgeo_tpu.data.graph import build_mention_adjacency, extract_mentions
+from graphconvgeo_tpu.data.loader import load_dumps
+from graphconvgeo_tpu.data.pipeline import PreprocessConfig, preprocess
+from graphconvgeo_tpu.data.synthetic import make_synthetic_dumps
+
+
+def test_extract_mentions():
+    assert extract_mentions("hi @Alice and @bob_99! email a@b.com") == [
+        "alice",
+        "bob_99",
+        "b",  # reference regex also matches the mail-like '@b' — preserved
+    ]
+    assert extract_mentions("no mentions here") == []
+
+
+def test_mention_graph_hand_computed():
+    users = ["a", "b", "c", "d"]
+    texts = [
+        "hello @b @ext1",   # a mentions b (direct) and ext1
+        "yo @ext1",         # b mentions ext1 -> a-b via ext1 too
+        "hi @celeb",        # c mentions celebrity only
+        "@celeb @ext2",     # d mentions celebrity and ext2 (alone)
+    ]
+    a = build_mention_adjacency(users, texts, celebrity_threshold=1)
+    d = a.toarray()
+    # a-b connected (direct + shared ext1); c,d isolated (celeb removed: degree 2 > 1)
+    assert d[0, 1] == 1 and d[1, 0] == 1
+    assert d[2].sum() == 0 and d[3].sum() == 0
+    assert np.all(np.diag(d) == 0)
+    np.testing.assert_array_equal(d, d.T)
+
+
+def test_celebrity_threshold_keeps_small_accounts():
+    users = ["a", "b", "c"]
+    texts = ["@hub", "@hub", "@hub"]
+    # threshold 3: hub kept (degree 3) -> triangle
+    a = build_mention_adjacency(users, texts, celebrity_threshold=3)
+    assert a.nnz == 6
+    # threshold 2: hub removed -> empty graph
+    a2 = build_mention_adjacency(users, texts, celebrity_threshold=2)
+    assert a2.nnz == 0
+
+
+def test_loader_roundtrip(tmp_path):
+    make_synthetic_dumps(str(tmp_path), n_users=80, seed=1)
+    raw = load_dumps(str(tmp_path))
+    assert len(raw.train) + len(raw.dev) + len(raw.test) == 80
+    assert all(u == u.lower() for u in raw.train.users)
+    (a, b), (c, d), (e, f) = raw.splits_ranges
+    assert f == 80
+
+
+def test_preprocess_end_to_end_and_cache(tmp_path):
+    make_synthetic_dumps(str(tmp_path), n_users=120, n_clusters=3, seed=2)
+    cfg = PreprocessConfig(bucket_size=15, celebrity_threshold=5, min_df=2)
+    ds = preprocess(str(tmp_path), cfg)
+    n = ds.n_nodes
+    assert n == 120
+    assert ds.adj.shape == (n, n)
+    assert ds.x.shape[0] == n and ds.x.shape[1] > 10
+    assert ds.n_classes >= 3
+    assert len(ds.train_idx) + len(ds.dev_idx) + len(ds.test_idx) == n
+    # Â row sums bounded, symmetric
+    d = ds.adj.toarray()
+    np.testing.assert_allclose(d, d.T, atol=1e-6)
+    # labels valid
+    assert ds.y.min() >= 0 and ds.y.max() < ds.n_classes
+    # second call hits the cache and returns identical content
+    ds2 = preprocess(str(tmp_path), cfg)
+    np.testing.assert_array_equal(ds.y, ds2.y)
+    np.testing.assert_allclose(ds.adj.toarray(), ds2.adj.toarray(), atol=0)
+    np.testing.assert_allclose(ds.x.toarray(), ds2.x.toarray(), atol=0)
+
+
+def test_tfidf_fit_on_train_only(tmp_path):
+    make_synthetic_dumps(str(tmp_path), n_users=100, seed=3)
+    from graphconvgeo_tpu.data.features import TfidfConfig, build_features
+
+    raw = load_dumps(str(tmp_path))
+    x, vec = build_features(raw.train.text, raw.dev.text, raw.test.text, TfidfConfig(min_df=1))
+    # no mention tokens in the vocabulary
+    assert not any(t.startswith("@") or t.startswith("user") and False for t in vec.vocabulary_)
+    assert all("@" not in t for t in vec.vocabulary_)
+    # rows l2-normalized where nonempty
+    norms = np.sqrt(np.asarray(x.multiply(x).sum(axis=1)).ravel())
+    nz = norms > 0
+    np.testing.assert_allclose(norms[nz], 1.0, rtol=1e-5)

@@ -1,0 +1,70 @@
+import numpy as np
+import pytest
+
+from graphconvgeo_tpu.data.kdtree import KDTreeDiscretizer
+from graphconvgeo_tpu.train.evaluate import geo_eval, haversine_km
+
+
+def test_kdtree_bucket_invariants(rng):
+    lat = rng.uniform(25, 49, 500)
+    lon = rng.uniform(-125, -65, 500)
+    disc = KDTreeDiscretizer(bucket_size=50).fit(lat, lon)
+    counts = np.bincount(disc.class_of_train, minlength=disc.n_classes)
+    assert counts.max() <= 50
+    assert counts.min() >= 1
+    assert counts.sum() == 500
+    # assigning the training points routes each to its own leaf
+    back = disc.assign(lat, lon)
+    np.testing.assert_array_equal(back, disc.class_of_train)
+
+
+def test_kdtree_medians_inside_leaf(rng):
+    lat = rng.uniform(0, 10, 200)
+    lon = rng.uniform(0, 10, 200)
+    disc = KDTreeDiscretizer(bucket_size=20).fit(lat, lon)
+    for c in range(disc.n_classes):
+        m = disc.class_of_train == c
+        assert lat[m].min() - 1e-9 <= disc.class_lat_median[c] <= lat[m].max() + 1e-9
+        assert lon[m].min() - 1e-9 <= disc.class_lon_median[c] <= lon[m].max() + 1e-9
+
+
+def test_kdtree_duplicate_coords():
+    # all users in one city — single class, no infinite recursion
+    lat = np.full(100, 40.0)
+    lon = np.full(100, -74.0)
+    disc = KDTreeDiscretizer(bucket_size=10).fit(lat, lon)
+    assert disc.n_classes == 1
+    assert disc.class_lat_median[0] == 40.0
+
+
+def test_kdtree_matches_bruteforce_first_split(rng):
+    lat = rng.uniform(0, 10, 64)
+    lon = rng.uniform(0, 10, 64)
+    disc = KDTreeDiscretizer(bucket_size=16).fit(lat, lon)
+    # first split is on latitude median: no class spans the lat median with
+    # members strictly on both sides of it AND other classes between
+    med = np.median(lat)
+    left = set(disc.class_of_train[lat <= med])
+    right = set(disc.class_of_train[lat > med])
+    assert left.isdisjoint(right)
+
+
+def test_haversine_known_values():
+    # NYC -> LA ≈ 3936 km
+    d = haversine_km(40.7128, -74.0060, 34.0522, -118.2437)
+    assert abs(d - 3936) < 10
+    assert haversine_km(10, 20, 10, 20) == 0
+    # 1 degree of latitude ≈ 111.2 km
+    assert abs(haversine_km(0, 0, 1, 0) - 111.19) < 0.1
+
+
+def test_geo_eval_metrics():
+    class_lat = np.array([40.0, 34.0])
+    class_lon = np.array([-74.0, -118.0])
+    pred = np.array([0, 0, 1])
+    true_lat = np.array([40.1, 34.0, 34.0])  # first within 161km, second far
+    true_lon = np.array([-74.1, -118.0, -118.0])
+    m = geo_eval(pred, true_lat, true_lon, class_lat, class_lon)
+    assert m["acc_at_161"] == pytest.approx(2 / 3)
+    assert m["distances"][1] > 3000
+    assert m["median_km"] == pytest.approx(np.median(m["distances"]))

@@ -1,0 +1,128 @@
+"""Oracle parity tests (SURVEY.md §4.1): per-layer activations of the
+jitted model must allclose a ~50-line numpy reimplementation of the
+reference's forward semantics (gcnmodel.py :: GCN, §3.2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from graphconvgeo_tpu.models.gcn import GCNConfig, HighwayGCN
+from graphconvgeo_tpu.sparse.formats import SparseGraph, normalize_adjacency
+from tests.conftest import random_csr
+
+
+def numpy_forward(params, x_csr, a_hat, cfg):
+    """Dense numpy oracle of §3.2 (no dropout)."""
+    act = {"tanh": np.tanh, "relu": lambda v: np.maximum(v, 0)}[cfg.activation]
+
+    def g(a):
+        return np.asarray(a, dtype=np.float64)
+
+    states = []
+    h = act(x_csr.toarray() @ g(params["input"]["w"]) + g(params["input"]["b"]))
+    states.append(h)
+    a = a_hat.toarray()
+    for layer in params["layers"]:
+        conv = act(a @ (h @ g(layer["w"])) + g(layer["b"]))
+        if "w_t" in layer:
+            t = 1.0 / (1.0 + np.exp(-(h @ g(layer["w_t"]) + g(layer["b_t"]))))
+            h = t * conv + (1 - t) * h
+        else:
+            h = conv
+        states.append(h)
+    states.append(h @ g(params["out"]["w"]) + g(params["out"]["b"]))
+    return states
+
+
+def _setup(rng, highway, backend="ell", hidden=(32, 32)):
+    n, v = 90, 40
+    x = random_csr(rng, n, v, 6)
+    x.data = np.abs(x.data).astype(np.float32)
+    adj = random_csr(rng, n, n, 4, symmetric=True)
+    adj.data = np.abs(adj.data)
+    a_hat = normalize_adjacency(adj)
+    cfg = GCNConfig(
+        n_features=v, n_classes=7, hidden=hidden, highway=highway,
+        dropout=0.5, activation="tanh", spmm_backend=backend,
+    )
+    model = HighwayGCN(cfg, SparseGraph(csr=x), SparseGraph(csr=a_hat, symmetric=True))
+    params = model.init(jax.random.key(1))
+    return model, params, x, a_hat, cfg
+
+
+@pytest.mark.parametrize("highway", [False, True])
+def test_per_layer_activations_allclose(rng, highway):
+    model, params, x, a_hat, cfg = _setup(rng, highway)
+    got = model.hidden_states(params, train=False)
+    want = numpy_forward(jax.tree.map(np.asarray, params), x, a_hat, cfg)
+    assert len(got) == len(want)
+    for i, (g_, w_) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(
+            np.asarray(g_), w_, rtol=2e-4, atol=2e-5, err_msg=f"layer {i}"
+        )
+
+
+def test_per_layer_activations_allclose_bsr(rng):
+    model, params, x, a_hat, cfg = _setup(rng, True, backend="bsr")
+    got = model.hidden_states(params, train=False)
+    want = numpy_forward(jax.tree.map(np.asarray, params), x, a_hat, cfg)
+    for i, (g_, w_) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(
+            np.asarray(g_), w_, rtol=2e-4, atol=2e-5, err_msg=f"layer {i}"
+        )
+
+
+def test_loss_decreases_and_grads_flow(rng):
+    model, params, x, a_hat, cfg = _setup(rng, True)
+    y = jnp.asarray(rng.integers(0, 7, 90), dtype=jnp.int32)
+    mask = jnp.asarray((rng.random(90) < 0.5).astype(np.float32))
+    loss0 = model.loss(params, y, mask, train=False)
+    g = jax.grad(lambda p: model.loss(p, y, mask, train=False))(params)
+    # every weight gets gradient signal
+    flat, _ = jax.tree.flatten(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in flat)
+    assert sum(float(jnp.abs(x).sum()) for x in flat) > 0
+    # one SGD step reduces loss
+    params2 = jax.tree.map(lambda p, gr: p - 0.1 * gr, params, g)
+    loss1 = model.loss(params2, y, mask, train=False)
+    assert float(loss1) < float(loss0)
+
+
+def test_dropout_deterministic_given_key(rng):
+    model, params, *_ = _setup(rng, True)
+    k = jax.random.key(3)
+    a = model.apply(params, train=True, rng=k)
+    b = model.apply(params, train=True, rng=k)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    c = model.apply(params, train=True, rng=jax.random.key(4))
+    assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-6
+
+
+def test_sparse_input_dropout_grad_consistency(rng):
+    """The hashed mask must give the gradient of the *dropped* operator:
+    finite-difference check of dL/dW through the sparse input layer."""
+    model, params, x, a_hat, cfg = _setup(rng, False, hidden=(16, 16))
+    y = jnp.asarray(rng.integers(0, 7, 90), dtype=jnp.int32)
+    mask = jnp.asarray(np.ones(90, np.float32))
+    k = jax.random.key(7)
+
+    def loss_w(w):
+        p = {**params, "input": {**params["input"], "w": w}}
+        return model.loss(p, y, mask, rng=k, train=True)
+
+    w = params["input"]["w"]
+    g = jax.grad(loss_w)(w)
+    eps = 1e-3
+    rs = np.random.default_rng(0)
+    for _ in range(3):
+        i, j = rs.integers(0, w.shape[0]), rs.integers(0, w.shape[1])
+        dw = jnp.zeros_like(w).at[i, j].set(eps)
+        fd = (loss_w(w + dw) - loss_w(w - dw)) / (2 * eps)
+        np.testing.assert_allclose(float(g[i, j]), float(fd), rtol=5e-2, atol=1e-4)
+
+
+def test_highway_requires_matching_dims():
+    with pytest.raises(ValueError):
+        GCNConfig(n_features=4, n_classes=2, hidden=(8, 16), highway=True)

@@ -1,0 +1,77 @@
+"""End-to-end regression: synthetic geolocation corpus through the FULL stack
+(TSV → mention graph → TF-IDF → kd-tree → Highway-GCN training → geo_eval),
+asserting the learned model localizes users to their clusters
+(SURVEY.md §4.5 — the GeoText run's stand-in, since dataset dumps aren't
+shipped)."""
+
+import numpy as np
+import pytest
+
+from graphconvgeo_tpu.data.pipeline import PreprocessConfig, preprocess
+from graphconvgeo_tpu.data.synthetic import make_synthetic_dumps
+from graphconvgeo_tpu.models.gcn import GCNConfig, HighwayGCN
+from graphconvgeo_tpu.sparse.formats import SparseGraph
+from graphconvgeo_tpu.train.trainer import TrainConfig, Trainer
+
+
+@pytest.fixture(scope="module")
+def synth_ds(tmp_path_factory):
+    d = tmp_path_factory.mktemp("synth")
+    make_synthetic_dumps(str(d), n_users=400, n_clusters=4, seed=5)
+    return preprocess(str(d), PreprocessConfig(bucket_size=30, min_df=2, celebrity_threshold=10))
+
+
+def _train(ds, highway, epochs=120):
+    cfg = GCNConfig(
+        n_features=ds.x.shape[1],
+        n_classes=ds.n_classes,
+        hidden=(64, 64),
+        highway=highway,
+        dropout=0.3,
+        activation="tanh",
+    )
+    model = HighwayGCN(
+        cfg, SparseGraph(csr=ds.x), SparseGraph(csr=ds.adj, symmetric=True)
+    )
+    trainer = Trainer(model, TrainConfig(learning_rate=5e-3, epochs=epochs, patience=15, verbose=False))
+    out = trainer.fit(
+        ds.y, ds.train_idx, ds.dev_idx,
+        lat=ds.lat, lon=ds.lon,
+        class_lat_median=ds.class_lat_median, class_lon_median=ds.class_lon_median,
+    )
+    test_metrics = trainer.evaluate(
+        out["params"], ds.test_idx,
+        lat=ds.lat, lon=ds.lon,
+        class_lat_median=ds.class_lat_median, class_lon_median=ds.class_lon_median,
+    )
+    return out, test_metrics
+
+
+@pytest.mark.slow
+def test_full_stack_learns_geolocation(synth_ds):
+    out, metrics = _train(synth_ds, highway=True)
+    # clusters are >600km apart and text+graph are strongly informative:
+    # a working pipeline localizes most test users within 161km.
+    assert metrics["acc_at_161"] > 0.7, metrics
+    assert metrics["median_km"] < 161, metrics
+    # training actually improved over the first epoch
+    hist = out["history"]
+    assert hist[-1]["dev_acc_at_161"] >= hist[0]["dev_acc_at_161"]
+
+
+@pytest.mark.slow
+def test_label_fraction_runs(synth_ds):
+    ds = synth_ds
+    cfg = GCNConfig(
+        n_features=ds.x.shape[1], n_classes=ds.n_classes, hidden=(32, 32),
+        highway=True, dropout=0.2,
+    )
+    model = HighwayGCN(cfg, SparseGraph(csr=ds.x), SparseGraph(csr=ds.adj, symmetric=True))
+    trainer = Trainer(model, TrainConfig(epochs=10, patience=10, verbose=False))
+    out = trainer.fit(
+        ds.y, ds.train_idx, ds.dev_idx,
+        lat=ds.lat, lon=ds.lon,
+        class_lat_median=ds.class_lat_median, class_lon_median=ds.class_lon_median,
+        label_fraction=0.5,
+    )
+    assert len(out["history"]) == 10
