@@ -70,6 +70,34 @@ def _glorot(key, shape, dtype):
     return jax.random.uniform(key, shape, dtype, -limit, limit)
 
 
+def init_gcn_params(key: jax.Array, cfg: GCNConfig, dtype=jnp.float32) -> dict:
+    """Parameter pytree for the §3.2 layer chain (shared by the single-chip
+    and distributed models — same structure, same init)."""
+    params: dict = {"layers": []}
+    keys = jax.random.split(key, len(cfg.hidden) + 1)
+    params["input"] = {
+        "w": _glorot(keys[0], (cfg.n_features, cfg.hidden[0]), dtype),
+        "b": jnp.zeros((cfg.hidden[0],), dtype),
+    }
+    in_dims = (cfg.hidden[0],) + tuple(cfg.hidden[:-1])
+    for i, (d_in, d_out) in enumerate(zip(in_dims, cfg.hidden)):
+        k1, k2 = jax.random.split(keys[i + 1])
+        layer = {
+            "w": _glorot(k1, (d_in, d_out), dtype),
+            "b": jnp.zeros((d_out,), dtype),
+        }
+        if cfg.highway and d_in == d_out:
+            layer["w_t"] = _glorot(k2, (d_in, d_out), dtype)
+            layer["b_t"] = jnp.full((d_out,), cfg.gate_bias_init, dtype)
+        params["layers"].append(layer)
+    k_out = jax.random.split(keys[-1])[1]
+    params["out"] = {
+        "w": _glorot(k_out, (cfg.hidden[-1], cfg.n_classes), dtype),
+        "b": jnp.zeros((cfg.n_classes,), dtype),
+    }
+    return params
+
+
 class HighwayGCN:
     """Model = static config + sparse operands; params live outside.
 
@@ -97,34 +125,7 @@ class HighwayGCN:
 
     # ---- parameters -----------------------------------------------------
     def init(self, key: jax.Array) -> dict:
-        cfg = self.cfg
-        dims = (cfg.n_features,) + tuple(cfg.hidden)
-        params: dict = {"layers": []}
-        keys = jax.random.split(key, len(cfg.hidden) + 1)
-        # input layer: n_features -> hidden[0]
-        params["input"] = {
-            "w": _glorot(keys[0], (cfg.n_features, cfg.hidden[0]), self._dtype),
-            "b": jnp.zeros((cfg.hidden[0],), self._dtype),
-        }
-        # conv layers: hidden[i-1] -> hidden[i] for i in 1..L, where layer 1
-        # consumes hidden[0] (the input layer's output)
-        in_dims = (cfg.hidden[0],) + tuple(cfg.hidden[:-1])
-        for i, (d_in, d_out) in enumerate(zip(in_dims, cfg.hidden)):
-            k1, k2 = jax.random.split(keys[i + 1])
-            layer = {
-                "w": _glorot(k1, (d_in, d_out), self._dtype),
-                "b": jnp.zeros((d_out,), self._dtype),
-            }
-            if cfg.highway and d_in == d_out:
-                layer["w_t"] = _glorot(k2, (d_in, d_out), self._dtype)
-                layer["b_t"] = jnp.full((d_out,), cfg.gate_bias_init, self._dtype)
-            params["layers"].append(layer)
-        k_out = jax.random.split(keys[-1])[1]
-        params["out"] = {
-            "w": _glorot(k_out, (cfg.hidden[-1], cfg.n_classes), self._dtype),
-            "b": jnp.zeros((cfg.n_classes,), self._dtype),
-        }
-        return params
+        return init_gcn_params(key, self.cfg, self._dtype)
 
     # ---- forward --------------------------------------------------------
     def _input_layer(self, params, *, train: bool, seed) -> jax.Array:

@@ -63,14 +63,21 @@ def _ell_matvec(indices: jax.Array, values: jax.Array, h: jax.Array) -> jax.Arra
     idx_steps = indices.reshape(n, k // chunk, chunk).transpose(1, 0, 2)
     val_steps = values.reshape(n, k // chunk, chunk).transpose(1, 0, 2)
 
+    def one(idx, val):
+        g = h[idx]  # [N, chunk, F]
+        return jnp.einsum("nc,ncf->nf", val, g.astype(val.dtype))
+
     def step(acc, iv):
         idx, val = iv
-        g = h[idx]  # [N, chunk, F]
-        acc = acc + jnp.einsum("nc,ncf->nf", val, g.astype(val.dtype))
-        return acc, None
+        return acc + one(idx, val), None
 
-    init = jnp.zeros((n, h.shape[1]), dtype=jnp.promote_types(h.dtype, values.dtype))
-    out, _ = jax.lax.scan(step, init, (idx_steps, val_steps))
+    # Seed the carry with the first chunk's product (not zeros): under
+    # shard_map a zeros init has no varying mesh axes and scan rejects the
+    # carry-type mismatch.
+    init = one(idx_steps[0], val_steps[0])
+    if idx_steps.shape[0] == 1:
+        return init
+    out, _ = jax.lax.scan(step, init, (idx_steps[1:], val_steps[1:]))
     return out
 
 
@@ -87,7 +94,9 @@ def _spmm_ell_bwd(res, g):
     indices, values, indices_t, values_t = res
     dh = _ell_matvec(indices_t, values_t, g)
     f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
-    return (f0(indices), jnp.zeros_like(values), f0(indices_t), jnp.zeros_like(values_t), dh)
+    # zero cotangents derived from the residuals (not fresh zeros) so they
+    # keep the varying mesh axes under shard_map
+    return (f0(indices), values * 0.0, f0(indices_t), values_t * 0.0, dh)
 
 
 _spmm_ell_core.defvjp(_spmm_ell_fwd, _spmm_ell_bwd)

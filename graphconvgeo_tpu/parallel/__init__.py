@@ -1,0 +1,3 @@
+from graphconvgeo_tpu.parallel.mesh import make_graph_mesh  # noqa: F401
+from graphconvgeo_tpu.parallel.partition import RowPartition, partition_dataset  # noqa: F401
+from graphconvgeo_tpu.parallel.model_dist import DistHighwayGCN  # noqa: F401

@@ -1,0 +1,36 @@
+"""Device-mesh helpers.
+
+The graph workload's scaling axis is the *node/edge partition* (SURVEY.md §2:
+"graph/edge partitioning is the GNN analog of TP+SP"), so the canonical mesh
+is 1-D with axis name ``"graph"``. Multi-host pods simply extend the same
+axis across hosts — XLA routes the all-gather / reduce-scatter legs over ICI
+within a slice and DCN across slices.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+GRAPH_AXIS = "graph"
+
+
+def make_graph_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (GRAPH_AXIS,))
+
+
+def maybe_initialize_distributed() -> None:
+    """Multi-host init (no-op single-process). Call before device queries in
+    multi-host launches; JAX's runtime is the communication backend — there
+    is no NCCL/MPI anywhere in this framework."""
+    import os
+
+    if "JAX_COORDINATOR_ADDRESS" in os.environ and jax.process_count() == 1:
+        jax.distributed.initialize()

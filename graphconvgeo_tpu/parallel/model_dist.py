@@ -1,0 +1,167 @@
+"""Distributed Highway-GCN: edge-partitioned full-graph training.
+
+Same parameter pytree and layer semantics as the single-chip model
+(``models/gcn.py``, reference ``gcnmodel.py :: GCN``), but every node-indexed
+tensor is sharded over the ``graph`` mesh axis:
+
+- parameters: replicated (they are tiny vs the graph);
+- H, logits, labels, masks: row-sharded ``P('graph', None)``;
+- adjacency/features: pre-partitioned ELL blocks (``RowPartition``), entering
+  ``shard_map`` with a leading device axis;
+- SpMM: ``shard_map`` body = all-gather + local block product (v1) — XLA
+  emits the gather/reduce-scatter pair on ICI; everything else (dense
+  matmuls, gates, loss) is plain jit'ed code that GSPMD partitions from the
+  sharding annotations.
+
+The loss over masked rows and the parameter gradients come out replicated —
+shard_map's transpose inserts the cross-device psums for the replicated-in
+weights automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax import shard_map  # jax >= 0.6
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from graphconvgeo_tpu.models.gcn import GCNConfig, _ACTIVATIONS, init_gcn_params
+from graphconvgeo_tpu.ops.dropout import dropout, ell_dropout_values
+from graphconvgeo_tpu.parallel.mesh import GRAPH_AXIS
+from graphconvgeo_tpu.parallel.partition import RowPartition
+from graphconvgeo_tpu.parallel.spmm_dist import local_input_spmm, local_spmm_allgather
+
+
+class DistHighwayGCN:
+    def __init__(self, cfg: GCNConfig, part: RowPartition, mesh):
+        self.cfg = cfg
+        self.part = part
+        self.mesh = mesh
+        shard3 = NamedSharding(mesh, P(GRAPH_AXIS, None, None))
+        shard1 = NamedSharding(mesh, P(GRAPH_AXIS))
+        self.data = {
+            k: jax.device_put(jnp.asarray(getattr(part, k)), shard3)
+            for k in ("a_idx", "a_val", "at_idx", "at_val", "x_idx", "x_val", "xt_idx", "xt_val")
+        }
+        self.data["y"] = jax.device_put(jnp.asarray(part.y), shard1)
+        self.data["mask"] = jax.device_put(jnp.asarray(part.mask), shard1)
+        self._row_sharding = NamedSharding(mesh, P(GRAPH_AXIS, None))
+
+    def init(self, key: jax.Array) -> dict:
+        params = init_gcn_params(key, self.cfg)
+        repl = NamedSharding(self.mesh, P())
+        return jax.device_put(params, repl)
+
+    # ---- shard_map wrappers --------------------------------------------
+    def _input_layer(self, w0, data, *, train: bool, seed):
+        cfg = self.cfg
+        v = self.part.n_features
+        rpd = self.part.rows_per_device
+
+        def body(w0, xi, xv, xti, xtv, seed):
+            xi, xv, xti, xtv = xi[0], xv[0], xti[0], xtv[0]
+            if train and cfg.dropout > 0.0:
+                d = jax.lax.axis_index(GRAPH_AXIS)
+                row0 = (d * rpd).astype(jnp.int32)
+                n_loc, k = xi.shape
+                rows = jax.lax.broadcasted_iota(jnp.int32, (n_loc, k), 0) + row0
+                from graphconvgeo_tpu.ops.dropout import entry_uniform
+
+                u = entry_uniform(rows * jnp.int32(v) + xi, seed)
+                xv = xv * (u >= cfg.dropout).astype(xv.dtype) / (1.0 - cfg.dropout)
+                # transpose block: row j (feature), entries are local user ids
+                nt, kt = xti.shape
+                feat = jax.lax.broadcasted_iota(jnp.int32, (nt, kt), 0)
+                ut = entry_uniform((xti + row0) * jnp.int32(v) + feat, seed)
+                xtv = xtv * (ut >= cfg.dropout).astype(xtv.dtype) / (1.0 - cfg.dropout)
+            return local_input_spmm(w0, xi, xv, xti, xtv)
+
+        return shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(P(), P(GRAPH_AXIS, None, None), P(GRAPH_AXIS, None, None),
+                      P(GRAPH_AXIS, None, None), P(GRAPH_AXIS, None, None), P()),
+            out_specs=P(GRAPH_AXIS, None),
+        )(w0, data["x_idx"], data["x_val"], data["xt_idx"], data["xt_val"], seed)
+
+    def _conv(self, hw, data):
+        def body(h, ai, av, ati, atv):
+            return local_spmm_allgather(h, ai[0], av[0], ati[0], atv[0])
+
+        return shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(P(GRAPH_AXIS, None), P(GRAPH_AXIS, None, None), P(GRAPH_AXIS, None, None),
+                      P(GRAPH_AXIS, None, None), P(GRAPH_AXIS, None, None)),
+            out_specs=P(GRAPH_AXIS, None),
+        )(hw, data["a_idx"], data["a_val"], data["at_idx"], data["at_val"])
+
+    # ---- forward / loss -------------------------------------------------
+    def apply(self, params, *, train: bool = False, rng: Optional[jax.Array] = None):
+        cfg = self.cfg
+        act = _ACTIVATIONS[cfg.activation]
+        data = self.data
+        if train and cfg.dropout > 0.0:
+            seeds = jax.random.split(rng, 2 + len(cfg.hidden) + 1)
+            x_seed = jax.random.randint(seeds[0], (), 0, 2**31 - 1, dtype=jnp.int32)
+        else:
+            seeds = None
+            x_seed = jnp.int32(0)
+        h = self._input_layer(params["input"]["w"], data, train=train, seed=x_seed)
+        h = act(h + params["input"]["b"])
+        h = jax.lax.with_sharding_constraint(h, self._row_sharding)
+        for i, layer in enumerate(params["layers"]):
+            h_in = dropout(h, rate=cfg.dropout, rng=seeds[1 + i]) if seeds is not None else h
+            hw = h_in @ layer["w"]
+            conv = act(self._conv(hw, data) + layer["b"])
+            if "w_t" in layer:
+                gate = jax.nn.sigmoid(h_in @ layer["w_t"] + layer["b_t"])
+                h = gate * conv + (1.0 - gate) * h
+            else:
+                h = conv
+            h = jax.lax.with_sharding_constraint(h, self._row_sharding)
+        if seeds is not None:
+            h = dropout(h, rate=cfg.dropout, rng=seeds[-1])
+        return h @ params["out"]["w"] + params["out"]["b"]
+
+    def loss(self, params, *, rng=None, train: bool = True):
+        logits = self.apply(params, train=train, rng=rng)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        y = self.data["y"]
+        mask = self.data["mask"]
+        ce = -jnp.take_along_axis(logp, y[:, None], axis=-1)[:, 0]
+        loss = jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+        if self.cfg.l2 > 0.0:
+            l2 = sum(
+                jnp.sum(p["w"] ** 2) for p in [params["input"], params["out"]]
+            ) + sum(
+                jnp.sum(l[k] ** 2)
+                for l in params["layers"]
+                for k in l
+                if k.startswith("w")
+            )
+            loss = loss + self.cfg.l2 * l2
+        return loss
+
+    # ---- training -------------------------------------------------------
+    def make_train_step(self, learning_rate: float = 5e-3):
+        import optax
+
+        opt = optax.adam(learning_rate)
+
+        def step(params, opt_state, rng):
+            loss, grads = jax.value_and_grad(lambda p: self.loss(p, rng=rng))(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return opt, jax.jit(step, donate_argnums=(0, 1))

@@ -1,0 +1,67 @@
+"""Edge-partitioned SpMM under ``shard_map``.
+
+Strategy v1 — gather-everything: each device all-gathers the node features
+over the ``graph`` mesh axis (one tiled all-gather riding ICI), runs its local
+row-block SpMM, and keeps its output rows local. The backward pass is exactly
+the transpose program: local ``A_blockᵀ·G`` followed by the all-gather's
+transpose, a ``reduce-scatter`` — both inserted automatically (all_gather is
+differentiable; the block transpose comes from the SpMM custom VJP).
+
+Strategy v2 — halo exchange (see ``halo.py``): only boundary rows move, via
+all-to-all, overlapped with the local-block SpMM. v1 is the correctness
+anchor and the fallback when the boundary set is dense (small graphs).
+
+Reference has no analog (single process, SURVEY.md §2 "parallelism: none");
+this is the BASELINE.json:10 deliverable.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphconvgeo_tpu.ops.spmm import _ell_matvec, _spmm_ell_core
+from graphconvgeo_tpu.parallel.mesh import GRAPH_AXIS
+
+
+def local_spmm_allgather(h_local, a_idx, a_val, at_idx, at_val, *, axis: str = GRAPH_AXIS):
+    """Per-device body: h_local [rpd, F] → out [rpd, F].
+
+    a_idx/a_val: [rpd, K] local rows with global col ids;
+    at_idx/at_val: [n_pad, Kt] transpose of the local block (local col ids).
+    """
+    h_full = jax.lax.all_gather(h_local, axis, axis=0, tiled=True)  # [n_pad, F]
+    return _spmm_ell_core(a_idx, a_val, at_idx, at_val, h_full)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _input_spmm(axis, x_idx, x_val, xt_idx, xt_val, w0):
+    return _ell_matvec(x_idx, x_val, w0)
+
+
+def _input_spmm_fwd(axis, x_idx, x_val, xt_idx, xt_val, w0):
+    return _ell_matvec(x_idx, x_val, w0), (x_idx, x_val, xt_idx, xt_val)
+
+
+def _input_spmm_bwd(axis, res, g):
+    x_idx, x_val, xt_idx, xt_val = res
+    # local partial dW0 = X_blockᵀ·G, then explicit cross-device reduction:
+    # shard_map's transpose cannot see through a custom_vjp to infer that a
+    # replicated-in cotangent needs a psum, so we produce the replicated
+    # value ourselves.
+    dw0 = _ell_matvec(xt_idx, xt_val, g)
+    dw0 = jax.lax.psum(dw0, axis)
+    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return (f0(x_idx), x_val * 0.0, f0(xt_idx), xt_val * 0.0, dw0)
+
+
+_input_spmm.defvjp(_input_spmm_fwd, _input_spmm_bwd)
+
+
+def local_input_spmm(w0, x_idx, x_val, xt_idx, xt_val, *, axis: str = GRAPH_AXIS):
+    """Per-device sparse-input layer: X_block · W0, no communication in the
+    forward; the backward psums the per-device partial dW0 = X_blockᵀ·G."""
+    return _input_spmm(axis, x_idx, x_val, xt_idx, xt_val, w0)

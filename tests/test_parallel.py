@@ -1,0 +1,97 @@
+"""Distributed-path correctness on the 8-virtual-device CPU mesh
+(SURVEY.md §4.4): the edge-partitioned shard_map model must reproduce the
+single-device model's logits, loss, and parameter gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graphconvgeo_tpu.models.gcn import GCNConfig, HighwayGCN
+from graphconvgeo_tpu.parallel.mesh import make_graph_mesh
+from graphconvgeo_tpu.parallel.model_dist import DistHighwayGCN
+from graphconvgeo_tpu.parallel.partition import partition_rows
+from graphconvgeo_tpu.sparse.formats import SparseGraph, normalize_adjacency
+from tests.conftest import random_csr
+
+
+def _mk_problem(rng, n=100, v=37, classes=5):
+    adj = random_csr(rng, n, n, 4, symmetric=True)
+    adj.data = np.abs(adj.data)
+    a_hat = normalize_adjacency(adj)
+    x = random_csr(rng, n, v, 6)
+    x.data = np.abs(x.data).astype(np.float32)
+    y = rng.integers(0, classes, n).astype(np.int32)
+    mask = (rng.random(n) < 0.6).astype(np.float32)
+    cfg = GCNConfig(n_features=v, n_classes=classes, hidden=(24, 24), highway=True, dropout=0.4)
+    return a_hat, x, y, mask, cfg
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual CPU devices"
+    return make_graph_mesh(8)
+
+
+def test_partition_boundary_stats(rng, mesh):
+    a_hat, x, y, mask, cfg = _mk_problem(rng)
+    part = partition_rows(a_hat, x, y, mask, 8)
+    assert part.n_pad % 8 == 0
+    stats = part.boundary_stats
+    assert len(stats["remote_col_fraction"]) == 8
+
+
+def test_dist_matches_single_device_forward(rng, mesh):
+    a_hat, x, y, mask, cfg = _mk_problem(rng)
+    n = a_hat.shape[0]
+    single = HighwayGCN(cfg, SparseGraph(csr=x), SparseGraph(csr=a_hat, symmetric=True))
+    params = single.init(jax.random.key(0))
+    logits_single = np.asarray(single.apply(params, train=False))
+
+    part = partition_rows(a_hat, x, y, mask, 8)
+    dist = DistHighwayGCN(cfg, part, mesh)
+    dparams = jax.device_put(params, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+    logits_dist = np.asarray(jax.jit(lambda p: dist.apply(p, train=False))(dparams))
+    np.testing.assert_allclose(logits_dist[:n], logits_single, rtol=2e-4, atol=2e-5)
+    # padding rows produce finite logits and are masked out of the loss
+    assert np.isfinite(logits_dist).all()
+
+
+def test_dist_loss_and_grads_match(rng, mesh):
+    a_hat, x, y, mask, cfg = _mk_problem(rng)
+    single = HighwayGCN(cfg, SparseGraph(csr=x), SparseGraph(csr=a_hat, symmetric=True))
+    params = single.init(jax.random.key(1))
+
+    loss_single, grads_single = jax.value_and_grad(
+        lambda p: single.loss(p, jnp.asarray(y), jnp.asarray(mask), train=False)
+    )(params)
+
+    part = partition_rows(a_hat, x, y, mask, 8)
+    dist = DistHighwayGCN(cfg, part, mesh)
+    dparams = jax.device_put(params, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+    loss_dist, grads_dist = jax.jit(
+        jax.value_and_grad(lambda p: dist.loss(p, train=False))
+    )(dparams)
+
+    np.testing.assert_allclose(float(loss_dist), float(loss_single), rtol=1e-5)
+    flat_s, tree = jax.tree.flatten(grads_single)
+    flat_d, _ = jax.tree.flatten(grads_dist)
+    for gs, gd in zip(flat_s, flat_d):
+        np.testing.assert_allclose(np.asarray(gd), np.asarray(gs), rtol=5e-4, atol=1e-5)
+
+
+def test_dist_train_step_runs_and_learns(rng, mesh):
+    a_hat, x, y, mask, cfg = _mk_problem(rng)
+    part = partition_rows(a_hat, x, y, mask, 8)
+    dist = DistHighwayGCN(cfg, part, mesh)
+    params = dist.init(jax.random.key(2))
+    opt, step = dist.make_train_step(1e-2)
+    opt_state = opt.init(params)
+    losses = []
+    rng_j = jax.random.key(3)
+    for i in range(12):
+        rng_j, k = jax.random.split(rng_j)
+        params, opt_state, loss = step(params, opt_state, k)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
