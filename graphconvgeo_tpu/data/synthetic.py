@@ -88,6 +88,37 @@ def make_synthetic_dumps(
     }
 
 
+def random_sbm_graph(
+    n: int,
+    n_comm: int,
+    avg_deg: float,
+    *,
+    p_intra: float = 0.9,
+    seed: int = 0,
+) -> sp.csr_matrix:
+    """Stochastic-block-model graph, nodes ordered by community — the
+    realistic stand-in for an @-mention graph (strong community structure),
+    and the favorable case for the block-sparse (BSR) SpMM path."""
+    rng = np.random.default_rng(seed)
+    comm_size = n // n_comm
+    comm = np.arange(n) // comm_size
+    deg = rng.poisson(avg_deg, n)
+    src = np.repeat(np.arange(n), deg)
+    intra = rng.random(src.shape[0]) < p_intra
+    dst = np.empty_like(src)
+    base = comm[src] * comm_size
+    dst[intra] = base[intra] + rng.integers(0, comm_size, int(intra.sum()))
+    dst[~intra] = rng.integers(0, n, int((~intra).sum()))
+    keep = src != dst
+    a = sp.coo_matrix(
+        (np.ones(int(keep.sum()), np.float32), (src[keep], dst[keep])), shape=(n, n)
+    ).tocsr()
+    a = a + a.T
+    a.data[:] = 1.0
+    a.sort_indices()
+    return a
+
+
 def random_powerlaw_graph(
     n: int, avg_deg: float, *, alpha: float = 2.1, seed: int = 0
 ) -> sp.csr_matrix:

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from graphconvgeo_tpu.ops.dropout import dropout, ell_dropout_values
-from graphconvgeo_tpu.ops.spmm import _spmm_ell_core, spmm
+from graphconvgeo_tpu.ops.spmm import _spmm_ell_core, device_operands, spmm_operands
 from graphconvgeo_tpu.sparse.formats import EllMatrix, SparseGraph
 
 _ACTIVATIONS = {
@@ -114,25 +114,26 @@ class HighwayGCN:
         self.x = x
         self.adj = adj
         self._dtype = jnp.dtype(cfg.dtype)
-        # Materialize device formats eagerly: building them lazily inside a
-        # jitted trace would cache tracers (UnexpectedTracerError later).
-        x.ell(), x.ell_t()
+        # Device operand pytrees, materialized eagerly (lazy building inside a
+        # jitted trace would cache tracers). These must be threaded through
+        # jit boundaries AS ARGUMENTS — see `arrays` params below — otherwise
+        # the sparse data gets baked into the compiled module as constants.
+        self.arrays = {"x": x.ell(), "x_t": x.ell_t()}
         if adj is not None:
-            if cfg.spmm_backend == "bsr":
-                adj.bsr(), adj.bsr_t()
-            else:
-                adj.ell(), adj.ell_t()
+            fmt, fmt_t = device_operands(adj, cfg.spmm_backend)
+            self.arrays["adj"] = fmt
+            self.arrays["adj_t"] = fmt_t
 
     # ---- parameters -----------------------------------------------------
     def init(self, key: jax.Array) -> dict:
         return init_gcn_params(key, self.cfg, self._dtype)
 
     # ---- forward --------------------------------------------------------
-    def _input_layer(self, params, *, train: bool, seed) -> jax.Array:
+    def _input_layer(self, params, arrays, *, train: bool, seed) -> jax.Array:
         """H₀ = act(X W₀ + b₀) with sparse-input dropout at train time."""
         cfg = self.cfg
-        x_ell = self.x.ell()
-        x_ell_t = self.x.ell_t()
+        x_ell = arrays["x"]
+        x_ell_t = arrays["x_t"]
         fv, tv = x_ell.values, x_ell_t.values
         if train and cfg.dropout > 0.0:
             fv = ell_dropout_values(
@@ -148,10 +149,12 @@ class HighwayGCN:
         return _ACTIVATIONS[cfg.activation](h + params["input"]["b"])
 
     def hidden_states(
-        self, params, *, train: bool = False, rng: Optional[jax.Array] = None
+        self, params, arrays=None, *, train: bool = False, rng: Optional[jax.Array] = None
     ) -> list:
         """All per-layer activations (the allclose parity surface, §3.2)."""
         cfg = self.cfg
+        if arrays is None:
+            arrays = self.arrays
         act = _ACTIVATIONS[cfg.activation]
         if train and cfg.dropout > 0.0 and rng is None:
             raise ValueError("rng required when train=True and dropout > 0")
@@ -164,7 +167,7 @@ class HighwayGCN:
             x_seed = jnp.int32(0)
 
         states = []
-        h = self._input_layer(params, train=train, seed=x_seed)
+        h = self._input_layer(params, arrays, train=train, seed=x_seed)
         states.append(h)
         for i, layer in enumerate(params["layers"]):
             if train and cfg.dropout > 0.0:
@@ -172,7 +175,7 @@ class HighwayGCN:
             else:
                 h_in = h
             hw = h_in @ layer["w"]
-            conv = spmm(self.adj, hw, backend=cfg.spmm_backend)
+            conv = spmm_operands(arrays["adj"], arrays["adj_t"], hw, n_rows=self.x.shape[0])
             conv = act(conv + layer["b"])
             if "w_t" in layer:
                 gate = jax.nn.sigmoid(h_in @ layer["w_t"] + layer["b_t"])
@@ -186,17 +189,17 @@ class HighwayGCN:
         states.append(logits)
         return states
 
-    def apply(self, params, *, train: bool = False, rng: Optional[jax.Array] = None):
+    def apply(self, params, arrays=None, *, train: bool = False, rng: Optional[jax.Array] = None):
         """Returns logits [n_nodes, n_classes]."""
-        return self.hidden_states(params, train=train, rng=rng)[-1]
+        return self.hidden_states(params, arrays, train=train, rng=rng)[-1]
 
     # ---- loss -----------------------------------------------------------
-    def loss(self, params, y: jax.Array, mask: jax.Array, *, rng=None, train=True):
+    def loss(self, params, y: jax.Array, mask: jax.Array, arrays=None, *, rng=None, train=True):
         """Masked cross-entropy + L2 (reference: ``GCN.build`` loss).
 
         y: [n_nodes] int labels; mask: [n_nodes] bool/float (train idx set).
         """
-        logits = self.apply(params, train=train, rng=rng)
+        logits = self.apply(params, arrays, train=train, rng=rng)
         logp = jax.nn.log_softmax(logits, axis=-1)
         ce = -jnp.take_along_axis(logp, y[:, None], axis=-1)[:, 0]
         mask = mask.astype(ce.dtype)

@@ -29,9 +29,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from graphconvgeo_tpu.sparse.formats import BsrMatrix, EllMatrix, SparseGraph
+from graphconvgeo_tpu.sparse.formats import BsrMatrix, BucketedEll, EllMatrix, SparseGraph
 
-Backend = Literal["auto", "ell", "bsr", "oracle"]
+Backend = Literal["auto", "ell", "bell", "bsr", "oracle"]
 
 # Number of ELL slots folded into one scan step. 8 keeps the gather large
 # enough to saturate HBM reads while bounding the [N, CHUNK, F] temporary.
@@ -113,23 +113,106 @@ def spmm_ell(mat: EllMatrix, mat_t: EllMatrix, h: jax.Array) -> jax.Array:
     return out[: mat.indices.shape[0]]
 
 
+def _bell_matvec(bell: BucketedEll, h: jax.Array) -> jax.Array:
+    """Degree-bucketed SpMM: per-bucket ELL matvecs on permuted rows, then one
+    gather to restore row order. Padded work ≈ 1.3–2× nnz regardless of
+    degree skew (vs max-degree× for plain ELL)."""
+    h = jnp.asarray(h)
+    outs = [_ell_matvec(i, v, h) for i, v in zip(bell.indices, bell.values)]
+    out_sorted = jnp.concatenate(outs, axis=0)
+    return jnp.take(out_sorted, bell.inv_perm, axis=0)
+
+
+@jax.custom_vjp
+def _spmm_bell_core(bell, bell_t, h):
+    return _bell_matvec(bell, h)
+
+
+def _spmm_bell_fwd(bell, bell_t, h):
+    return _bell_matvec(bell, h), (bell, bell_t)
+
+
+def _spmm_bell_bwd(res, g):
+    bell, bell_t = res
+    dh = _bell_matvec(bell_t, g)
+    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+    def zeros_like_bell(b):
+        return BucketedEll(
+            indices=tuple(f0(i) for i in b.indices),
+            values=tuple(v * 0.0 for v in b.values),
+            perm=f0(b.perm),
+            inv_perm=f0(b.inv_perm),
+            n_cols=b.n_cols,
+        )
+
+    return (zeros_like_bell(bell), zeros_like_bell(bell_t), dh)
+
+
+_spmm_bell_core.defvjp(_spmm_bell_fwd, _spmm_bell_bwd)
+
+
+def spmm_bell(bell: BucketedEll, bell_t: BucketedEll, h: jax.Array) -> jax.Array:
+    return _spmm_bell_core(bell, bell_t, h)
+
+
+def device_operands(graph: SparseGraph, backend: Backend = "auto") -> tuple:
+    """The (fmt, fmt_t) device pytrees for a backend.
+
+    IMPORTANT: pass these *as arguments* across any ``jit`` boundary. Closing
+    over them bakes the (potentially GB-scale) sparse arrays into the
+    compiled module as constants — slow compiles and compile-helper OOMs.
+    """
+    if backend == "auto":
+        backend = "bell"
+    if backend in ("ell", "oracle"):
+        return graph.ell(), graph.ell_t()
+    if backend == "bell":
+        return graph.bell(), graph.bell_t()
+    if backend == "bsr":
+        return graph.bsr(), graph.bsr_t()
+    if backend == "hybrid":
+        return graph.hybrid(), graph.hybrid_t()
+    raise ValueError(f"unknown backend {backend!r}")
+
+
+def spmm_operands(fmt, fmt_t, h: jax.Array, *, n_rows: int) -> jax.Array:
+    """SpMM against device-format pytrees (format-dispatched)."""
+    if isinstance(fmt, BucketedEll):
+        return spmm_bell(fmt, fmt_t, h)[:n_rows]
+    if isinstance(fmt, EllMatrix):
+        return spmm_ell(fmt, fmt_t, h)[:n_rows]
+    if isinstance(fmt, BsrMatrix):
+        from graphconvgeo_tpu.ops.spmm_pallas import spmm_bsr
+
+        return spmm_bsr(fmt, fmt_t, h)[:n_rows]
+    if isinstance(fmt, tuple):  # hybrid (bsr | None, bell | None)
+        from graphconvgeo_tpu.ops.spmm_pallas import spmm_bsr
+
+        bsr_p, bell_p = fmt
+        bsr_tp, bell_tp = fmt_t
+        out = None
+        if bsr_p is not None:
+            out = spmm_bsr(bsr_p, bsr_tp, h)[:n_rows]
+        if bell_p is not None:
+            o2 = spmm_bell(bell_p, bell_tp, h)[:n_rows]
+            out = o2 if out is None else out + o2
+        if out is None:  # empty matrix
+            out = jnp.zeros((n_rows, h.shape[1]), h.dtype)
+        return out
+    raise TypeError(f"unknown sparse operand type {type(fmt)}")
+
+
 def spmm(graph: SparseGraph, h: jax.Array, *, backend: Backend = "auto") -> jax.Array:
-    """SpMM against a host-managed :class:`SparseGraph`.
+    """SpMM against a host-managed :class:`SparseGraph` (eager-friendly API;
+    inside jit prefer passing :func:`device_operands` as arguments and
+    calling :func:`spmm_operands`).
 
     ``h`` must have ``graph.shape[1]`` rows (padding rows beyond that are
     allowed and ignored). Returns ``graph.shape[0]`` rows.
     """
-    if backend == "auto":
-        backend = "ell"
     if backend == "oracle":
         ell = graph.ell()
         return spmm_oracle(ell.indices, ell.values, h)[: graph.shape[0]]
-    if backend == "ell":
-        out = spmm_ell(graph.ell(), graph.ell_t(), h)
-        return out[: graph.shape[0]]
-    if backend == "bsr":
-        from graphconvgeo_tpu.ops.spmm_pallas import spmm_bsr
-
-        out = spmm_bsr(graph.bsr(), graph.bsr_t(), h)
-        return out[: graph.shape[0]]
-    raise ValueError(f"unknown backend {backend!r}")
+    fmt, fmt_t = device_operands(graph, backend)
+    return spmm_operands(fmt, fmt_t, h, n_rows=graph.shape[0])

@@ -106,10 +106,11 @@ class DistHighwayGCN:
         )(hw, data["a_idx"], data["a_val"], data["at_idx"], data["at_val"])
 
     # ---- forward / loss -------------------------------------------------
-    def apply(self, params, *, train: bool = False, rng: Optional[jax.Array] = None):
+    def apply(self, params, data=None, *, train: bool = False, rng: Optional[jax.Array] = None):
         cfg = self.cfg
         act = _ACTIVATIONS[cfg.activation]
-        data = self.data
+        if data is None:
+            data = self.data
         if train and cfg.dropout > 0.0:
             seeds = jax.random.split(rng, 2 + len(cfg.hidden) + 1)
             x_seed = jax.random.randint(seeds[0], (), 0, 2**31 - 1, dtype=jnp.int32)
@@ -133,11 +134,13 @@ class DistHighwayGCN:
             h = dropout(h, rate=cfg.dropout, rng=seeds[-1])
         return h @ params["out"]["w"] + params["out"]["b"]
 
-    def loss(self, params, *, rng=None, train: bool = True):
-        logits = self.apply(params, train=train, rng=rng)
+    def loss(self, params, data=None, *, rng=None, train: bool = True):
+        if data is None:
+            data = self.data
+        logits = self.apply(params, data, train=train, rng=rng)
         logp = jax.nn.log_softmax(logits, axis=-1)
-        y = self.data["y"]
-        mask = self.data["mask"]
+        y = data["y"]
+        mask = data["mask"]
         ce = -jnp.take_along_axis(logp, y[:, None], axis=-1)[:, 0]
         loss = jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
         if self.cfg.l2 > 0.0:
@@ -158,10 +161,13 @@ class DistHighwayGCN:
 
         opt = optax.adam(learning_rate)
 
-        def step(params, opt_state, rng):
-            loss, grads = jax.value_and_grad(lambda p: self.loss(p, rng=rng))(params)
+        # graph data enters as an argument (never a closure — see model_dist
+        # module docstring / ops.spmm.device_operands).
+        def step(params, opt_state, data, rng):
+            loss, grads = jax.value_and_grad(lambda p: self.loss(p, data, rng=rng))(params)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
-        return opt, jax.jit(step, donate_argnums=(0, 1))
+        step_jit = jax.jit(step, donate_argnums=(0, 1))
+        return opt, lambda params, opt_state, rng: step_jit(params, opt_state, self.data, rng)

@@ -148,7 +148,9 @@ class BsrMatrix:
         return _round_up(self.n_cols, self.block)
 
     @staticmethod
-    def from_scipy(mat: sp.spmatrix, *, block: int = 128, dtype=jnp.float32) -> "BsrMatrix":
+    def from_scipy(
+        mat: sp.spmatrix, *, block: int = 128, dtype=jnp.float32, max_tiles: int = 65536
+    ) -> "BsrMatrix":
         coo = sp.coo_matrix(mat)
         n_rows, n_cols = coo.shape
         rb = _round_up(max(n_rows, 1), block) // block
@@ -160,6 +162,13 @@ class BsrMatrix:
         tile_key_s = tile_key[order]
         uniq_keys, start = np.unique(tile_key_s, return_index=True)
         n_tiles = len(uniq_keys)
+        if n_tiles > max_tiles:
+            raise ValueError(
+                f"BSR would materialize {n_tiles} dense {block}x{block} tiles "
+                f"({n_tiles * block * block * 4 / 1e9:.1f} GB) — the sparsity "
+                "pattern is too scattered for densified tiles; use the "
+                "'hybrid' or 'bell' backend instead"
+            )
         tiles = np.zeros((n_tiles + 1, block, block), dtype=np.float32)
         rows_s = coo.row[order] % block
         cols_s = coo.col[order] % block
@@ -203,6 +212,114 @@ class BsrMatrix:
         }
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BucketedEll:
+    """Degree-bucketed ELL — the TPU-friendly fix for power-law degree skew.
+
+    Plain ELL pads every row to the max degree; on an @-mention graph that
+    wastes 10–100× (hubs dominate). Here rows are sorted by degree and split
+    into buckets whose slot widths grow geometrically; each bucket is its own
+    dense [n_b, K_b] ELL block, so total padded slots ≈ 1.3–2× nnz.
+
+    ``perm[j]`` = original row id at sorted position j; ``inv_perm`` restores
+    original order after the per-bucket matvecs are concatenated.
+    """
+
+    indices: tuple  # tuple of [n_b, K_b] int32
+    values: tuple  # tuple of [n_b, K_b] float32
+    perm: jax.Array  # [n_rows] int32
+    inv_perm: jax.Array  # [n_rows] int32
+    n_cols: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_rows(self) -> int:
+        return self.perm.shape[0]
+
+    @property
+    def padded_slots(self) -> int:
+        return sum(int(i.shape[0] * i.shape[1]) for i in self.indices)
+
+    @staticmethod
+    def from_scipy(
+        mat: sp.spmatrix,
+        *,
+        min_k: int = 8,
+        growth: int = 2,
+        dtype=jnp.float32,
+    ) -> "BucketedEll":
+        csr = sp.csr_matrix(mat)
+        csr.sort_indices()
+        n_rows, n_cols = csr.shape
+        deg = np.diff(csr.indptr)
+        perm = np.argsort(-deg, kind="stable").astype(np.int32)
+        deg_sorted = deg[perm]
+        # bucket widths: min_k, min_k*growth, ... ≥ max degree (descending rows)
+        widths = [max(min_k, 1)]
+        while widths[-1] < (int(deg.max()) if n_rows and deg.max() else 1):
+            widths.append(widths[-1] * growth)
+        widths = widths[::-1]  # largest bucket first (rows sorted descending)
+        indices, values = [], []
+        start = 0
+        for b, k in enumerate(widths):
+            lower = widths[b + 1] if b + 1 < len(widths) else 0
+            # rows with lower < deg <= k  (descending order ⇒ contiguous)
+            end = start + int(np.searchsorted(-deg_sorted[start:], -lower))
+            if b + 1 == len(widths):
+                end = n_rows  # last bucket takes everything left (incl. deg 0)
+            if end == start:
+                continue
+            rows = perm[start:end]
+            block = csr[rows]
+            bi = np.zeros((end - start, k), dtype=np.int32)
+            bv = np.zeros((end - start, k), dtype=np.float32)
+            bdeg = np.diff(block.indptr)
+            if block.nnz:
+                rr = np.repeat(np.arange(end - start), bdeg)
+                ss = np.arange(block.nnz) - np.repeat(block.indptr[:-1], bdeg)
+                bi[rr, ss] = block.indices
+                bv[rr, ss] = block.data
+            indices.append(jnp.asarray(bi))
+            values.append(jnp.asarray(bv, dtype=dtype))
+            start = end
+        if not indices:  # empty matrix
+            indices = [jnp.zeros((max(n_rows, 1), min_k), jnp.int32)]
+            values = [jnp.zeros((max(n_rows, 1), min_k), dtype)]
+        inv_perm = np.empty(n_rows, dtype=np.int32)
+        inv_perm[perm] = np.arange(n_rows, dtype=np.int32)
+        return BucketedEll(
+            indices=tuple(indices),
+            values=tuple(values),
+            perm=jnp.asarray(perm),
+            inv_perm=jnp.asarray(inv_perm),
+            n_cols=n_cols,
+        )
+
+
+def split_dense_tiles(
+    csr: sp.csr_matrix, *, block: int = 128, min_tile_nnz: int = 96
+) -> tuple:
+    """Split a sparse matrix into (dense-tile part, residual part).
+
+    Tiles with ≥ ``min_tile_nnz`` edges are worth densifying for the MXU
+    (the A-tile + H-block DMA amortizes over enough edges to beat per-row
+    gather); everything else stays in gather-friendly form. This is the
+    HC-SpMM-style hybrid split, chosen by bytes-per-edge arithmetic:
+    BSR moves ~(block² · 4 / nnz_tile + block·F·4 / nnz_tile) bytes/edge
+    vs ~F·4 for the gather path.
+    """
+    coo = sp.coo_matrix(csr)
+    cb = _round_up(max(csr.shape[1], 1), block) // block
+    key = (coo.row // block).astype(np.int64) * cb + (coo.col // block)
+    uniq, inv, counts = np.unique(key, return_inverse=True, return_counts=True)
+    dense_mask = counts[inv] >= min_tile_nnz
+    def sub(mask):
+        return sp.coo_matrix(
+            (coo.data[mask], (coo.row[mask], coo.col[mask])), shape=coo.shape
+        ).tocsr()
+    return sub(dense_mask), sub(~dense_mask)
+
+
 @dataclasses.dataclass
 class SparseGraph:
     """Host-side owner of one sparse operator, with lazily-built device
@@ -221,6 +338,10 @@ class SparseGraph:
     _ell_t: Optional[EllMatrix] = dataclasses.field(default=None, repr=False)
     _bsr: Optional[BsrMatrix] = dataclasses.field(default=None, repr=False)
     _bsr_t: Optional[BsrMatrix] = dataclasses.field(default=None, repr=False)
+    _bell: Optional["BucketedEll"] = dataclasses.field(default=None, repr=False)
+    _bell_t: Optional["BucketedEll"] = dataclasses.field(default=None, repr=False)
+    _hybrid: Optional[tuple] = dataclasses.field(default=None, repr=False)
+    _hybrid_t: Optional[tuple] = dataclasses.field(default=None, repr=False)
 
     @property
     def shape(self):
@@ -241,6 +362,39 @@ class SparseGraph:
         if self._ell_t is None:
             self._ell_t = EllMatrix.from_scipy(self.csr.T.tocsr())
         return self._ell_t
+
+    def bell(self) -> "BucketedEll":
+        if self._bell is None:
+            self._bell = BucketedEll.from_scipy(self.csr)
+        return self._bell
+
+    def bell_t(self) -> "BucketedEll":
+        if self.symmetric:
+            return self.bell()
+        if self._bell_t is None:
+            self._bell_t = BucketedEll.from_scipy(self.csr.T.tocsr())
+        return self._bell_t
+
+    def hybrid(self, *, block: int = 128, min_tile_nnz: int = 96) -> tuple:
+        """(BsrMatrix dense-tile part | None, BucketedEll residual | None)."""
+        if self._hybrid is None:
+            dense, resid = split_dense_tiles(self.csr, block=block, min_tile_nnz=min_tile_nnz)
+            bsr = BsrMatrix.from_scipy(dense, block=block) if dense.nnz else None
+            bell = BucketedEll.from_scipy(resid) if resid.nnz else None
+            self._hybrid = (bsr, bell)
+        return self._hybrid
+
+    def hybrid_t(self, *, block: int = 128, min_tile_nnz: int = 96) -> tuple:
+        if self.symmetric:
+            return self.hybrid(block=block, min_tile_nnz=min_tile_nnz)
+        if self._hybrid_t is None:
+            dense, resid = split_dense_tiles(
+                self.csr.T.tocsr(), block=block, min_tile_nnz=min_tile_nnz
+            )
+            bsr = BsrMatrix.from_scipy(dense, block=block) if dense.nnz else None
+            bell = BucketedEll.from_scipy(resid) if resid.nnz else None
+            self._hybrid_t = (bsr, bell)
+        return self._hybrid_t
 
     def bsr(self, block: int = 128, dtype=jnp.float32) -> BsrMatrix:
         if self._bsr is None or self._bsr.block != block:

@@ -44,17 +44,23 @@ class Trainer:
         self.cfg = cfg
         self.optimizer = optax.adam(cfg.learning_rate)
 
-        def train_step(params, opt_state, rng, y, mask):
-            loss, grads = jax.value_and_grad(model.loss)(params, y, mask, rng=rng)
+        # The sparse operands (model.arrays) cross the jit boundary as
+        # arguments — closing over them would bake GBs of graph data into
+        # the compiled module as constants.
+        def train_step(params, opt_state, arrays, rng, y, mask):
+            loss, grads = jax.value_and_grad(model.loss)(params, y, mask, arrays, rng=rng)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
-        self._predict = jax.jit(lambda params: jnp.argmax(model.apply(params, train=False), axis=-1))
-        self._eval_loss = jax.jit(
-            lambda params, y, mask: model.loss(params, y, mask, train=False)
+        self._train_step_jit = jax.jit(train_step, donate_argnums=(0, 1))
+        self._train_step = lambda params, opt_state, rng, y, mask: self._train_step_jit(
+            params, opt_state, model.arrays, rng, y, mask
         )
+        self._predict_jit = jax.jit(
+            lambda params, arrays: jnp.argmax(model.apply(params, arrays, train=False), axis=-1)
+        )
+        self._predict = lambda params: self._predict_jit(params, model.arrays)
 
     def fit(
         self,

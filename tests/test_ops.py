@@ -96,3 +96,70 @@ def test_sddmm_matches_dense(rng):
     idx = np.asarray(ell.indices)
     want = np.einsum("nf,nkf->nk", a, b[idx])
     np.testing.assert_allclose(np.asarray(scores), want, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_bell_matches_scipy(rng):
+    import scipy.sparse as sp
+
+    # skewed degrees: a few hub rows + many small rows + empty rows
+    m = random_csr(rng, 200, 150, 3)
+    hub = sp.coo_matrix(
+        (np.ones(120, np.float32), (np.zeros(120, np.int64), rng.integers(0, 150, 120))),
+        shape=(200, 150),
+    ).tocsr()
+    m = (m + hub).tocsr()
+    g = SparseGraph(csr=m)
+    bell = g.bell()
+    assert bell.padded_slots < 200 * int(np.diff(m.indptr).max())  # beats plain ELL
+    h = rng.normal(size=(150, 33)).astype(np.float32)
+    got = spmm(g, jnp.asarray(h), backend="bell")
+    np.testing.assert_allclose(np.asarray(got), m @ h, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_bell_grad(rng):
+    m = random_csr(rng, 60, 60, 4, symmetric=True)
+    g = SparseGraph(csr=m, symmetric=True)
+    h = jnp.asarray(rng.normal(size=(60, 9)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(60, 9)).astype(np.float32))
+    dh = jax.grad(lambda h: jnp.sum(spmm(g, h, backend="bell") * w))(h)
+    np.testing.assert_allclose(np.asarray(dh), m.T @ np.asarray(w), rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_bell_asymmetric_grad(rng):
+    m = random_csr(rng, 40, 25, 3)
+    g = SparseGraph(csr=m)
+    h = jnp.asarray(rng.normal(size=(25, 6)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(40, 6)).astype(np.float32))
+    dh = jax.grad(lambda h: jnp.sum(spmm(g, h, backend="bell") * w))(h)
+    np.testing.assert_allclose(np.asarray(dh), m.T @ np.asarray(w), rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_hybrid_matches_scipy(rng):
+    import scipy.sparse as sp
+
+    # one dense tile (top-left corner heavily populated) + scattered edges
+    nd = 4000
+    dr = rng.integers(0, 128, nd)
+    dc = rng.integers(0, 128, nd)
+    m = sp.coo_matrix((np.ones(nd, np.float32), (dr, dc)), shape=(400, 300)).tocsr()
+    m = (m + random_csr(rng, 400, 300, 2)).tocsr()
+    g = SparseGraph(csr=m)
+    bsr_p, bell_p = g.hybrid(min_tile_nnz=96)
+    assert bsr_p is not None and bell_p is not None
+    h = rng.normal(size=(300, 40)).astype(np.float32)
+    got = spmm(g, jnp.asarray(h), backend="hybrid")
+    np.testing.assert_allclose(np.asarray(got), m @ h, rtol=1e-4, atol=1e-4)
+    # gradient through both parts
+    w = jnp.asarray(rng.normal(size=(400, 40)).astype(np.float32))
+    dh = jax.grad(lambda h: jnp.sum(spmm(g, h, backend="hybrid") * w))(jnp.asarray(h))
+    np.testing.assert_allclose(np.asarray(dh), m.T @ np.asarray(w), rtol=1e-4, atol=1e-4)
+
+
+def test_hybrid_all_sparse_degenerates_to_bell(rng):
+    m = random_csr(rng, 100, 100, 2)
+    g = SparseGraph(csr=m)
+    bsr_p, bell_p = g.hybrid(min_tile_nnz=1000000)
+    assert bsr_p is None and bell_p is not None
+    h = rng.normal(size=(100, 8)).astype(np.float32)
+    got = spmm(g, jnp.asarray(h), backend="hybrid")
+    np.testing.assert_allclose(np.asarray(got), m @ h, rtol=1e-4, atol=1e-4)
