@@ -70,18 +70,22 @@ def _bsr_matmul(
     assert f_pad % fblk == 0, (f_pad, fblk)
     jb = f_pad // fblk
 
+    # scalar-prefetch arrays must be 1-D: 2-D SMEM operands get lane-padded
+    # (x64 memory blowup → SMEM OOM at ~1k row blocks)
+    tile_idx_flat = tile_idx.reshape(-1)
+    tile_col_flat = tile_col.reshape(-1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(rb, jb, k_max),
         in_specs=[
             pl.BlockSpec(
                 (1, block, block),
-                lambda r, j, k, tidx, tcol: (tidx[r, k], 0, 0),
+                lambda r, j, k, tidx, tcol: (tidx[r * k_max + k], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (block, fblk),
-                lambda r, j, k, tidx, tcol: (tcol[r, k], j),
+                lambda r, j, k, tidx, tcol: (tcol[r * k_max + k], j),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -106,7 +110,7 @@ def _bsr_matmul(
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
-    )(tile_idx, tile_col, tiles, h)
+    )(tile_idx_flat, tile_col_flat, tiles, h)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
