@@ -1,0 +1,89 @@
+"""Benchmark: SpMM edges/sec/chip on a mention-graph-scale synthetic graph.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: Twitter-US-scale community graph (SBM, the structural stand-in for
+the @-mention graph), F=512 features, normalized adjacency Â; measures the
+best SpMM backend (hybrid BSR+bucketed-ELL vs bucketed-ELL) on the real chip.
+
+``vs_baseline`` = measured / HBM-roofline edges-per-sec, where the roofline
+charges each residual edge one F-row stream (4F bytes) and each dense-tile
+edge its amortized tile traffic — the ≥0.8 target from BASELINE.json:5. The
+reference publishes no throughput numbers (BASELINE.json "published": {}), so
+the roofline fraction is the graded scale.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+N = 262_144
+AVG_DEG = 16
+N_COMM = 1024
+FEAT = 512
+HBM_GBPS = 819.0  # TPU v5e
+
+
+def roofline_edges_per_sec(g, fmt) -> float:
+    """Minimal HBM bytes to apply Â once to [N, F] float32."""
+    bsr_p, bell_p = fmt
+    bytes_total = 0.0
+    edges = g.nnz
+    if bsr_p is not None:
+        n_tiles = int(bsr_p.tiles.shape[0]) - 1
+        block = bsr_p.block
+        # per tile: A tile + h block read (+ out block amortized over k tiles)
+        bytes_total += n_tiles * (block * block + block * FEAT) * 4
+    if bell_p is not None:
+        bytes_total += bell_p.padded_slots * (8 + 4 * FEAT)  # idx+val+h row
+    bytes_total += 2 * g.shape[0] * FEAT * 4  # read h once more + write out
+    secs = bytes_total / (HBM_GBPS * 1e9)
+    return edges / secs
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from graphconvgeo_tpu.data.synthetic import random_sbm_graph
+    from graphconvgeo_tpu.ops.spmm import device_operands, spmm_operands
+    from graphconvgeo_tpu.sparse.formats import SparseGraph, normalize_adjacency
+
+    adj = random_sbm_graph(N, N_COMM, AVG_DEG, seed=7)
+    g = SparseGraph(csr=normalize_adjacency(adj), symmetric=True)
+    h = jnp.asarray(np.random.default_rng(0).normal(size=(N, FEAT)).astype(np.float32))
+
+    from graphconvgeo_tpu.utils.timing import device_seconds_per_iter
+
+    results = {}
+    for name in ("hybrid", "bell"):
+        try:
+            fmt, fmt_t = device_operands(g, name)
+            # scale+shift keeps the chained iterate numerically bounded
+            step = lambda x, a, b: spmm_operands(a, b, x, n_rows=N) * 0.25 + 0.01
+            dt = device_seconds_per_iter(step, h, fmt, fmt_t)
+            results[name] = g.nnz / dt
+        except Exception as e:  # pragma: no cover — keep bench robust
+            import sys
+
+            print(f"backend {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+    best = max(results.values()) if results else 0.0
+    fmt_hybrid = device_operands(g, "hybrid")[0]
+    roof = roofline_edges_per_sec(g, fmt_hybrid)
+    print(
+        json.dumps(
+            {
+                "metric": "spmm_edges_per_sec_per_chip",
+                "value": round(best, 0),
+                "unit": "edges/s",
+                "vs_baseline": round(best / roof, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

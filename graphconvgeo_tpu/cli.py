@@ -1,0 +1,184 @@
+"""Experiment CLI (reference: ``gcnmain.py`` — flags C1 in SURVEY.md §2).
+
+Presets encode the reference README's commands, so reproducing a paper run is
+one flag::
+
+    python -m graphconvgeo_tpu.cli --preset geotext -d ~/data/cmu
+    python -m graphconvgeo_tpu.cli --preset twitter-us -d ~/data/na
+    python -m graphconvgeo_tpu.cli --preset twitter-world -d ~/data/world
+    python -m graphconvgeo_tpu.cli --preset synthetic          # no data needed
+
+Reference flag parity: -d/-dir → --data-home, -bucket → --bucket, -hid →
+--hidden, -mindf → --min-df, -enc → --encoding, -reg → --l2, -dropout,
+-cel → --celebrity, -highway/--no-highway, -tune → --tune N, -save/load →
+automatic artifact cache, -seed, -silent → --quiet, fraction-of-labels →
+--label-fraction.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+import numpy as np
+
+PRESETS = {
+    # hyperparams mirror the reference README commands / paper §4 [SURVEY §6]
+    "geotext": dict(bucket=50, hidden=(300, 300), min_df=10, encoding="latin1",
+                    celebrity=5, dropout=0.5, l2=0.0, lr=5e-3),
+    "twitter-us": dict(bucket=2400, hidden=(600, 600), min_df=10, encoding="latin1",
+                       celebrity=15, dropout=0.5, l2=0.0, lr=5e-3),
+    "twitter-world": dict(bucket=2400, hidden=(900, 900), min_df=10, encoding="utf-8",
+                          celebrity=5, dropout=0.5, l2=0.0, lr=5e-3),
+    "synthetic": dict(bucket=30, hidden=(64, 64), min_df=2, encoding="latin1",
+                      celebrity=10, dropout=0.3, l2=0.0, lr=5e-3),
+}
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--preset", choices=sorted(PRESETS), default="synthetic")
+    p.add_argument("-d", "--data-home", default=None, help="directory with user_info.{train,dev,test}")
+    p.add_argument("--bucket", type=int, default=None, help="kd-tree leaf size")
+    p.add_argument("--hidden", type=int, nargs="+", default=None, help="hidden layer sizes")
+    p.add_argument("--min-df", type=int, default=None)
+    p.add_argument("--encoding", default=None)
+    p.add_argument("--celebrity", type=int, default=None, help="celebrity degree threshold")
+    p.add_argument("--dropout", type=float, default=None)
+    p.add_argument("--l2", type=float, default=None, help="L2 regularization weight")
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--highway", dest="highway", action="store_true", default=True)
+    p.add_argument("--no-highway", dest="highway", action="store_false")
+    p.add_argument("--epochs", type=int, default=500)
+    p.add_argument("--patience", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--backend", default="auto", help="spmm backend: auto|bell|ell|bsr|hybrid")
+    p.add_argument("--label-fraction", type=float, default=1.0)
+    p.add_argument("--tune", type=int, default=0, metavar="N", help="random search over N configs")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--no-cache", action="store_true")
+    p.add_argument("--quiet", action="store_true")
+    p.add_argument("--json", action="store_true", help="print final metrics as one JSON line")
+    args = p.parse_args(argv)
+    preset = PRESETS[args.preset]
+    for k, v in preset.items():
+        dest = {"bucket": "bucket", "hidden": "hidden", "min_df": "min_df",
+                "encoding": "encoding", "celebrity": "celebrity",
+                "dropout": "dropout", "l2": "l2", "lr": "lr"}[k]
+        if getattr(args, dest) is None:
+            setattr(args, dest, v)
+    args.hidden = tuple(args.hidden)
+    return args
+
+
+def load_dataset(args):
+    from graphconvgeo_tpu.data.pipeline import PreprocessConfig, preprocess
+
+    if args.data_home is None:
+        if args.preset != "synthetic":
+            sys.exit("--data-home is required unless --preset synthetic")
+        import tempfile
+
+        from graphconvgeo_tpu.data.synthetic import make_synthetic_dumps
+
+        d = tempfile.mkdtemp(prefix="gcg_synth_")
+        make_synthetic_dumps(d, n_users=600, n_clusters=6, seed=args.seed)
+        args.data_home = d
+    cfg = PreprocessConfig(
+        bucket_size=args.bucket,
+        celebrity_threshold=args.celebrity,
+        min_df=args.min_df,
+        encoding=args.encoding,
+    )
+    return preprocess(args.data_home, cfg, use_cache=not args.no_cache)
+
+
+def run_one(args, ds, *, dropout=None, l2=None, hidden=None, lr=None, quiet=None):
+    import jax
+
+    from graphconvgeo_tpu.models.gcn import GCNConfig, HighwayGCN
+    from graphconvgeo_tpu.sparse.formats import SparseGraph
+    from graphconvgeo_tpu.train.trainer import TrainConfig, Trainer
+
+    cfg = GCNConfig(
+        n_features=ds.x.shape[1],
+        n_classes=ds.n_classes,
+        hidden=tuple(hidden or args.hidden),
+        highway=args.highway,
+        dropout=args.dropout if dropout is None else dropout,
+        l2=args.l2 if l2 is None else l2,
+        spmm_backend=args.backend,
+    )
+    model = HighwayGCN(cfg, SparseGraph(csr=ds.x), SparseGraph(csr=ds.adj, symmetric=True))
+    tcfg = TrainConfig(
+        learning_rate=args.lr if lr is None else lr,
+        epochs=args.epochs,
+        patience=args.patience,
+        seed=args.seed,
+        verbose=not (args.quiet if quiet is None else quiet),
+    )
+    trainer = Trainer(model, tcfg)
+    out = trainer.fit(
+        ds.y, ds.train_idx, ds.dev_idx,
+        lat=ds.lat, lon=ds.lon,
+        class_lat_median=ds.class_lat_median, class_lon_median=ds.class_lon_median,
+        label_fraction=args.label_fraction,
+    )
+    ev = lambda idx: trainer.evaluate(
+        out["params"], idx, lat=ds.lat, lon=ds.lon,
+        class_lat_median=ds.class_lat_median, class_lon_median=ds.class_lon_median,
+    )
+    dev, test = ev(ds.dev_idx), ev(ds.test_idx)
+    if args.checkpoint_dir:
+        from graphconvgeo_tpu.train.checkpoint import save_checkpoint
+
+        save_checkpoint(args.checkpoint_dir, out["params"], step=out["best_epoch"],
+                        metrics={"dev": dev, "test": test})
+    return out, dev, test
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    ds = load_dataset(args)
+    if not args.quiet:
+        print(
+            f"dataset: {ds.n_nodes} nodes, {ds.adj.nnz} edges, "
+            f"{ds.x.shape[1]} features, {ds.n_classes} classes"
+        )
+    if args.tune > 0:
+        # reference: gcnmain.py -tune — random hyperparameter search
+        rng = np.random.default_rng(args.seed)
+        best = None
+        for t in range(args.tune):
+            trial = dict(
+                dropout=float(rng.choice([0.3, 0.4, 0.5, 0.6])),
+                l2=float(10 ** rng.uniform(-7, -4)),
+                lr=float(10 ** rng.uniform(-3.3, -2)),
+            )
+            _, dev, test = run_one(args, ds, quiet=True, **trial)
+            print(f"tune[{t}] {trial} -> dev acc@161 {dev['acc_at_161']:.3f}")
+            if best is None or dev["acc_at_161"] > best[1]["acc_at_161"]:
+                best = (trial, dev, test)
+        trial, dev, test = best
+        print(f"best: {trial}")
+    else:
+        _, dev, test = run_one(args, ds)
+    report = {
+        "dev": dev,
+        "test": test,
+    }
+    if args.json:
+        print(json.dumps(report))
+    else:
+        for split, m in report.items():
+            print(
+                f"{split}: Acc@161 {m['acc_at_161']:.3f}  mean {m['mean_km']:.0f} km  "
+                f"median {m['median_km']:.0f} km"
+            )
+    return report
+
+
+if __name__ == "__main__":
+    main()

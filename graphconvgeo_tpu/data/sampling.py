@@ -1,0 +1,137 @@
+"""Neighbor sampling for GraphSAGE-style mini-batch training
+(BASELINE.json:11 — "Twitter-World with neighbor-sampled mini-batches").
+
+TPU constraint: everything entering jit has a *static shape*. The host-side
+sampler therefore emits fixed-size, padded index tensors per step:
+
+- layer node sets ``nodes[l]``: [cap_l] global node ids (pad = 0, masked),
+- per-layer edge lists (src-slot in layer l+1's set, dst-slot in layer l's
+  set, Â value), padded to ``cap_l * fanout``.
+
+The device side is pure gather + segment-sum (``ops/scatter_gather.py``) —
+no dynamic shapes, no host sync inside the step.
+
+Sampling estimator: each node keeps at most ``fanout`` of its neighbors,
+with the kept Â values rescaled by (true_degree / kept) so the aggregation
+is an unbiased estimate of the full-graph SpMM row.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+import scipy.sparse as sp
+
+
+@dataclasses.dataclass
+class SampledBatch:
+    """One mini-batch; arrays are numpy, padded to static shapes."""
+
+    # per layer l = 0 (targets) .. L (deepest): global node ids, [cap_l]
+    nodes: list
+    node_mask: list  # [cap_l] float32 (1 = real)
+    # per layer l = 0..L-1: edges aggregating layer l+1 -> layer l
+    edge_src: list  # [cap_l * fanout] slot in nodes[l+1]
+    edge_dst: list  # [cap_l * fanout] slot in nodes[l]
+    edge_val: list  # [cap_l * fanout] float32 rescaled Â values (pad = 0)
+    targets: np.ndarray  # [batch] global ids of the loss rows (= nodes[0][:batch])
+    target_mask: np.ndarray
+
+
+class NeighborSampler:
+    def __init__(
+        self,
+        adj: sp.csr_matrix,
+        *,
+        fanouts: Sequence[int] = (10, 10),
+        batch_size: int = 512,
+        seed: int = 0,
+        include_self: bool = True,
+    ):
+        self.adj = adj.tocsr()
+        self.fanouts = tuple(fanouts)
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+        self.include_self = include_self
+        self.deg = np.diff(self.adj.indptr)
+
+    def _caps(self):
+        caps = [self.batch_size]
+        for f in self.fanouts:
+            caps.append(caps[-1] * (1 + f))
+        return caps
+
+    def sample(self, target_ids: np.ndarray) -> SampledBatch:
+        """Layer l+1's node array is [nodes[l] (first cap_l slots) | sampled
+        neighbors] so the highway gate's H_{prev}[dst] is just a prefix slice
+        of the deeper layer's representations."""
+        caps = self._caps()
+        b = len(target_ids)
+        nodes = []
+        node_mask = []
+        cur = np.zeros(caps[0], dtype=np.int64)
+        cur[:b] = target_ids
+        cmask = np.zeros(caps[0], dtype=np.float32)
+        cmask[:b] = 1.0
+        nodes.append(cur)
+        node_mask.append(cmask)
+        edge_src, edge_dst, edge_val = [], [], []
+        for l, fanout in enumerate(self.fanouts):
+            cap_l = caps[l]
+            nxt = np.zeros(caps[l + 1], dtype=np.int64)
+            nmask = np.zeros(caps[l + 1], dtype=np.float32)
+            nxt[:cap_l] = nodes[l]
+            nmask[:cap_l] = node_mask[l]
+            es = np.zeros(cap_l * fanout, dtype=np.int64)
+            ed = np.zeros(cap_l * fanout, dtype=np.int64)
+            ev = np.zeros(cap_l * fanout, dtype=np.float32)
+            pos = 0
+            for slot in range(cap_l):
+                if node_mask[l][slot] == 0:
+                    continue
+                u = nodes[l][slot]
+                lo, hi = self.adj.indptr[u], self.adj.indptr[u + 1]
+                nbrs = self.adj.indices[lo:hi]
+                vals = self.adj.data[lo:hi]
+                d = len(nbrs)
+                if d == 0:
+                    continue
+                if d > fanout:
+                    pick = self.rng.choice(d, size=fanout, replace=False)
+                    scale = d / fanout
+                else:
+                    pick = np.arange(d)
+                    scale = 1.0
+                k = len(pick)
+                base = cap_l + slot * fanout
+                nxt[base : base + k] = nbrs[pick]
+                nmask[base : base + k] = 1.0
+                es[pos : pos + k] = np.arange(base, base + k)
+                ed[pos : pos + k] = slot
+                ev[pos : pos + k] = vals[pick] * scale
+                pos += k
+            nodes.append(nxt)
+            node_mask.append(nmask)
+            edge_src.append(es)
+            edge_dst.append(ed)
+            edge_val.append(ev)
+        tmask = np.zeros(self.batch_size, dtype=np.float32)
+        tmask[:b] = 1.0
+        return SampledBatch(
+            nodes=nodes,
+            node_mask=node_mask,
+            edge_src=edge_src,
+            edge_dst=edge_dst,
+            edge_val=edge_val,
+            targets=nodes[0],
+            target_mask=tmask,
+        )
+
+    def epoch(self, train_ids: np.ndarray, *, shuffle: bool = True):
+        ids = np.array(train_ids)
+        if shuffle:
+            self.rng.shuffle(ids)
+        for i in range(0, len(ids), self.batch_size):
+            yield self.sample(ids[i : i + self.batch_size])

@@ -1,0 +1,107 @@
+"""Sampled (mini-batch) Highway-GCN forward — GraphSAGE-style execution of
+the same parameter pytree as the full-graph model, so a model can train
+sampled and evaluate full-graph (or vice versa).
+
+Device side is all static-shape gather + segment-sum (``ops/scatter_gather``):
+
+    h_L   = act( X[nodes_L] W₀ + b₀ )                     # gathered ELL rows
+    for l = L-1 .. 0:
+        agg   = segment_sum( val ⊙ (h_{l+1} W)[src] → dst )   # sampled Â row
+        conv  = act( agg + b )
+        gate  = σ( h_{l+1}[:cap_l] W_T + b_T )                # prefix = nodes_l
+        h_l   = gate ⊙ conv + (1−gate) ⊙ h_{l+1}[:cap_l]
+
+Reference parity: approximates ``gcnmodel.py :: GCN`` full-graph propagation
+with an unbiased sampled estimator of each Â row (values rescaled by
+degree/fanout in the sampler).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from graphconvgeo_tpu.models.gcn import GCNConfig, _ACTIVATIONS
+from graphconvgeo_tpu.ops.dropout import dropout
+from graphconvgeo_tpu.ops.scatter_gather import segment_sum
+from graphconvgeo_tpu.sparse.formats import EllMatrix
+
+
+def sampled_forward(
+    params: dict,
+    cfg: GCNConfig,
+    x_ell: EllMatrix,
+    batch_dev: dict,
+    *,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """batch_dev: jnp arrays {nodes: [...], node_mask, edge_src, edge_dst,
+    edge_val} (see ``data/sampling.py``). Returns logits [batch_cap, C]."""
+    act = _ACTIVATIONS[cfg.activation]
+    n_layers = len(params["layers"])
+    nodes = batch_dev["nodes"]
+    if train and cfg.dropout > 0.0:
+        seeds = jax.random.split(rng, n_layers + 2)
+    else:
+        seeds = None
+
+    # input layer on the deepest node set: gather its ELL rows, then the
+    # embedding-bag product with W0
+    deep = nodes[n_layers]
+    xi = jnp.take(x_ell.indices, deep, axis=0)  # [capL, Kx]
+    xv = jnp.take(x_ell.values, deep, axis=0)
+    if seeds is not None:
+        keep = jax.random.bernoulli(seeds[0], 1.0 - cfg.dropout, xv.shape)
+        xv = jnp.where(keep, xv / (1.0 - cfg.dropout), 0.0)
+    w0 = params["input"]["w"]
+    gathered = jnp.take(w0, xi.reshape(-1), axis=0).reshape(*xi.shape, w0.shape[1])
+    h = jnp.einsum("nk,nkf->nf", xv, gathered)
+    h = act(h + params["input"]["b"])
+
+    for l in range(n_layers - 1, -1, -1):
+        layer = params["layers"][n_layers - 1 - l]
+        cap_l = nodes[l].shape[0]
+        h_in = h
+        if seeds is not None:
+            h_in = dropout(h_in, rate=cfg.dropout, rng=seeds[1 + l])
+        hw = h_in @ layer["w"]
+        contrib = batch_dev["edge_val"][l][:, None] * jnp.take(
+            hw, batch_dev["edge_src"][l], axis=0
+        )
+        agg = segment_sum(contrib, batch_dev["edge_dst"][l], cap_l)
+        conv = act(agg + layer["b"])
+        h_prev = h_in[:cap_l]
+        if "w_t" in layer:
+            gate = jax.nn.sigmoid(h_prev @ layer["w_t"] + layer["b_t"])
+            h = gate * conv + (1.0 - gate) * h[:cap_l]
+        else:
+            h = conv
+    if seeds is not None:
+        h = dropout(h, rate=cfg.dropout, rng=seeds[-1])
+    return h @ params["out"]["w"] + params["out"]["b"]
+
+
+def sampled_loss(params, cfg, x_ell, batch_dev, y_batch, mask, *, rng=None, train=True):
+    logits = sampled_forward(params, cfg, x_ell, batch_dev, train=train, rng=rng)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, y_batch[:, None], axis=-1)[:, 0]
+    loss = jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    if cfg.l2 > 0.0:
+        l2 = sum(jnp.sum(p["w"] ** 2) for p in [params["input"], params["out"]]) + sum(
+            jnp.sum(l[k] ** 2) for l in params["layers"] for k in l if k.startswith("w")
+        )
+        loss = loss + cfg.l2 * l2
+    return loss
+
+
+def batch_to_device(batch) -> dict:
+    return {
+        "nodes": [jnp.asarray(n, jnp.int32) for n in batch.nodes],
+        "node_mask": [jnp.asarray(m) for m in batch.node_mask],
+        "edge_src": [jnp.asarray(e, jnp.int32) for e in batch.edge_src],
+        "edge_dst": [jnp.asarray(e, jnp.int32) for e in batch.edge_dst],
+        "edge_val": [jnp.asarray(e) for e in batch.edge_val],
+    }

@@ -1,0 +1,62 @@
+"""Checkpoint / resume via orbax (SURVEY.md §5).
+
+The reference's only persistence is an in-memory best-params snapshot during
+``fit`` plus gzip-pickle of preprocessed data (``utils.py :: dump_obj``).
+Here: params (+ optionally optimizer state and step) go through
+orbax-checkpoint with async-safe atomic writes; the preprocessed-graph
+artifact cache lives in ``data/pipeline.py``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+
+    return ocp
+
+
+def save_checkpoint(
+    directory: str,
+    params: Any,
+    *,
+    opt_state: Any = None,
+    step: int = 0,
+    metrics: Optional[dict] = None,
+) -> str:
+    ocp = _ocp()
+    directory = os.path.abspath(directory)
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, f"step_{step:08d}")
+    ckptr = ocp.StandardCheckpointer()
+    payload = {"params": params}
+    if opt_state is not None:
+        payload["opt_state"] = opt_state
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    if metrics is not None:
+        import json
+
+        with open(os.path.join(directory, f"metrics_{step:08d}.json"), "w") as f:
+            json.dump(jax.tree.map(lambda x: float(x) if np.isscalar(x) else x, metrics), f)
+    return path
+
+
+def latest_checkpoint(directory: str) -> Optional[str]:
+    if not os.path.isdir(directory):
+        return None
+    steps = sorted(d for d in os.listdir(directory) if d.startswith("step_"))
+    return os.path.join(directory, steps[-1]) if steps else None
+
+
+def restore_checkpoint(path: str, template: Any) -> Any:
+    """Restore with a pytree template (e.g. ``{"params": params_like}``)."""
+    ocp = _ocp()
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, template)

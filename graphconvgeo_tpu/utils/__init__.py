@@ -1,0 +1,1 @@
+from graphconvgeo_tpu.utils.timing import device_seconds_per_iter  # noqa: F401

@@ -1,0 +1,58 @@
+"""Reliable device timing.
+
+On tunneled/async PJRT platforms (like this environment's `axon` relay),
+``block_until_ready`` can return before the device work drains, making naive
+host-side wall-clock loops wildly wrong (we measured "21,000 TFLOPs"). The
+robust protocol:
+
+1. put the iteration loop *inside* jit (``lax.fori_loop`` chaining the
+   output back into the input),
+2. return a scalar reduction and fetch it to host (a true sync point),
+3. run two loop counts and difference the wall times — compile, dispatch and
+   transfer latency cancel, leaving pure per-iteration device time.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def device_seconds_per_iter(
+    step: Callable,
+    x0,
+    *step_args,
+    iters_lo: int = 2,
+    iters_hi: int = 18,
+    trials: int = 3,
+) -> float:
+    """Per-iteration device seconds for ``x -> step(x, *step_args)``
+    (shape-preserving in x). ``step_args`` (e.g. sparse operand pytrees) are
+    threaded through jit as arguments, never closures."""
+
+    def mk(k: int):
+        @jax.jit
+        def f(x, *args):
+            y = jax.lax.fori_loop(0, k, lambda i, v: step(v, *args), x)
+            return jax.tree.reduce(
+                lambda a, b: a + b, jax.tree.map(lambda l: jnp.sum(l.astype(jnp.float32)), y)
+            )
+
+        return f
+
+    f_lo, f_hi = mk(iters_lo), mk(iters_hi)
+    float(f_lo(x0, *step_args))  # compile + warm
+    float(f_hi(x0, *step_args))
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.time()
+        float(f_lo(x0, *step_args))
+        t_lo = time.time() - t0
+        t0 = time.time()
+        float(f_hi(x0, *step_args))
+        t_hi = time.time() - t0
+        best = min(best, (t_hi - t_lo) / (iters_hi - iters_lo))
+    return max(best, 1e-12)

@@ -1,0 +1,93 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graphconvgeo_tpu.data.sampling import NeighborSampler
+from graphconvgeo_tpu.models.gcn import GCNConfig, HighwayGCN
+from graphconvgeo_tpu.models.sampled import batch_to_device, sampled_forward, sampled_loss
+from graphconvgeo_tpu.sparse.formats import SparseGraph, normalize_adjacency
+from tests.conftest import random_csr
+
+
+def _setup(rng, n=60, v=30):
+    adj = random_csr(rng, n, n, 3, symmetric=True)
+    adj.data = np.abs(adj.data)
+    a_hat = normalize_adjacency(adj)
+    x = random_csr(rng, n, v, 5)
+    x.data = np.abs(x.data).astype(np.float32)
+    cfg = GCNConfig(n_features=v, n_classes=4, hidden=(16, 16), highway=True, dropout=0.3)
+    model = HighwayGCN(cfg, SparseGraph(csr=x), SparseGraph(csr=a_hat, symmetric=True))
+    params = model.init(jax.random.key(0))
+    return a_hat, x, cfg, model, params
+
+
+def test_full_fanout_matches_full_graph(rng):
+    """With fanout ≥ max degree the sampler keeps every edge unscaled, so the
+    sampled forward must equal the full-graph forward on the target rows."""
+    a_hat, x, cfg, model, params = _setup(rng)
+    max_deg = int(np.diff(a_hat.indptr).max())
+    sampler = NeighborSampler(a_hat, fanouts=(max_deg, max_deg), batch_size=8, seed=1)
+    targets = np.array([3, 7, 11, 19, 25, 33, 41, 59])
+    batch = sampler.sample(targets)
+    bd = batch_to_device(batch)
+    logits_s = sampled_forward(params, cfg, model.x.ell(), bd, train=False)
+    logits_f = np.asarray(model.apply(params, train=False))
+    np.testing.assert_allclose(
+        np.asarray(logits_s)[: len(targets)], logits_f[targets], rtol=2e-4, atol=2e-5
+    )
+
+
+def test_partial_fanout_is_unbiased(rng):
+    """Averaging many sampled aggregations approaches the full aggregation."""
+    a_hat, x, cfg, model, params = _setup(rng)
+    targets = np.array([0, 1, 2, 3])
+    full = np.asarray(model.apply(params, train=False))[targets]
+    acc = 0
+    trials = 300
+    for s in range(trials):
+        sampler = NeighborSampler(a_hat, fanouts=(2, 2), batch_size=4, seed=s)
+        bd = batch_to_device(sampler.sample(targets))
+        # single-layer estimate comparison is noisy through nonlinearities;
+        # just check logits are finite and in a sane range
+        out = sampled_forward(params, cfg, model.x.ell(), bd, train=False)
+        acc += np.asarray(out)[:4]
+    mean = acc / trials
+    assert np.isfinite(mean).all()
+    # loose agreement (nonlinear model ⇒ not exactly unbiased; catches
+    # scaling mistakes like forgetting degree/fanout rescale)
+    corr = np.corrcoef(mean.ravel(), full.ravel())[0, 1]
+    assert corr > 0.9, corr
+
+
+def test_sampled_training_step_learns(rng):
+    a_hat, x, cfg, model, params = _setup(rng)
+    import optax
+
+    y = jnp.asarray(rng.integers(0, 4, 60), dtype=jnp.int32)
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+    sampler = NeighborSampler(a_hat, fanouts=(4, 4), batch_size=16, seed=0)
+
+    @jax.jit
+    def step(params, opt_state, x_ell, bd, yb, mask, key):
+        loss, grads = jax.value_and_grad(sampled_loss)(
+            params, cfg, x_ell, bd, yb, mask, rng=key, train=True
+        )
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    key = jax.random.key(0)
+    train_ids = np.arange(48)
+    for epoch in range(6):
+        for batch in sampler.epoch(train_ids):
+            bd = batch_to_device(batch)
+            yb = jnp.take(y, jnp.asarray(batch.targets, jnp.int32))
+            key, k = jax.random.split(key)
+            params, opt_state, loss = step(
+                params, opt_state, model.x.ell(), bd, yb, jnp.asarray(batch.target_mask), k
+            )
+            losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
