@@ -1,0 +1,68 @@
+"""Native (C++) fast paths for host-side preprocessing.
+
+Build-on-first-use: ``projection.cpp`` is compiled with g++ into a shared
+library next to this file (content-hash-stamped, so edits rebuild). Callers
+fall back to the pure-Python implementation if the toolchain is missing.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "projection.cpp")
+_LIB_CACHE: dict = {}
+
+
+def _lib_path() -> str:
+    with open(_SRC, "rb") as f:
+        h = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.join(_DIR, f"_projection_{h}.so")
+
+
+def _build(lib: str) -> None:
+    subprocess.run(
+        ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", lib + ".tmp"],
+        check=True,
+        capture_output=True,
+    )
+    os.replace(lib + ".tmp", lib)
+
+
+def _load():
+    lib = _lib_path()
+    if lib in _LIB_CACHE:
+        return _LIB_CACHE[lib]
+    if not os.path.exists(lib):
+        _build(lib)
+    dll = ctypes.CDLL(lib)
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    dll.count_clique_edges.argtypes = [i64p, ctypes.c_int64]
+    dll.count_clique_edges.restype = ctypes.c_int64
+    dll.project_cliques.argtypes = [i64p, ctypes.c_int64, i64p, i64p, i64p]
+    dll.project_cliques.restype = ctypes.c_int64
+    _LIB_CACHE[lib] = dll
+    return dll
+
+
+def project_cliques(ext_neighbors: dict, n_users: int):
+    """C++ clique expansion. ``ext_neighbors``: external account -> list of
+    dataset-user ids. Returns (src, dst) int64 arrays of projected edges."""
+    dll = _load()
+    groups = [np.asarray(v, dtype=np.int64) for v in ext_neighbors.values() if len(v) >= 2]
+    if not groups:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    offsets = np.zeros(len(groups) + 1, dtype=np.int64)
+    np.cumsum([len(g) for g in groups], out=offsets[1:])
+    members = np.concatenate(groups)
+    total = dll.count_clique_edges(offsets, len(groups))
+    src = np.empty(total, dtype=np.int64)
+    dst = np.empty(total, dtype=np.int64)
+    n = dll.project_cliques(offsets, len(groups), members, src, dst)
+    assert n == total, (n, total)
+    return src, dst

@@ -1,0 +1,34 @@
+import numpy as np
+import pytest
+
+
+def test_native_projection_matches_python():
+    from graphconvgeo_tpu.data.graph import _project_py
+
+    try:
+        from graphconvgeo_tpu.native import project_cliques
+    except Exception:
+        pytest.skip("native toolchain unavailable")
+    ext = {"a": [0, 3, 5], "b": [1, 2], "c": [7], "d": list(range(6))}
+    ns, nd = project_cliques(ext, 10)
+    ps, pd = _project_py(ext)
+    native = sorted(zip(ns.tolist(), nd.tolist()))
+    python = sorted(zip(ps.tolist(), pd.tolist()))
+    assert native == python
+    assert len(native) == 3 + 1 + 0 + 15
+
+
+def test_native_projection_speed():
+    try:
+        from graphconvgeo_tpu.native import project_cliques
+    except Exception:
+        pytest.skip("native toolchain unavailable")
+    import time
+
+    rng = np.random.default_rng(0)
+    ext = {i: rng.integers(0, 100000, rng.integers(2, 30)).tolist() for i in range(20000)}
+    t0 = time.time()
+    src, dst = project_cliques(ext, 100000)
+    native_t = time.time() - t0
+    assert len(src) > 100000
+    assert native_t < 2.0  # C++ does ~millions of pairs in well under a second
