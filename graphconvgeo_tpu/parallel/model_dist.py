@@ -37,12 +37,19 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from graphconvgeo_tpu.models.gcn import GCNConfig, _ACTIVATIONS, init_gcn_params
 from graphconvgeo_tpu.ops.dropout import dropout, ell_dropout_values
 from graphconvgeo_tpu.parallel.mesh import GRAPH_AXIS
-from graphconvgeo_tpu.parallel.partition import RowPartition
-from graphconvgeo_tpu.parallel.spmm_dist import local_input_spmm, local_spmm_allgather
+from graphconvgeo_tpu.parallel.partition import RowPartition, build_halo
+from graphconvgeo_tpu.parallel.spmm_dist import (
+    local_input_spmm,
+    local_spmm_allgather,
+    local_spmm_halo,
+)
 
 
 class DistHighwayGCN:
-    def __init__(self, cfg: GCNConfig, part: RowPartition, mesh):
+    def __init__(self, cfg: GCNConfig, part: RowPartition, mesh, *, halo: str = "auto"):
+        """halo: 'auto' | 'on' | 'off'. 'on' exchanges only boundary rows via
+        all-to-all (partition.build_halo); 'off' all-gathers every feature
+        row. 'auto' picks halo when it moves less data."""
         self.cfg = cfg
         self.part = part
         self.mesh = mesh
@@ -50,8 +57,25 @@ class DistHighwayGCN:
         shard1 = NamedSharding(mesh, P(GRAPH_AXIS))
         self.data = {
             k: jax.device_put(jnp.asarray(getattr(part, k)), shard3)
-            for k in ("a_idx", "a_val", "at_idx", "at_val", "x_idx", "x_val", "xt_idx", "xt_val")
+            for k in ("x_idx", "x_val", "xt_idx", "xt_val")
         }
+        self.halo = None
+        use_halo = halo in ("on", "auto")
+        if use_halo:
+            hx = build_halo(part)
+            if halo == "auto" and hx.halo_fraction >= 1.0:
+                use_halo = False  # boundary as big as the graph — gather wins
+            else:
+                self.halo = hx
+        if self.halo is not None:
+            self.data["a_idx"] = jax.device_put(jnp.asarray(hx.a_idx), shard3)
+            self.data["a_val"] = jax.device_put(jnp.asarray(hx.a_val), shard3)
+            self.data["at_idx"] = jax.device_put(jnp.asarray(hx.at_idx), shard3)
+            self.data["at_val"] = jax.device_put(jnp.asarray(hx.at_val), shard3)
+            self.data["send_idx"] = jax.device_put(jnp.asarray(hx.send_idx), shard3)
+        else:
+            for k in ("a_idx", "a_val", "at_idx", "at_val"):
+                self.data[k] = jax.device_put(jnp.asarray(getattr(part, k)), shard3)
         self.data["y"] = jax.device_put(jnp.asarray(part.y), shard1)
         self.data["mask"] = jax.device_put(jnp.asarray(part.mask), shard1)
         self._row_sharding = NamedSharding(mesh, P(GRAPH_AXIS, None))
@@ -94,14 +118,27 @@ class DistHighwayGCN:
         )(w0, data["x_idx"], data["x_val"], data["xt_idx"], data["xt_val"], seed)
 
     def _conv(self, hw, data):
+        spec3 = P(GRAPH_AXIS, None, None)
+        if self.halo is not None:
+
+            def body(h, ai, av, ati, atv, sidx):
+                return local_spmm_halo(h, ai[0], av[0], ati[0], atv[0], sidx[0])
+
+            return shard_map(
+                body,
+                mesh=self.mesh,
+                in_specs=(P(GRAPH_AXIS, None), spec3, spec3, spec3, spec3, spec3),
+                out_specs=P(GRAPH_AXIS, None),
+            )(hw, data["a_idx"], data["a_val"], data["at_idx"], data["at_val"],
+              data["send_idx"])
+
         def body(h, ai, av, ati, atv):
             return local_spmm_allgather(h, ai[0], av[0], ati[0], atv[0])
 
         return shard_map(
             body,
             mesh=self.mesh,
-            in_specs=(P(GRAPH_AXIS, None), P(GRAPH_AXIS, None, None), P(GRAPH_AXIS, None, None),
-                      P(GRAPH_AXIS, None, None), P(GRAPH_AXIS, None, None)),
+            in_specs=(P(GRAPH_AXIS, None), spec3, spec3, spec3, spec3),
             out_specs=P(GRAPH_AXIS, None),
         )(hw, data["a_idx"], data["a_val"], data["at_idx"], data["at_val"])
 

@@ -147,6 +147,96 @@ def partition_rows(
     )
 
 
+@dataclasses.dataclass
+class HaloExchange:
+    """Precomputed boundary-exchange plan (SURVEY.md §5 "long-context analog"):
+    instead of all-gathering every node feature, each device sends only the
+    rows its peers actually reference (the halo), via one all-to-all.
+
+    Index spaces (per device d):
+    - extended feature buffer h_ext = [h_local (rpd rows) | halo (D·h_max rows)]
+      where halo rows [rpd + s·h_max + j] hold h from device s, row send_idx[s,d,j].
+    - ``a_idx`` is the local row block with columns remapped into h_ext space.
+    - ``at_idx`` is the transpose of the remapped block (rows = h_ext slots,
+      cols = local row ids) for the SpMM backward.
+    """
+
+    h_max: int
+    send_idx: np.ndarray  # [D(src), D(dst), h_max] local row ids (pad 0)
+    a_idx: np.ndarray  # [D, rpd, Ka] remapped cols
+    a_val: np.ndarray  # [D, rpd, Ka]
+    at_idx: np.ndarray  # [D, rpd + D*h_max, Kat]
+    at_val: np.ndarray
+
+    @property
+    def halo_fraction(self) -> float:
+        """Halo rows exchanged / rows all_gather would move (v1 baseline)."""
+        d = self.send_idx.shape[0]
+        rpd = self.a_idx.shape[1]
+        return (d * self.h_max) / max(d * rpd, 1)
+
+
+def build_halo(part: RowPartition, *, pad_align: int = 8) -> HaloExchange:
+    d_n, rpd = part.n_devices, part.rows_per_device
+    a_idx, a_val = part.a_idx, part.a_val
+
+    # which remote rows does each device need from each peer?
+    need = [[None] * d_n for _ in range(d_n)]  # need[dst][src]
+    for d in range(d_n):
+        cols = a_idx[d][a_val[d] != 0]
+        owner = cols // rpd
+        for s in range(d_n):
+            if s == d:
+                need[d][s] = np.empty(0, np.int64)
+                continue
+            need[d][s] = np.unique(cols[owner == s]) - s * rpd
+    h_max = max((len(need[d][s]) for d in range(d_n) for s in range(d_n)), default=0)
+    h_max = max(_round_up(max(h_max, 1), pad_align), pad_align)
+
+    send_idx = np.zeros((d_n, d_n, h_max), dtype=np.int32)
+    a_idx_re = np.zeros_like(a_idx)
+    for d in range(d_n):
+        # remap table for device d: global col -> h_ext slot
+        for s in range(d_n):
+            rows = need[d][s]
+            send_idx[s, d, : len(rows)] = rows
+        lo = d * rpd
+        cols = a_idx[d]
+        owner = cols // rpd
+        re = np.zeros_like(cols)
+        local_mask = (owner == d) & (a_val[d] != 0)
+        re[local_mask] = cols[local_mask] - lo
+        for s in range(d_n):
+            if s == d:
+                continue
+            m = (owner == s) & (a_val[d] != 0)
+            if not m.any():
+                continue
+            pos = np.searchsorted(need[d][s], cols[m] - s * rpd)
+            re[m] = rpd + s * h_max + pos
+        a_idx_re[d] = re
+
+    # transpose of each remapped block for the backward pass
+    n_ext = rpd + d_n * h_max
+    at_blocks = []
+    for d in range(d_n):
+        rows = np.repeat(np.arange(rpd), a_idx.shape[2])
+        cols = a_idx_re[d].ravel()
+        vals = a_val[d].ravel()
+        nz = vals != 0
+        blk = sp.coo_matrix((vals[nz], (rows[nz], cols[nz])), shape=(rpd, n_ext)).tocsr()
+        at_blocks.append(blk.T.tocsr())
+    at_idx, at_val = _stack_blocks(at_blocks)
+    return HaloExchange(
+        h_max=h_max,
+        send_idx=send_idx,
+        a_idx=a_idx_re,
+        a_val=a_val,
+        at_idx=at_idx,
+        at_val=at_val,
+    )
+
+
 def partition_dataset(ds: Dataset, n_devices: int, **kw) -> RowPartition:
     mask = np.zeros(ds.n_nodes, dtype=np.float32)
     mask[ds.train_idx] = 1.0

@@ -37,6 +37,25 @@ def local_spmm_allgather(h_local, a_idx, a_val, at_idx, at_val, *, axis: str = G
     return _spmm_ell_core(a_idx, a_val, at_idx, at_val, h_full)
 
 
+def local_spmm_halo(
+    h_local, a_idx, a_val, at_idx, at_val, send_idx, *, axis: str = GRAPH_AXIS
+):
+    """Per-device body with boundary exchange: only halo rows move.
+
+    h_local [rpd, F]; send_idx [D, h_max] — rows this device must ship to
+    each peer; a_idx columns are pre-remapped into the extended buffer
+    [h_local | halo] (see ``partition.build_halo``). One all-to-all replaces
+    the all-gather; volume drops from n_pad to D·h_max rows per device. The
+    backward pass is the exact transpose program: transpose-block SpMM, the
+    all-to-all reversed, and a scatter-add back onto h_local (autodiff of
+    take + all_to_all; SpMM via its custom VJP).
+    """
+    send = jnp.take(h_local, send_idx, axis=0)  # [D, h_max, F]
+    recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=True)
+    h_ext = jnp.concatenate([h_local, recv.reshape(-1, h_local.shape[1])], axis=0)
+    return _spmm_ell_core(a_idx, a_val, at_idx, at_val, h_ext)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _input_spmm(axis, x_idx, x_val, xt_idx, xt_val, w0):
     return _ell_matvec(x_idx, x_val, w0)

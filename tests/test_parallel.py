@@ -95,3 +95,55 @@ def test_dist_train_step_runs_and_learns(rng, mesh):
         losses.append(float(loss))
     assert losses[-1] < losses[0]
     assert np.isfinite(losses).all()
+
+
+def test_halo_exchange_matches_allgather(rng, mesh):
+    a_hat, x, y, mask, cfg = _mk_problem(rng, n=120)
+    n = a_hat.shape[0]
+    part = partition_rows(a_hat, x, y, mask, 8)
+    from graphconvgeo_tpu.parallel.partition import build_halo
+
+    hx = build_halo(part)
+    assert hx.send_idx.shape[:2] == (8, 8)
+
+    single = HighwayGCN(cfg, SparseGraph(csr=x), SparseGraph(csr=a_hat, symmetric=True))
+    params = single.init(jax.random.key(4))
+    logits_single = np.asarray(single.apply(params, train=False))
+
+    dist = DistHighwayGCN(cfg, part, mesh, halo="on")
+    assert dist.halo is not None
+    dparams = jax.device_put(params, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+    logits = np.asarray(jax.jit(lambda p: dist.apply(p, train=False))(dparams))
+    np.testing.assert_allclose(logits[:n], logits_single, rtol=2e-4, atol=2e-5)
+
+
+def test_halo_grads_match_single(rng, mesh):
+    a_hat, x, y, mask, cfg = _mk_problem(rng, n=96)
+    part = partition_rows(a_hat, x, y, mask, 8)
+    single = HighwayGCN(cfg, SparseGraph(csr=x), SparseGraph(csr=a_hat, symmetric=True))
+    params = single.init(jax.random.key(5))
+    loss_s, grads_s = jax.value_and_grad(
+        lambda p: single.loss(p, jnp.asarray(y), jnp.asarray(mask), train=False)
+    )(params)
+    dist = DistHighwayGCN(cfg, part, mesh, halo="on")
+    dparams = jax.device_put(params, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+    loss_d, grads_d = jax.jit(jax.value_and_grad(lambda p: dist.loss(p, train=False)))(dparams)
+    np.testing.assert_allclose(float(loss_d), float(loss_s), rtol=1e-5)
+    for gs, gd in zip(jax.tree.leaves(grads_s), jax.tree.leaves(grads_d)):
+        np.testing.assert_allclose(np.asarray(gd), np.asarray(gs), rtol=5e-4, atol=1e-5)
+
+
+def test_halo_train_step_learns(rng, mesh):
+    a_hat, x, y, mask, cfg = _mk_problem(rng)
+    part = partition_rows(a_hat, x, y, mask, 8)
+    dist = DistHighwayGCN(cfg, part, mesh, halo="on")
+    params = dist.init(jax.random.key(6))
+    opt, step = dist.make_train_step(1e-2)
+    opt_state = opt.init(params)
+    losses = []
+    k = jax.random.key(7)
+    for _ in range(10):
+        k, sk = jax.random.split(k)
+        params, opt_state, loss = step(params, opt_state, sk)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] and np.isfinite(losses).all()
