@@ -52,8 +52,17 @@ def main() -> None:
     from graphconvgeo_tpu.ops.spmm import device_operands, spmm_operands
     from graphconvgeo_tpu.sparse.formats import SparseGraph, normalize_adjacency
 
+    from graphconvgeo_tpu.sparse.reorder import best_reordering, tile_coverage
+
     adj = random_sbm_graph(N, N_COMM, AVG_DEG, seed=7)
-    g = SparseGraph(csr=normalize_adjacency(adj), symmetric=True)
+    # shuffle node ids — real dumps arrive in arbitrary (train/dev/test) order
+    perm = np.random.default_rng(1).permutation(N)
+    adj = adj[perm][:, perm].tocsr()
+    a_hat = normalize_adjacency(adj)
+    # one-time preprocessing: community reordering for dense-tile coverage
+    ro = best_reordering(a_hat, seed=0)
+    a_hat = ro.permute_graph(a_hat)
+    g = SparseGraph(csr=a_hat, symmetric=True)
     h = jnp.asarray(np.random.default_rng(0).normal(size=(N, FEAT)).astype(np.float32))
 
     from graphconvgeo_tpu.utils.timing import device_seconds_per_iter

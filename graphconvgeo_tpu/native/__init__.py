@@ -1,8 +1,14 @@
 """Native (C++) fast paths for host-side preprocessing.
 
-Build-on-first-use: ``projection.cpp`` is compiled with g++ into a shared
+Build-on-first-use: each ``.cpp`` here compiles with g++ into a shared
 library next to this file (content-hash-stamped, so edits rebuild). Callers
-fall back to the pure-Python implementation if the toolchain is missing.
+fall back to pure-Python implementations if the toolchain is missing.
+
+Components:
+- ``projection.cpp`` — @-mention clique projection (the reference's
+  ``efficient_collaboration_weighted_projected_graph2`` hot loop);
+- ``clustering.cpp`` — label-propagation communities for the SpMM
+  tile-coverage reordering.
 """
 
 from __future__ import annotations
@@ -15,45 +21,41 @@ import subprocess
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "projection.cpp")
 _LIB_CACHE: dict = {}
 
 
-def _lib_path() -> str:
-    with open(_SRC, "rb") as f:
+def _load_lib(stem: str) -> ctypes.CDLL:
+    src = os.path.join(_DIR, f"{stem}.cpp")
+    with open(src, "rb") as f:
         h = hashlib.sha256(f.read()).hexdigest()[:12]
-    return os.path.join(_DIR, f"_projection_{h}.so")
-
-
-def _build(lib: str) -> None:
-    subprocess.run(
-        ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", lib + ".tmp"],
-        check=True,
-        capture_output=True,
-    )
-    os.replace(lib + ".tmp", lib)
-
-
-def _load():
-    lib = _lib_path()
+    lib = os.path.join(_DIR, f"_{stem}_{h}.so")
     if lib in _LIB_CACHE:
         return _LIB_CACHE[lib]
     if not os.path.exists(lib):
-        _build(lib)
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", src, "-o", lib + ".tmp"],
+            check=True,
+            capture_output=True,
+        )
+        os.replace(lib + ".tmp", lib)
     dll = ctypes.CDLL(lib)
-    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
-    dll.count_clique_edges.argtypes = [i64p, ctypes.c_int64]
-    dll.count_clique_edges.restype = ctypes.c_int64
-    dll.project_cliques.argtypes = [i64p, ctypes.c_int64, i64p, i64p, i64p]
-    dll.project_cliques.restype = ctypes.c_int64
     _LIB_CACHE[lib] = dll
     return dll
+
+
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 
 
 def project_cliques(ext_neighbors: dict, n_users: int):
     """C++ clique expansion. ``ext_neighbors``: external account -> list of
     dataset-user ids. Returns (src, dst) int64 arrays of projected edges."""
-    dll = _load()
+    dll = _load_lib("projection")
+    dll.count_clique_edges.argtypes = [_i64p, ctypes.c_int64]
+    dll.count_clique_edges.restype = ctypes.c_int64
+    dll.project_cliques.argtypes = [_i64p, ctypes.c_int64, _i64p, _i64p, _i64p]
+    dll.project_cliques.restype = ctypes.c_int64
+
     groups = [np.asarray(v, dtype=np.int64) for v in ext_neighbors.values() if len(v) >= 2]
     if not groups:
         return np.empty(0, np.int64), np.empty(0, np.int64)
@@ -66,3 +68,20 @@ def project_cliques(ext_neighbors: dict, n_users: int):
     n = dll.project_cliques(offsets, len(groups), members, src, dst)
     assert n == total, (n, total)
     return src, dst
+
+
+def label_propagation(indptr: np.ndarray, indices: np.ndarray, *, iters: int = 10) -> np.ndarray:
+    """Community labels via synchronous label propagation (deterministic)."""
+    dll = _load_lib("clustering")
+    dll.label_propagation.argtypes = [_i64p, _i32p, ctypes.c_int64, ctypes.c_int32, _i32p]
+    dll.label_propagation.restype = None
+    n = len(indptr) - 1
+    labels = np.arange(n, dtype=np.int32)
+    dll.label_propagation(
+        np.ascontiguousarray(indptr, np.int64),
+        np.ascontiguousarray(indices, np.int32),
+        n,
+        iters,
+        labels,
+    )
+    return labels

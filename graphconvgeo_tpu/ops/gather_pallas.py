@@ -1,0 +1,88 @@
+"""Pallas row-gather kernel: DMA-pipelined random row fetch from HBM.
+
+Why: XLA's gather on TPU is row-rate limited (~50M rows/s measured — a
+~20 ns/row fixed issue cost), far below HBM bandwidth for 2 KB rows. This
+kernel issues one async DMA per row with a ring of NBUF outstanding copies,
+pipelining the fixed cost against the transfers.
+
+Mosaic constraints shape the design:
+- HBM/VMEM memrefs are (8,128)-tiled, so 1-row 2-D DMA slices are illegal →
+  both the table and the output are viewed as flat 1-D buffers and each row
+  is an ``F``-element span (lane-aligned for F % 128 == 0).
+- dynamic-offset 1-D vector loads don't compile → the kernel is *pure DMA*
+  (HBM → VMEM output block); the arithmetic that consumes the rows happens
+  in XLA afterwards, fused into whatever follows.
+
+Used by the bucketed-ELL SpMM residual path and the sampling feature fetch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NBUF = 32
+
+
+def _gather_kernel_flat(idx_ref, h_ref, out_ref, sems, *, f: int, rb: int):
+    def get_dma(slot, j):
+        return pltpu.make_async_copy(
+            h_ref.at[pl.ds(idx_ref[j] * f, f)],
+            out_ref.at[pl.ds(j * f, f)],
+            sems.at[slot],
+        )
+
+    def body(j, _):
+        slot = jax.lax.rem(j, NBUF)
+
+        @pl.when(j >= NBUF)
+        def _():
+            # reclaim the slot: wait for the copy issued NBUF steps ago
+            get_dma(slot, j - NBUF).wait()
+
+        get_dma(slot, j).start()
+        return 0
+
+    jax.lax.fori_loop(0, rb, body, 0)
+
+    def drain(k, _):
+        get_dma(jax.lax.rem(k, NBUF), k).wait()
+        return 0
+
+    jax.lax.fori_loop(jnp.maximum(rb - NBUF, 0), rb, drain, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows",))
+def gather_rows_pallas(h: jax.Array, idx: jax.Array, *, block_rows: int = 1024) -> jax.Array:
+    """out[j] = h[idx[j]]. idx: [M] int32; F must be a multiple of 128
+    (for sub-4-byte dtypes, F·itemsize a multiple of 512 bytes)."""
+    f = h.shape[1]
+    assert (f * h.dtype.itemsize) % 512 == 0, (f, h.dtype)
+    m = idx.shape[0]
+    m_pad = ((m + block_rows - 1) // block_rows) * block_rows
+    if m_pad != m:
+        idx = jnp.pad(idx, (0, m_pad - m))
+    out = pl.pallas_call(
+        functools.partial(_gather_kernel_flat, f=f, rb=block_rows),
+        out_shape=jax.ShapeDtypeStruct((m_pad * f,), h.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(m_pad // block_rows,),
+            in_specs=[
+                pl.BlockSpec((block_rows,), lambda i: (i,), memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (block_rows * f,), lambda i: (i,), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.SemaphoreType.DMA((NBUF,)),
+            ],
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(idx, h.reshape(-1))
+    return out.reshape(m_pad, f)[:m]

@@ -244,7 +244,7 @@ class BucketedEll:
     def from_scipy(
         mat: sp.spmatrix,
         *,
-        min_k: int = 8,
+        min_k: int = 2,
         growth: int = 2,
         dtype=jnp.float32,
     ) -> "BucketedEll":

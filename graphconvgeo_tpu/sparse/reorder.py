@@ -1,0 +1,123 @@
+"""Graph reordering: concentrate edges into dense 128×128 tiles.
+
+The hybrid SpMM's fast path (dense-tile MXU matmuls, ~0.6 ns/edge) only
+catches edges that fall in dense tiles; scattered edges pay the ~20 ns/edge
+random-gather cost. Real @-mention graphs have strong community structure,
+but the node order (train/dev/test concatenation) scatters it. A bandwidth-
+reducing permutation (reverse Cuthill-McKee) re-concentrates communities
+onto the diagonal, typically moving the bulk of edges into dense tiles.
+
+The permutation is a pure relabeling: Â → P Â Pᵀ, features/labels/masks are
+row-permuted, predictions are mapped back with the inverse.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import scipy.sparse as sp
+from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+
+@dataclasses.dataclass
+class Reordering:
+    perm: np.ndarray  # new position -> old id   (row i of new = old perm[i])
+    inv: np.ndarray  # old id -> new position
+
+    def permute_graph(self, adj: sp.csr_matrix) -> sp.csr_matrix:
+        out = adj[self.perm][:, self.perm].tocsr()
+        out.sort_indices()
+        return out
+
+    def permute_rows(self, x):
+        return x[self.perm]
+
+    def to_new(self, idx: np.ndarray) -> np.ndarray:
+        return self.inv[idx]
+
+    def to_old(self, idx: np.ndarray) -> np.ndarray:
+        return self.perm[idx]
+
+
+def rcm_reordering(adj: sp.spmatrix) -> Reordering:
+    perm = np.asarray(reverse_cuthill_mckee(sp.csr_matrix(adj), symmetric_mode=True))
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    return Reordering(perm=perm.astype(np.int64), inv=inv.astype(np.int64))
+
+
+def louvain_reordering(
+    adj: sp.spmatrix, *, seed: int = 0, resolution: float = 1.0
+) -> Reordering:
+    """Community-clustered ordering via Louvain: nodes of one community get
+    consecutive ids, so intra-community edges land in diagonal tile blocks.
+    Recovers ~the sorted-SBM optimum on shuffled community graphs (vs ~⅓ for
+    RCM banding). One-time host cost ≈ O(M log N) via networkx."""
+    import networkx as nx
+
+    g = nx.from_scipy_sparse_array(sp.csr_matrix(adj))
+    comms = nx.community.louvain_communities(g, seed=seed, resolution=resolution)
+    comms = sorted(comms, key=len, reverse=True)
+    perm = np.concatenate([np.fromiter(c, dtype=np.int64) for c in comms])
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    return Reordering(perm=perm, inv=inv)
+
+
+def labelprop_reordering(adj: sp.spmatrix, *, iters: int = 10) -> Reordering:
+    """Community ordering from the native C++ label-propagation pass —
+    O(iters·M) with a tiny constant; the Twitter-World-scale default."""
+    from graphconvgeo_tpu.native import label_propagation
+
+    csr = sp.csr_matrix(adj)
+    labels = label_propagation(csr.indptr.astype(np.int64), csr.indices, iters=iters)
+    perm = np.argsort(labels, kind="stable").astype(np.int64)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    return Reordering(perm=perm, inv=inv)
+
+
+def best_reordering(
+    adj: sp.spmatrix,
+    *,
+    seed: int = 0,
+    target_coverage: float = 0.5,
+    louvain_max_nodes: int = 300_000,
+) -> Reordering:
+    """Pick the best of {identity, labelprop, louvain, rcm} by tile coverage.
+    Louvain is skipped above ``louvain_max_nodes`` (O(minutes) there; the
+    native label propagation covers that regime)."""
+    adj = sp.csr_matrix(adj)
+    n = adj.shape[0]
+    ident = Reordering(perm=np.arange(n, dtype=np.int64), inv=np.arange(n, dtype=np.int64))
+    best, best_cov = ident, tile_coverage(adj)
+    if best_cov >= target_coverage:
+        return ident
+    candidates = []
+    try:
+        candidates.append(labelprop_reordering(adj))
+    except Exception:
+        pass
+    if n <= louvain_max_nodes:
+        try:
+            candidates.append(louvain_reordering(adj, seed=seed))
+        except Exception:
+            pass
+    candidates.append(rcm_reordering(adj))
+    for ro in candidates:
+        cov = tile_coverage(ro.permute_graph(adj))
+        if cov > best_cov:
+            best, best_cov = ro, cov
+        if best_cov >= 0.95:
+            break
+    return best
+
+
+def tile_coverage(adj: sp.csr_matrix, *, block: int = 128, min_tile_nnz: int = 96) -> float:
+    """Fraction of edges living in dense tiles (the BSR-path share)."""
+    coo = adj.tocoo()
+    cb = -(-adj.shape[1] // block)
+    key = (coo.row // block).astype(np.int64) * cb + coo.col // block
+    _, inv, counts = np.unique(key, return_inverse=True, return_counts=True)
+    return float((counts[inv] >= min_tile_nnz).mean())

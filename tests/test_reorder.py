@@ -1,0 +1,54 @@
+import numpy as np
+import pytest
+
+from graphconvgeo_tpu.data.synthetic import random_sbm_graph
+from graphconvgeo_tpu.sparse.formats import normalize_adjacency
+from graphconvgeo_tpu.sparse.reorder import (
+    best_reordering,
+    rcm_reordering,
+    tile_coverage,
+)
+
+
+def test_reordering_roundtrip(rng):
+    n = 500
+    a = random_sbm_graph(n, 4, 6, seed=3)
+    ro = rcm_reordering(a)
+    # perm/inv are inverse permutations
+    np.testing.assert_array_equal(ro.inv[ro.perm], np.arange(n))
+    ap = ro.permute_graph(a)
+    # spectrum-preserving relabeling: degree multiset unchanged
+    assert sorted(np.diff(ap.indptr)) == sorted(np.diff(a.tocsr().indptr))
+    # mapping consistency: edge (i,j) in old <-> (inv[i], inv[j]) in new
+    i, j = a.tocoo().row[0], a.tocoo().col[0]
+    assert ap[ro.inv[i], ro.inv[j]] == a.tocsr()[i, j]
+
+
+def test_reordering_improves_coverage(rng):
+    n = 8192
+    a = normalize_adjacency(random_sbm_graph(n, 32, 16, seed=5, p_intra=0.95))
+    p = rng.permutation(n)
+    shuffled = a[p][:, p].tocsr()
+    cov0 = tile_coverage(shuffled)
+    ro = best_reordering(shuffled, seed=0)
+    cov1 = tile_coverage(ro.permute_graph(shuffled))
+    assert cov1 > max(cov0, 0.5), (cov0, cov1)
+
+
+def test_reordered_spmm_matches(rng):
+    import jax.numpy as jnp
+
+    from graphconvgeo_tpu.ops.spmm import spmm
+    from graphconvgeo_tpu.sparse.formats import SparseGraph
+
+    n = 600
+    a = normalize_adjacency(random_sbm_graph(n, 8, 6, seed=2))
+    h = rng.normal(size=(n, 32)).astype(np.float32)
+    want = a @ h
+    ro = best_reordering(a)
+    ap = ro.permute_graph(a)
+    out_p = np.asarray(spmm(SparseGraph(csr=ap, symmetric=True), jnp.asarray(h[ro.perm]), backend="hybrid"))
+    # un-permute rows: new row i is old row perm[i]
+    out = np.empty_like(out_p)
+    out[ro.perm] = out_p
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
