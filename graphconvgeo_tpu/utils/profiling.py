@@ -1,0 +1,49 @@
+"""Tracing / profiling utilities (SURVEY.md §5 "tracing/profiling").
+
+The reference prints per-epoch wall times; here:
+- ``trace()`` — context manager around ``jax.profiler`` producing a
+  tensorboard/xprof trace directory;
+- ``annotate()`` — ``jax.named_scope`` wrapper so per-layer ops are legible
+  in traces;
+- ``roofline_report()`` — per-op arithmetic-intensity table for an SpMM
+  workload against the chip's HBM/MXU limits (the ≥80%-of-roofline budget).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+
+import jax
+
+V5E = {"hbm_gbps": 819.0, "bf16_tflops": 197.0, "f32_tflops": 98.5}
+
+
+@contextlib.contextmanager
+def trace(logdir: str = "/tmp/gcg_trace", *, create_perfetto_link: bool = False):
+    os.makedirs(logdir, exist_ok=True)
+    jax.profiler.start_trace(logdir, create_perfetto_link=create_perfetto_link)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    return jax.named_scope(name)
+
+
+def roofline_report(*, nnz: int, n_rows: int, feat: int, seconds: float, chip: dict = V5E) -> dict:
+    """Roofline accounting for one Â·H application (float32)."""
+    flops = 2.0 * nnz * feat
+    bytes_min = nnz * (8 + 4 * feat) + 2 * n_rows * feat * 4
+    t_mem = bytes_min / (chip["hbm_gbps"] * 1e9)
+    t_flops = flops / (chip["f32_tflops"] * 1e12)
+    bound = max(t_mem, t_flops)
+    return {
+        "edges_per_sec": nnz / seconds,
+        "achieved_gbps": bytes_min / seconds / 1e9,
+        "roofline_seconds": bound,
+        "roofline_fraction": bound / seconds,
+        "memory_bound": t_mem >= t_flops,
+    }

@@ -1,0 +1,24 @@
+import jax
+import numpy as np
+
+from graphconvgeo_tpu.models.gcn import GCNConfig, init_gcn_params
+from graphconvgeo_tpu.train.checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = GCNConfig(n_features=20, n_classes=4, hidden=(8, 8), highway=True)
+    params = init_gcn_params(jax.random.key(0), cfg)
+    path = save_checkpoint(str(tmp_path), params, step=7, metrics={"dev": {"acc_at_161": 0.5}})
+    assert latest_checkpoint(str(tmp_path)) == path
+    template = jax.tree.map(np.zeros_like, {"params": params})
+    restored = restore_checkpoint(path, template)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_multiple_steps(tmp_path):
+    cfg = GCNConfig(n_features=10, n_classes=3, hidden=(4, 4), highway=False)
+    p = init_gcn_params(jax.random.key(1), cfg)
+    save_checkpoint(str(tmp_path), p, step=1)
+    path2 = save_checkpoint(str(tmp_path), p, step=2)
+    assert latest_checkpoint(str(tmp_path)) == path2
