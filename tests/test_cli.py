@@ -1,0 +1,27 @@
+import json
+
+import numpy as np
+
+
+def test_cli_synthetic_end_to_end(tmp_path, capsys):
+    from graphconvgeo_tpu.cli import main
+
+    report = main([
+        "--preset", "synthetic", "--epochs", "30", "--patience", "30",
+        "--quiet", "--hidden", "32", "32",
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+    ])
+    assert 0.0 <= report["test"]["acc_at_161"] <= 1.0
+    assert (tmp_path / "ckpt").exists()
+
+
+def test_cli_preset_parity_flags():
+    from graphconvgeo_tpu.cli import parse_args
+
+    a = parse_args(["--preset", "geotext", "-d", "/tmp/x"])
+    assert a.bucket == 50 and a.encoding == "latin1" and a.min_df == 10
+    w = parse_args(["--preset", "twitter-world", "-d", "/tmp/x"])
+    assert w.bucket == 2400 and w.encoding == "utf-8"
+    # overrides win over preset
+    o = parse_args(["--preset", "geotext", "-d", "/tmp/x", "--bucket", "7"])
+    assert o.bucket == 7
