@@ -68,7 +68,7 @@ def main() -> None:
     from graphconvgeo_tpu.utils.timing import device_seconds_per_iter
 
     results = {}
-    for name in ("hybrid", "bell"):
+    for name in ("hybrid",):
         try:
             fmt, fmt_t = device_operands(g, name)
             # scale+shift keeps the chained iterate numerically bounded

@@ -68,10 +68,11 @@ class DistHighwayGCN:
             else:
                 self.halo = hx
         if self.halo is not None:
-            self.data["a_idx"] = jax.device_put(jnp.asarray(hx.a_idx), shard3)
-            self.data["a_val"] = jax.device_put(jnp.asarray(hx.a_val), shard3)
-            self.data["at_idx"] = jax.device_put(jnp.asarray(hx.at_idx), shard3)
-            self.data["at_val"] = jax.device_put(jnp.asarray(hx.at_val), shard3)
+            for k in ("al_idx", "al_val", "alt_idx", "alt_val",
+                      "ar_idx", "ar_val", "art_idx", "art_val"):
+                self.data[k] = jax.device_put(jnp.asarray(getattr(hx, k)), shard3)
+            # send_idx [src, dst, slot] sharded over src: each device holds
+            # the [D_dst, h_max] table of its own rows to ship per peer
             self.data["send_idx"] = jax.device_put(jnp.asarray(hx.send_idx), shard3)
         else:
             for k in ("a_idx", "a_val", "at_idx", "at_val"):
@@ -121,16 +122,17 @@ class DistHighwayGCN:
         spec3 = P(GRAPH_AXIS, None, None)
         if self.halo is not None:
 
-            def body(h, ai, av, ati, atv, sidx):
-                return local_spmm_halo(h, ai[0], av[0], ati[0], atv[0], sidx[0])
+            def body(h, *blocks):
+                return local_spmm_halo(h, *(b[0] for b in blocks))
 
+            keys = ("al_idx", "al_val", "alt_idx", "alt_val",
+                    "ar_idx", "ar_val", "art_idx", "art_val", "send_idx")
             return shard_map(
                 body,
                 mesh=self.mesh,
-                in_specs=(P(GRAPH_AXIS, None), spec3, spec3, spec3, spec3, spec3),
+                in_specs=(P(GRAPH_AXIS, None),) + (spec3,) * len(keys),
                 out_specs=P(GRAPH_AXIS, None),
-            )(hw, data["a_idx"], data["a_val"], data["at_idx"], data["at_val"],
-              data["send_idx"])
+            )(hw, *(data[k] for k in keys))
 
         def body(h, ai, av, ati, atv):
             return local_spmm_allgather(h, ai[0], av[0], ati[0], atv[0])

@@ -153,26 +153,33 @@ class HaloExchange:
     instead of all-gathering every node feature, each device sends only the
     rows its peers actually reference (the halo), via one all-to-all.
 
-    Index spaces (per device d):
-    - extended feature buffer h_ext = [h_local (rpd rows) | halo (D·h_max rows)]
-      where halo rows [rpd + s·h_max + j] hold h from device s, row send_idx[s,d,j].
-    - ``a_idx`` is the local row block with columns remapped into h_ext space.
-    - ``at_idx`` is the transpose of the remapped block (rows = h_ext slots,
-      cols = local row ids) for the SpMM backward.
+    The local block is SPLIT by column ownership so the local-column product
+    can overlap the all-to-all (the GNN version of ring attention's
+    compute/comm overlap):
+
+    - ``al_*``  — edges whose source is local: cols in [0, rpd).
+    - ``ar_*``  — edges whose source is remote: cols in halo space
+      [0, D·h_max), where slot s·h_max + j holds device s's row
+      ``send_idx[s, d, j]``.
+    - ``alt_*`` / ``art_*`` — transposes of the two parts (backward pass).
     """
 
     h_max: int
     send_idx: np.ndarray  # [D(src), D(dst), h_max] local row ids (pad 0)
-    a_idx: np.ndarray  # [D, rpd, Ka] remapped cols
-    a_val: np.ndarray  # [D, rpd, Ka]
-    at_idx: np.ndarray  # [D, rpd + D*h_max, Kat]
-    at_val: np.ndarray
+    al_idx: np.ndarray  # [D, rpd, Kl]   local-source edges
+    al_val: np.ndarray
+    alt_idx: np.ndarray  # [D, rpd, Klt]
+    alt_val: np.ndarray
+    ar_idx: np.ndarray  # [D, rpd, Kr]   remote-source edges (halo cols)
+    ar_val: np.ndarray
+    art_idx: np.ndarray  # [D, D*h_max, Krt]
+    art_val: np.ndarray
 
     @property
     def halo_fraction(self) -> float:
         """Halo rows exchanged / rows all_gather would move (v1 baseline)."""
         d = self.send_idx.shape[0]
-        rpd = self.a_idx.shape[1]
+        rpd = self.al_idx.shape[1]
         return (d * self.h_max) / max(d * rpd, 1)
 
 
@@ -194,46 +201,52 @@ def build_halo(part: RowPartition, *, pad_align: int = 8) -> HaloExchange:
     h_max = max(_round_up(max(h_max, 1), pad_align), pad_align)
 
     send_idx = np.zeros((d_n, d_n, h_max), dtype=np.int32)
-    a_idx_re = np.zeros_like(a_idx)
+    local_blocks, remote_blocks = [], []
+    n_halo = d_n * h_max
     for d in range(d_n):
-        # remap table for device d: global col -> h_ext slot
         for s in range(d_n):
             rows = need[d][s]
             send_idx[s, d, : len(rows)] = rows
         lo = d * rpd
-        cols = a_idx[d]
-        owner = cols // rpd
-        re = np.zeros_like(cols)
-        local_mask = (owner == d) & (a_val[d] != 0)
-        re[local_mask] = cols[local_mask] - lo
-        for s in range(d_n):
-            if s == d:
-                continue
-            m = (owner == s) & (a_val[d] != 0)
-            if not m.any():
-                continue
-            pos = np.searchsorted(need[d][s], cols[m] - s * rpd)
-            re[m] = rpd + s * h_max + pos
-        a_idx_re[d] = re
-
-    # transpose of each remapped block for the backward pass
-    n_ext = rpd + d_n * h_max
-    at_blocks = []
-    for d in range(d_n):
-        rows = np.repeat(np.arange(rpd), a_idx.shape[2])
-        cols = a_idx_re[d].ravel()
+        rows_flat = np.repeat(np.arange(rpd), a_idx.shape[2])
+        cols = a_idx[d].ravel()
         vals = a_val[d].ravel()
+        owner = cols // rpd
         nz = vals != 0
-        blk = sp.coo_matrix((vals[nz], (rows[nz], cols[nz])), shape=(rpd, n_ext)).tocsr()
-        at_blocks.append(blk.T.tocsr())
-    at_idx, at_val = _stack_blocks(at_blocks)
+        lm = nz & (owner == d)
+        local_blocks.append(
+            sp.coo_matrix((vals[lm], (rows_flat[lm], cols[lm] - lo)), shape=(rpd, rpd)).tocsr()
+        )
+        # remote part: remap col -> s*h_max + pos_in_need
+        rm = nz & (owner != d)
+        rcols = np.zeros(int(rm.sum()), dtype=np.int64)
+        if rm.any():
+            c = cols[rm]
+            s_of = owner[rm]
+            for s in range(d_n):
+                m = s_of == s
+                if not m.any():
+                    continue
+                rcols[m] = s * h_max + np.searchsorted(need[d][s], c[m] - s * rpd)
+        remote_blocks.append(
+            sp.coo_matrix((vals[rm], (rows_flat[rm], rcols)), shape=(rpd, n_halo)).tocsr()
+        )
+
+    al_idx, al_val = _stack_blocks(local_blocks)
+    alt_idx, alt_val = _stack_blocks([b.T.tocsr() for b in local_blocks])
+    ar_idx, ar_val = _stack_blocks(remote_blocks)
+    art_idx, art_val = _stack_blocks([b.T.tocsr() for b in remote_blocks])
     return HaloExchange(
         h_max=h_max,
         send_idx=send_idx,
-        a_idx=a_idx_re,
-        a_val=a_val,
-        at_idx=at_idx,
-        at_val=at_val,
+        al_idx=al_idx,
+        al_val=al_val,
+        alt_idx=alt_idx,
+        alt_val=alt_val,
+        ar_idx=ar_idx,
+        ar_val=ar_val,
+        art_idx=art_idx,
+        art_val=art_val,
     )
 
 

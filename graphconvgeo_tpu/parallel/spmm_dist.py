@@ -38,22 +38,32 @@ def local_spmm_allgather(h_local, a_idx, a_val, at_idx, at_val, *, axis: str = G
 
 
 def local_spmm_halo(
-    h_local, a_idx, a_val, at_idx, at_val, send_idx, *, axis: str = GRAPH_AXIS
+    h_local,
+    al_idx, al_val, alt_idx, alt_val,
+    ar_idx, ar_val, art_idx, art_val,
+    send_idx,
+    *,
+    axis: str = GRAPH_AXIS,
 ):
-    """Per-device body with boundary exchange: only halo rows move.
+    """Per-device body with boundary exchange + compute/comm overlap.
 
-    h_local [rpd, F]; send_idx [D, h_max] — rows this device must ship to
-    each peer; a_idx columns are pre-remapped into the extended buffer
-    [h_local | halo] (see ``partition.build_halo``). One all-to-all replaces
-    the all-gather; volume drops from n_pad to D·h_max rows per device. The
-    backward pass is the exact transpose program: transpose-block SpMM, the
-    all-to-all reversed, and a scatter-add back onto h_local (autodiff of
-    take + all_to_all; SpMM via its custom VJP).
+    h_local [rpd, F]; send_idx [D, h_max] — rows this device ships to each
+    peer. The block is split by source ownership (``partition.build_halo``):
+    the all-to-all is issued first, the local-column product runs while it is
+    in flight (XLA's async-collective scheduler overlaps the independent
+    work), and the remote-column product consumes the received halo. One
+    all-to-all of D·h_max rows replaces the n_pad-row all-gather.
+
+    Backward is the exact transpose program: both transpose-block SpMMs, the
+    all-to-all reversed, and a scatter-add onto h_local (autodiff of take +
+    all_to_all; SpMM via its custom VJP).
     """
     send = jnp.take(h_local, send_idx, axis=0)  # [D, h_max, F]
     recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=True)
-    h_ext = jnp.concatenate([h_local, recv.reshape(-1, h_local.shape[1])], axis=0)
-    return _spmm_ell_core(a_idx, a_val, at_idx, at_val, h_ext)
+    out_local = _spmm_ell_core(al_idx, al_val, alt_idx, alt_val, h_local)
+    halo = recv.reshape(-1, h_local.shape[1])  # [D*h_max, F]
+    out_remote = _spmm_ell_core(ar_idx, ar_val, art_idx, art_val, halo)
+    return out_local + out_remote
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))

@@ -94,23 +94,24 @@ def best_reordering(
     best, best_cov = ident, tile_coverage(adj)
     if best_cov >= target_coverage:
         return ident
-    candidates = []
-    try:
-        candidates.append(labelprop_reordering(adj))
-    except Exception:
-        pass
-    if n <= louvain_max_nodes:
+    def candidates():
         try:
-            candidates.append(louvain_reordering(adj, seed=seed))
+            yield labelprop_reordering(adj)
         except Exception:
             pass
-    candidates.append(rcm_reordering(adj))
-    for ro in candidates:
+        if n <= louvain_max_nodes:
+            try:
+                yield louvain_reordering(adj, seed=seed)
+            except Exception:
+                pass
+        yield rcm_reordering(adj)
+
+    for ro in candidates():
         cov = tile_coverage(ro.permute_graph(adj))
         if cov > best_cov:
             best, best_cov = ro, cov
-        if best_cov >= 0.95:
-            break
+        if best_cov >= max(target_coverage, 0.8):
+            break  # good enough — don't pay for slower candidates
     return best
 
 
