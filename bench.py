@@ -67,13 +67,17 @@ def main() -> None:
 
     from graphconvgeo_tpu.utils.timing import device_seconds_per_iter
 
+    import jax.numpy as jnp
+
     results = {}
-    for name in ("hybrid",):
+    for name, gather_dtype in (("hybrid+bf16gather", jnp.bfloat16), ("hybrid", None)):
         try:
-            fmt, fmt_t = device_operands(g, name)
+            fmt, fmt_t = device_operands(g, "hybrid")
             # scale+shift keeps the chained iterate numerically bounded
-            step = lambda x, a, b: spmm_operands(a, b, x, n_rows=N) * 0.25 + 0.01
-            dt = device_seconds_per_iter(step, h, fmt, fmt_t)
+            step = lambda x, a, b, gd=gather_dtype: (
+                spmm_operands(a, b, x, n_rows=N, gather_dtype=gd) * 0.25 + 0.01
+            )
+            dt = device_seconds_per_iter(step, h, fmt, fmt_t, trials=2)
             results[name] = g.nnz / dt
         except Exception as e:  # pragma: no cover — keep bench robust
             import sys

@@ -129,12 +129,13 @@ def _spmm_bell_core(bell, bell_t, h):
 
 
 def _spmm_bell_fwd(bell, bell_t, h):
-    return _bell_matvec(bell, h), (bell, bell_t)
+    # zero-size dtype marker so bwd can cast dh back to the primal h dtype
+    return _bell_matvec(bell, h), (bell, bell_t, jnp.zeros((0,), h.dtype))
 
 
 def _spmm_bell_bwd(res, g):
-    bell, bell_t = res
-    dh = _bell_matvec(bell_t, g)
+    bell, bell_t, h_marker = res
+    dh = _bell_matvec(bell_t, g.astype(h_marker.dtype)).astype(h_marker.dtype)
     f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
 
     def zeros_like_bell(b):
@@ -152,7 +153,15 @@ def _spmm_bell_bwd(res, g):
 _spmm_bell_core.defvjp(_spmm_bell_fwd, _spmm_bell_bwd)
 
 
-def spmm_bell(bell: BucketedEll, bell_t: BucketedEll, h: jax.Array) -> jax.Array:
+def spmm_bell(
+    bell: BucketedEll, bell_t: BucketedEll, h: jax.Array, *, gather_dtype=None
+) -> jax.Array:
+    """gather_dtype: cast h before the row gathers (e.g. bfloat16 — ~1.2×
+    faster on the gather-rate-limited path); accumulation stays float32 and
+    the output/cotangent dtypes follow the original h."""
+    if gather_dtype is not None and jnp.dtype(gather_dtype) != h.dtype:
+        out = _spmm_bell_core(bell, bell_t, h.astype(gather_dtype))
+        return out.astype(h.dtype)
     return _spmm_bell_core(bell, bell_t, h)
 
 
@@ -176,10 +185,10 @@ def device_operands(graph: SparseGraph, backend: Backend = "auto") -> tuple:
     raise ValueError(f"unknown backend {backend!r}")
 
 
-def spmm_operands(fmt, fmt_t, h: jax.Array, *, n_rows: int) -> jax.Array:
+def spmm_operands(fmt, fmt_t, h: jax.Array, *, n_rows: int, gather_dtype=None) -> jax.Array:
     """SpMM against device-format pytrees (format-dispatched)."""
     if isinstance(fmt, BucketedEll):
-        return spmm_bell(fmt, fmt_t, h)[:n_rows]
+        return spmm_bell(fmt, fmt_t, h, gather_dtype=gather_dtype)[:n_rows]
     if isinstance(fmt, EllMatrix):
         return spmm_ell(fmt, fmt_t, h)[:n_rows]
     if isinstance(fmt, BsrMatrix):
@@ -195,7 +204,7 @@ def spmm_operands(fmt, fmt_t, h: jax.Array, *, n_rows: int) -> jax.Array:
         if bsr_p is not None:
             out = spmm_bsr(bsr_p, bsr_tp, h)[:n_rows]
         if bell_p is not None:
-            o2 = spmm_bell(bell_p, bell_tp, h)[:n_rows]
+            o2 = spmm_bell(bell_p, bell_tp, h, gather_dtype=gather_dtype)[:n_rows]
             out = o2 if out is None else out + o2
         if out is None:  # empty matrix
             out = jnp.zeros((n_rows, h.shape[1]), h.dtype)

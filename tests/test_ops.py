@@ -163,3 +163,18 @@ def test_hybrid_all_sparse_degenerates_to_bell(rng):
     h = rng.normal(size=(100, 8)).astype(np.float32)
     got = spmm(g, jnp.asarray(h), backend="hybrid")
     np.testing.assert_allclose(np.asarray(got), m @ h, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_bell_gather_dtype(rng):
+    m = random_csr(rng, 80, 80, 4, symmetric=True)
+    g = SparseGraph(csr=m, symmetric=True)
+    h = jnp.asarray(rng.normal(size=(80, 16)).astype(np.float32))
+    from graphconvgeo_tpu.ops.spmm import spmm_bell
+
+    out16 = spmm_bell(g.bell(), g.bell_t(), h, gather_dtype=jnp.bfloat16)
+    assert out16.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out16), m @ np.asarray(h), rtol=2e-2, atol=2e-2)
+    w = jnp.asarray(rng.normal(size=(80, 16)).astype(np.float32))
+    dh = jax.grad(lambda h: jnp.sum(spmm_bell(g.bell(), g.bell_t(), h, gather_dtype=jnp.bfloat16) * w))(h)
+    assert dh.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(dh), m.T @ np.asarray(w), rtol=2e-2, atol=2e-2)
