@@ -1,0 +1,122 @@
+"""Pallas TPU SDDMM over a block-sparse (BSR) pattern.
+
+SDDMM computes per-edge scores ``s_ij = <h1_i, h2_j>`` for (i,j) in the
+sparsity pattern — the backward of SpMM w.r.t. edge values, and the score
+kernel for attention-style GNN extensions (BASELINE.json:5 "SpMM/SDDMM at
+speed-of-light"). On TPU the natural unit is the dense 128×128 tile: for
+every materialized tile of the pattern,
+
+    S_tile[t] = H1[row_blk(t)·B : +B] @ H2[col_blk(t)·B : +B]ᵀ
+
+one MXU matmul per (tile, feature-chunk), accumulated over feature chunks in
+VMEM (the output tile index is constant while the innermost grid dim varies).
+Scattered residual edges use the XLA path (:mod:`ops.sddmm`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from graphconvgeo_tpu.sparse.formats import BsrMatrix
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(trow_ref, tcol_ref, h1_ref, h2_ref, o_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    o_ref[0] += jax.lax.dot_general(
+        h1_ref[:],
+        h2_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=o_ref.dtype,
+    )
+
+
+def sddmm_bsr(
+    pattern: BsrMatrix,
+    h1: jax.Array,
+    h2: jax.Array,
+    *,
+    fblk: int = 512,
+    mask_pattern: bool = True,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Tile scores [n_tiles+1, B, B] matching ``pattern.tiles`` layout
+    (tile 0 is the reserved zero tile and returns zeros). ``h1`` rows follow
+    the pattern's rows, ``h2`` rows its columns."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    block = pattern.block
+    n_tiles = pattern.tiles.shape[0]  # includes zero tile
+    rb, k_max = pattern.tile_idx.shape
+
+    # flat per-tile (row_blk, col_blk) tables; slot 0 = zero tile -> (0, 0)
+    # scatter from the padded per-row lists
+    import numpy as np
+
+    tidx = np.asarray(pattern.tile_idx)
+    tcol = np.asarray(pattern.tile_col)
+    trow_flat = np.zeros(n_tiles, dtype=np.int32)
+    tcol_flat = np.zeros(n_tiles, dtype=np.int32)
+    rows = np.repeat(np.arange(rb, dtype=np.int32), k_max)
+    flat = tidx.reshape(-1)
+    nzslot = flat > 0
+    trow_flat[flat[nzslot]] = rows[nzslot]
+    tcol_flat[flat[nzslot]] = tcol.reshape(-1)[nzslot]
+
+    f = h1.shape[1]
+    f_pad = _round_up(f, 128)
+    fblk = min(fblk, f_pad)
+    while f_pad % fblk:
+        fblk //= 2
+
+    def pad_h(h, rows_needed):
+        m = min(h.shape[0], rows_needed)
+        out = jnp.zeros((rows_needed, f_pad), h.dtype)
+        return out.at[:m, :f].set(h[:m])
+
+    h1p = pad_h(h1, pattern.n_rows_padded)
+    h2p = pad_h(h2, pattern.n_cols_padded)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles, f_pad // fblk),
+        in_specs=[
+            pl.BlockSpec(
+                (block, fblk), lambda t, j, tr, tc: (tr[t], j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (block, fblk), lambda t, j, tr, tc: (tc[t], j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block, block), lambda t, j, tr, tc: (t, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    scores = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, block, block), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_tiles * block * block * f_pad,
+            bytes_accessed=2 * n_tiles * block * f_pad * 4 + n_tiles * block * block * 4,
+            transcendentals=0,
+        ),
+    )(jnp.asarray(trow_flat), jnp.asarray(tcol_flat), h1p, h2p)
+    scores = scores.at[0].set(0.0)
+    if mask_pattern:
+        scores = scores * (pattern.tiles != 0)
+    return scores

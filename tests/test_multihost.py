@@ -1,0 +1,94 @@
+"""Multi-host integration test (SURVEY.md §4.4c): two OS processes, CPU
+backend, ``jax.distributed.initialize`` over local TCP; each process drives 4
+of the 8 virtual devices and they jointly run one edge-partitioned train
+step. Validates that the shard_map program and the partitioner work under
+``jax.process_count() > 1`` (the multi-host code path for pod slices),
+without TPU pod hardware.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+WORKER = r"""
+import os, sys
+import jax
+
+coord = sys.argv[1]
+pid = int(sys.argv[2])
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=coord, num_processes=2, process_id=pid)
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 8, jax.device_count()
+
+import numpy as np
+import scipy.sparse as sp
+from graphconvgeo_tpu.models.gcn import GCNConfig
+from graphconvgeo_tpu.parallel.mesh import make_graph_mesh
+from graphconvgeo_tpu.parallel.model_dist import DistHighwayGCN
+from graphconvgeo_tpu.parallel.partition import partition_rows
+from graphconvgeo_tpu.sparse.formats import normalize_adjacency
+
+rng = np.random.default_rng(0)
+n, v, classes = 64, 24, 4
+a = sp.random(n, n, density=0.05, random_state=1, format="csr")
+a = ((a + a.T) > 0).astype(np.float32)
+a_hat = normalize_adjacency(a)
+x = (sp.random(n, v, density=0.2, random_state=2, format="csr")).astype(np.float32)
+y = rng.integers(0, classes, n).astype(np.int32)
+mask = np.ones(n, np.float32)
+
+cfg = GCNConfig(n_features=v, n_classes=classes, hidden=(8, 8), highway=True, dropout=0.2)
+part = partition_rows(a_hat, x, y, mask, 8)
+mesh = make_graph_mesh(8)
+model = DistHighwayGCN(cfg, part, mesh, halo="on")
+params = model.init(jax.random.key(0))
+opt, step = model.make_train_step(1e-2)
+opt_state = opt.init(params)
+params, opt_state, loss = step(params, opt_state, jax.random.key(1))
+val = float(loss)
+assert np.isfinite(val), val
+print(f"RESULT {pid} {val:.6f}", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_distributed_train_step(tmp_path):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), coord, str(pid)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            cwd=repo_root,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(out)
+    losses = []
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                losses.append(float(line.split()[2]))
+    assert len(losses) == 2
+    # both hosts compute the same (replicated) loss
+    assert abs(losses[0] - losses[1]) < 1e-5

@@ -178,3 +178,37 @@ def test_spmm_bell_gather_dtype(rng):
     dh = jax.grad(lambda h: jnp.sum(spmm_bell(g.bell(), g.bell_t(), h, gather_dtype=jnp.bfloat16) * w))(h)
     assert dh.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(dh), m.T @ np.asarray(w), rtol=2e-2, atol=2e-2)
+
+
+def test_sddmm_bsr_matches_dense(rng):
+    from graphconvgeo_tpu.ops.sddmm_pallas import sddmm_bsr
+    from graphconvgeo_tpu.sparse.formats import BsrMatrix
+
+    m = random_csr(rng, 300, 280, 5)
+    pattern = BsrMatrix.from_scipy(m, block=128)
+    h1 = rng.normal(size=(300, 70)).astype(np.float32)
+    h2 = rng.normal(size=(280, 70)).astype(np.float32)
+    scores = np.asarray(sddmm_bsr(pattern, jnp.asarray(h1), jnp.asarray(h2)))
+    # check every nonzero of the pattern carries the right dot product
+    tiles = np.asarray(pattern.tiles)
+    tidx = np.asarray(pattern.tile_idx)
+    tcol = np.asarray(pattern.tile_col)
+    full = h1 @ h2.T
+    checked = 0
+    for r in range(pattern.n_row_blocks):
+        for k in range(pattern.k_max):
+            t = tidx[r, k]
+            if t == 0:
+                continue
+            c = tcol[r, k]
+            mask = tiles[t] != 0
+            want = np.where(
+                mask,
+                full[r * 128 : (r + 1) * 128, c * 128 : (c + 1) * 128]
+                if r * 128 + 128 <= 300 and c * 128 + 128 <= 280
+                else np.pad(full, ((0, 84), (0, 104)))[r * 128 : (r + 1) * 128, c * 128 : (c + 1) * 128],
+                0.0,
+            )
+            np.testing.assert_allclose(scores[t], want, rtol=1e-4, atol=1e-4)
+            checked += mask.sum()
+    assert checked == m.nnz
