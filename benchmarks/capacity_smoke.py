@@ -1,0 +1,73 @@
+"""Twitter-US-scale single-chip capacity smoke (BASELINE config 3).
+
+Synthetic stand-in at the real dataset's scale: 450k nodes, ~9M mention
+edges (community-structured, label-prop reordered), 27M BoW nnz over a 50k
+vocabulary, 256 classes, 600-600 Highway-GCN, full-graph steps with the
+hybrid SpMM — all HBM-resident on one v5e.
+
+Measured 2026-08-17 (one v5e via axon): first step (compile) ~46 s,
+then ~1.9 s/step sustained → a full 300-epoch early-stopped run ≈ 10 min
+(the Theano/CPU reference takes hours at this scale).
+
+Run: /opt/venv/bin/python benchmarks/capacity_smoke.py
+"""
+
+import time
+
+import numpy as np
+import scipy.sparse as sp
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from graphconvgeo_tpu.data.synthetic import random_sbm_graph
+    from graphconvgeo_tpu.models.gcn import GCNConfig, HighwayGCN
+    from graphconvgeo_tpu.sparse.formats import SparseGraph, normalize_adjacency
+    from graphconvgeo_tpu.sparse.reorder import labelprop_reordering
+    from graphconvgeo_tpu.train.trainer import TrainConfig, Trainer
+
+    n, v, c = 450_000, 50_000, 256
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    adj = random_sbm_graph(n, 1800, 10, seed=3)
+    a_hat = normalize_adjacency(adj)
+    ro = labelprop_reordering(a_hat)
+    a_hat = ro.permute_graph(a_hat)
+    deg = rng.poisson(60, n)
+    rows = np.repeat(np.arange(n), deg)
+    cols = rng.integers(0, v, rows.shape[0])
+    x = sp.coo_matrix(
+        (np.abs(rng.normal(size=rows.shape[0])).astype(np.float32), (rows, cols)),
+        shape=(n, v),
+    ).tocsr()
+    y = rng.integers(0, c, n).astype(np.int32)
+    mask = (rng.random(n) < 0.9).astype(np.float32)
+    print(f"host build {time.time()-t0:.1f}s  adj nnz {a_hat.nnz}  x nnz {x.nnz}")
+
+    cfg = GCNConfig(
+        n_features=v, n_classes=c, hidden=(600, 600), highway=True,
+        dropout=0.5, spmm_backend="hybrid",
+    )
+    model = HighwayGCN(cfg, SparseGraph(csr=x), SparseGraph(csr=a_hat, symmetric=True))
+    trainer = Trainer(model, TrainConfig(verbose=False))
+    params = model.init(jax.random.key(0))
+    opt_state = trainer.optimizer.init(params)
+    yj, mj = jnp.asarray(y), jnp.asarray(mask)
+    k = jax.random.key(1)
+    t0 = time.time()
+    params, opt_state, loss = trainer._train_step(params, opt_state, k, yj, mj)
+    print(f"first step (compile) {time.time()-t0:.1f}s  loss {float(loss):.4f}")
+    t0 = time.time()
+    steps = 3
+    for _ in range(steps):
+        k, sk = jax.random.split(k)
+        params, opt_state, loss = trainer._train_step(params, opt_state, sk, yj, mj)
+        lv = float(loss)  # host fetch = true sync on the axon relay
+    dt = (time.time() - t0) / steps
+    print(f"sustained {dt:.2f} s/step  loss {lv:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""Distributed training loop: the full-graph ``Trainer`` semantics (epoch
+steps, dev early stopping, best-param restore — reference ``GCN.fit``) driving
+:class:`DistHighwayGCN` over a device mesh."""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphconvgeo_tpu.parallel.model_dist import DistHighwayGCN
+from graphconvgeo_tpu.train.evaluate import geo_eval
+from graphconvgeo_tpu.train.trainer import TrainConfig
+
+
+class DistTrainer:
+    def __init__(self, model: DistHighwayGCN, cfg: TrainConfig = TrainConfig()):
+        self.model = model
+        self.cfg = cfg
+        self.optimizer, self._step = model.make_train_step(cfg.learning_rate)
+        self._predict_jit = jax.jit(
+            lambda p, data: jnp.argmax(model.apply(p, data, train=False), axis=-1)
+        )
+
+    def predict(self, params) -> np.ndarray:
+        return np.asarray(self._predict_jit(params, self.model.data))[: self.model.part.n_nodes]
+
+    def fit(
+        self,
+        dev_idx: np.ndarray,
+        *,
+        lat: np.ndarray,
+        lon: np.ndarray,
+        class_lat_median: np.ndarray,
+        class_lon_median: np.ndarray,
+        params: Optional[dict] = None,
+    ) -> dict:
+        cfg = self.cfg
+        rng = jax.random.key(cfg.seed)
+        rng, init_key = jax.random.split(rng)
+        if params is None:
+            params = self.model.init(init_key)
+        opt_state = self.optimizer.init(params)
+        sign = 1.0 if cfg.monitor == "acc_at_161" else -1.0
+        best_score, best_epoch = -np.inf, 0
+        best_params = jax.tree.map(np.asarray, params)
+        history = []
+        t0 = time.time()
+        for epoch in range(cfg.epochs):
+            rng, k = jax.random.split(rng)
+            params, opt_state, loss = self._step(params, opt_state, k)
+            pred = self.predict(params)
+            m = geo_eval(pred[dev_idx], lat[dev_idx], lon[dev_idx], class_lat_median, class_lon_median)
+            history.append(
+                {"epoch": epoch, "loss": float(loss), "dev_acc_at_161": m["acc_at_161"],
+                 "dev_median_km": m["median_km"]}
+            )
+            score = sign * m[cfg.monitor]
+            if score > best_score:
+                best_score, best_epoch = score, epoch
+                best_params = jax.tree.map(np.asarray, params)
+            if cfg.verbose and epoch % cfg.log_every == 0:
+                h = history[-1]
+                print(
+                    f"epoch {epoch:4d} loss {h['loss']:.4f} dev acc@161 "
+                    f"{h['dev_acc_at_161']:.3f} ({time.time()-t0:.1f}s)"
+                )
+            if epoch >= cfg.min_epochs and epoch - best_epoch >= cfg.patience:
+                break
+        params = jax.device_put(
+            jax.tree.map(jnp.asarray, best_params),
+            jax.sharding.NamedSharding(self.model.mesh, jax.sharding.PartitionSpec()),
+        )
+        return {"params": params, "history": history, "best_epoch": best_epoch}

@@ -36,6 +36,11 @@ class TrainConfig:
     monitor: str = "acc_at_161"  # dev metric for early stopping ("acc_at_161" ↑ or "median_km" ↓)
     log_every: int = 10
     verbose: bool = True
+    # failure recovery (SURVEY.md §5): periodic orbax saves; fit() resumes
+    # from the latest step checkpoint if one exists in checkpoint_dir
+    checkpoint_dir: str | None = None
+    save_every: int = 0  # epochs between periodic saves (0 = only best at end)
+    debug_nans: bool = False  # jax_debug_nans for the step (sanitizer mode)
 
 
 class Trainer:
@@ -82,6 +87,19 @@ class Trainer:
         if params is None:
             params = self.model.init(init_key)
         opt_state = self.optimizer.init(params)
+        start_epoch = 0
+        if cfg.checkpoint_dir:
+            from graphconvgeo_tpu.train.checkpoint import latest_checkpoint, restore_checkpoint
+
+            path = latest_checkpoint(cfg.checkpoint_dir)
+            if path is not None:
+                template = {"params": params, "opt_state": opt_state}
+                restored = restore_checkpoint(path, jax.tree.map(np.asarray, template))
+                params = jax.tree.map(jnp.asarray, restored["params"])
+                opt_state = jax.tree.map(jnp.asarray, restored["opt_state"])
+                start_epoch = int(path.rsplit("_", 1)[-1]) + 1
+                if cfg.verbose:
+                    print(f"resumed from {path} (epoch {start_epoch})")
 
         n = len(y)
         if label_fraction < 1.0:
@@ -100,9 +118,18 @@ class Trainer:
         best_epoch = 0
         history = []
         t0 = time.time()
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, cfg.epochs):
             rng, step_key = jax.random.split(rng)
-            params, opt_state, loss = self._train_step(params, opt_state, step_key, y_dev, mask_dev)
+            with jax.debug_nans(cfg.debug_nans):
+                params, opt_state, loss = self._train_step(
+                    params, opt_state, step_key, y_dev, mask_dev
+                )
+            if cfg.checkpoint_dir and cfg.save_every and (epoch + 1) % cfg.save_every == 0:
+                from graphconvgeo_tpu.train.checkpoint import save_checkpoint
+
+                save_checkpoint(
+                    cfg.checkpoint_dir, params, opt_state=opt_state, step=epoch
+                )
             pred = np.asarray(self._predict(params))
             dev_metrics = geo_eval(
                 pred[dev_idx], lat[dev_idx], lon[dev_idx], class_lat_median, class_lon_median

@@ -22,3 +22,40 @@ def test_checkpoint_multiple_steps(tmp_path):
     save_checkpoint(str(tmp_path), p, step=1)
     path2 = save_checkpoint(str(tmp_path), p, step=2)
     assert latest_checkpoint(str(tmp_path)) == path2
+
+
+def test_trainer_resume_from_checkpoint(tmp_path, rng=None):
+    import numpy as np
+
+    from graphconvgeo_tpu.models.gcn import GCNConfig, HighwayGCN
+    from graphconvgeo_tpu.sparse.formats import SparseGraph, normalize_adjacency
+    from graphconvgeo_tpu.train.trainer import TrainConfig, Trainer
+    from tests.conftest import random_csr
+
+    rng = np.random.default_rng(0)
+    n, v, c = 60, 20, 4
+    adj = random_csr(rng, n, n, 3, symmetric=True)
+    adj.data = np.abs(adj.data)
+    a_hat = normalize_adjacency(adj)
+    x = random_csr(rng, n, v, 4)
+    x.data = np.abs(x.data).astype(np.float32)
+    y = rng.integers(0, c, n).astype(np.int32)
+    lat = rng.uniform(0, 10, n)
+    lon = rng.uniform(0, 10, n)
+    med = np.array([5.0, 5.0, 5.0, 5.0])
+    cfg = GCNConfig(n_features=v, n_classes=c, hidden=(8, 8), highway=True, dropout=0.2)
+
+    def mk_trainer():
+        model = HighwayGCN(cfg, SparseGraph(csr=x), SparseGraph(csr=a_hat, symmetric=True))
+        return Trainer(
+            model,
+            TrainConfig(epochs=6, patience=10, min_epochs=6, verbose=False,
+                        checkpoint_dir=str(tmp_path), save_every=2),
+        )
+
+    kw = dict(lat=lat, lon=lon, class_lat_median=med, class_lon_median=med)
+    out1 = mk_trainer().fit(y, np.arange(40), np.arange(40, 50), **kw)
+    assert len(out1["history"]) == 6
+    # second run resumes at epoch 6 and trains no further (epochs=6)
+    out2 = mk_trainer().fit(y, np.arange(40), np.arange(40, 50), **kw)
+    assert len(out2["history"]) == 0

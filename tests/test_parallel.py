@@ -147,3 +147,31 @@ def test_halo_train_step_learns(rng, mesh):
         params, opt_state, loss = step(params, opt_state, sk)
         losses.append(float(loss))
     assert losses[-1] < losses[0] and np.isfinite(losses).all()
+
+
+def test_dist_trainer_full_loop(rng, mesh):
+    from graphconvgeo_tpu.data.kdtree import KDTreeDiscretizer
+    from graphconvgeo_tpu.parallel.trainer_dist import DistTrainer
+    from graphconvgeo_tpu.train.trainer import TrainConfig
+
+    n = 120
+    a_hat, x, _, _, cfg = _mk_problem(rng, n=n)
+    lat = rng.uniform(25, 48, n)
+    lon = rng.uniform(-120, -70, n)
+    disc = KDTreeDiscretizer(bucket_size=30).fit(lat[:80], lon[:80])
+    y = np.zeros(n, np.int32)
+    y[:80] = disc.class_of_train
+    y[80:] = disc.assign(lat[80:], lon[80:])
+    mask = np.zeros(n, np.float32)
+    mask[:80] = 1.0
+    cfg = GCNConfig(n_features=x.shape[1], n_classes=disc.n_classes, hidden=(16, 16), highway=True, dropout=0.3)
+    part = partition_rows(a_hat, x, y, mask, 8)
+    dist = DistHighwayGCN(cfg, part, mesh, halo="on")
+    trainer = DistTrainer(dist, TrainConfig(epochs=8, patience=8, min_epochs=8, verbose=False))
+    out = trainer.fit(
+        np.arange(80, 100),
+        lat=lat, lon=lon,
+        class_lat_median=disc.class_lat_median, class_lon_median=disc.class_lon_median,
+    )
+    assert len(out["history"]) == 8
+    assert np.isfinite([h["loss"] for h in out["history"]]).all()
