@@ -14,6 +14,11 @@ Run: /opt/venv/bin/python benchmarks/capacity_smoke.py
 
 import time
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import scipy.sparse as sp
 

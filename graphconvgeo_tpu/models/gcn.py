@@ -50,6 +50,9 @@ class GCNConfig:
     gate_bias_init: float = -1.0
     spmm_backend: str = "auto"
     dtype: str = "float32"
+    # cast H to this dtype for the SpMM row gathers (e.g. "bfloat16": ~1.2×
+    # on the gather-rate-limited residual path; accumulation stays float32)
+    gather_dtype: Optional[str] = None
 
     def __post_init__(self):
         if self.highway:
@@ -175,7 +178,11 @@ class HighwayGCN:
             else:
                 h_in = h
             hw = h_in @ layer["w"]
-            conv = spmm_operands(arrays["adj"], arrays["adj_t"], hw, n_rows=self.x.shape[0])
+            conv = spmm_operands(
+                arrays["adj"], arrays["adj_t"], hw,
+                n_rows=self.x.shape[0],
+                gather_dtype=cfg.gather_dtype and jnp.dtype(cfg.gather_dtype),
+            )
             conv = act(conv + layer["b"])
             if "w_t" in layer:
                 gate = jax.nn.sigmoid(h_in @ layer["w_t"] + layer["b_t"])
