@@ -26,8 +26,8 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from graphconvgeo_tpu.ops.dropout import dropout, ell_dropout_values
-from graphconvgeo_tpu.ops.spmm import _spmm_ell_core, device_operands, spmm_operands
+from graphconvgeo_tpu.ops.dropout import bell_dropout, dropout
+from graphconvgeo_tpu.ops.spmm import _spmm_bell_core, device_operands, spmm_operands
 from graphconvgeo_tpu.sparse.formats import EllMatrix, SparseGraph
 
 _ACTIVATIONS = {
@@ -121,7 +121,7 @@ class HighwayGCN:
         # jitted trace would cache tracers). These must be threaded through
         # jit boundaries AS ARGUMENTS — see `arrays` params below — otherwise
         # the sparse data gets baked into the compiled module as constants.
-        self.arrays = {"x": x.ell(), "x_t": x.ell_t()}
+        self.arrays = {"x": x.bell(), "x_t": x.bell_t()}
         if adj is not None:
             fmt, fmt_t = device_operands(adj, cfg.spmm_backend)
             self.arrays["adj"] = fmt
@@ -133,22 +133,29 @@ class HighwayGCN:
 
     # ---- forward --------------------------------------------------------
     def _input_layer(self, params, arrays, *, train: bool, seed) -> jax.Array:
-        """H₀ = act(X W₀ + b₀) with sparse-input dropout at train time."""
+        """H₀ = act(X W₀ + b₀) with sparse-input dropout at train time.
+
+        X and Xᵀ are degree-bucketed (text lengths are as skewed as mention
+        degrees); the hashed dropout mask is keyed by global entry position so
+        the forward and transpose layouts drop identical entries — the custom
+        VJP then differentiates the *dropped* operator exactly.
+        """
         cfg = self.cfg
-        x_ell = arrays["x"]
-        x_ell_t = arrays["x_t"]
-        fv, tv = x_ell.values, x_ell_t.values
+        x_bell = arrays["x"]
+        x_bell_t = arrays["x_t"]
         if train and cfg.dropout > 0.0:
-            fv = ell_dropout_values(
-                x_ell.indices, fv, rate=cfg.dropout, seed=seed,
-                n_cols=self.x.shape[1], transposed=False,
+            v = self.x.shape[1]
+            x_bell = bell_dropout(
+                x_bell, rate=cfg.dropout, seed=seed, n_cols_forward=v, transposed=False
             )
-            tv = ell_dropout_values(
-                x_ell_t.indices, tv, rate=cfg.dropout, seed=seed,
-                n_cols=self.x.shape[1], transposed=True,
+            x_bell_t = bell_dropout(
+                x_bell_t, rate=cfg.dropout, seed=seed, n_cols_forward=v, transposed=True
             )
-        h = _spmm_ell_core(x_ell.indices, fv, x_ell_t.indices, tv, params["input"]["w"])
-        h = h[: self.x.shape[0]]
+        w0 = params["input"]["w"]
+        if cfg.gather_dtype is not None:
+            w0 = w0.astype(cfg.gather_dtype)
+        h = _spmm_bell_core(x_bell, x_bell_t, w0)
+        h = h[: self.x.shape[0]].astype(self._dtype)
         return _ACTIVATIONS[cfg.activation](h + params["input"]["b"])
 
     def hidden_states(

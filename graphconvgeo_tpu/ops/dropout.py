@@ -61,6 +61,30 @@ def ell_dropout_values(
     return values * keep / (1.0 - rate)
 
 
+def bell_dropout(bell, *, rate: float, seed: jax.Array, n_cols_forward: int, transposed: bool):
+    """Entry-position-keyed dropout over a :class:`BucketedEll`'s values.
+
+    ``n_cols_forward`` is always the FORWARD matrix's column count (vocab
+    size for the BoW input), so the forward and transposed layouts enumerate
+    identical entry-id sets and thus identical masks (see module docstring).
+    """
+    import dataclasses
+
+    if rate <= 0.0:
+        return bell
+    new_vals = []
+    for idx, val, rid in zip(bell.indices, bell.values, bell.row_ids):
+        rid_col = rid[:, None].astype(jnp.int32)
+        if transposed:
+            # rows are forward-cols j (= rid), entries are forward-rows i (= idx)
+            entry_id = idx * jnp.int32(n_cols_forward) + rid_col
+        else:
+            entry_id = rid_col * jnp.int32(n_cols_forward) + idx
+        u = entry_uniform(entry_id, seed)
+        new_vals.append(val * (u >= rate).astype(val.dtype) / (1.0 - rate))
+    return dataclasses.replace(bell, values=tuple(new_vals))
+
+
 def dropout(x: jax.Array, *, rate: float, rng: jax.Array) -> jax.Array:
     """Standard inverted dropout (reference: ``lasagne.layers.DropoutLayer``)."""
     if rate <= 0.0:

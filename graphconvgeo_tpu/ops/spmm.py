@@ -142,6 +142,7 @@ def _spmm_bell_bwd(res, g):
         return BucketedEll(
             indices=tuple(f0(i) for i in b.indices),
             values=tuple(v * 0.0 for v in b.values),
+            row_ids=tuple(f0(r) for r in b.row_ids),
             perm=f0(b.perm),
             inv_perm=f0(b.inv_perm),
             n_cols=b.n_cols,

@@ -228,6 +228,7 @@ class BucketedEll:
 
     indices: tuple  # tuple of [n_b, K_b] int32
     values: tuple  # tuple of [n_b, K_b] float32
+    row_ids: tuple  # tuple of [n_b] int32 — original row id per bucket row
     perm: jax.Array  # [n_rows] int32
     inv_perm: jax.Array  # [n_rows] int32
     n_cols: int = dataclasses.field(metadata=dict(static=True))
@@ -259,7 +260,7 @@ class BucketedEll:
         while widths[-1] < (int(deg.max()) if n_rows and deg.max() else 1):
             widths.append(widths[-1] * growth)
         widths = widths[::-1]  # largest bucket first (rows sorted descending)
-        indices, values = [], []
+        indices, values, row_ids = [], [], []
         start = 0
         for b, k in enumerate(widths):
             lower = widths[b + 1] if b + 1 < len(widths) else 0
@@ -281,15 +282,18 @@ class BucketedEll:
                 bv[rr, ss] = block.data
             indices.append(jnp.asarray(bi))
             values.append(jnp.asarray(bv, dtype=dtype))
+            row_ids.append(jnp.asarray(rows.astype(np.int32)))
             start = end
         if not indices:  # empty matrix
             indices = [jnp.zeros((max(n_rows, 1), min_k), jnp.int32)]
             values = [jnp.zeros((max(n_rows, 1), min_k), dtype)]
+            row_ids = [jnp.zeros((max(n_rows, 1),), jnp.int32)]
         inv_perm = np.empty(n_rows, dtype=np.int32)
         inv_perm[perm] = np.arange(n_rows, dtype=np.int32)
         return BucketedEll(
             indices=tuple(indices),
             values=tuple(values),
+            row_ids=tuple(row_ids),
             perm=jnp.asarray(perm),
             inv_perm=jnp.asarray(inv_perm),
             n_cols=n_cols,
