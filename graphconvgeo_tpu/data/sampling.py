@@ -84,34 +84,39 @@ class NeighborSampler:
             nmask = np.zeros(caps[l + 1], dtype=np.float32)
             nxt[:cap_l] = nodes[l]
             nmask[:cap_l] = node_mask[l]
+            # Vectorized sampling: draw `fanout` slot offsets per node.
+            # For nodes with degree d <= fanout we take the first d neighbors
+            # unscaled; for d > fanout we draw `fanout` *distinct* offsets via
+            # a random permutation trick (argsort of uniforms restricted to
+            # each row's valid range) and rescale by d/fanout.
+            u = nodes[l]
+            deg = self.deg[u] * (node_mask[l] > 0)
+            starts = self.adj.indptr[u]
+            # random distinct offsets: rank of uniforms over [0, d) per row
+            r = self.rng.random((cap_l, max(int(deg.max()), 1) if deg.max() else 1))
+            # mask invalid positions with +inf so argsort puts them last
+            valid = np.arange(r.shape[1])[None, :] < deg[:, None]
+            r = np.where(valid, r, np.inf)
+            order = np.argsort(r, axis=1)[:, :fanout]  # distinct offsets per row
+            take = np.minimum(deg, fanout)  # how many are real per row
+            slot_ar = np.arange(fanout)[None, :]
+            sel_mask = slot_ar < take[:, None]
+            offs = np.where(sel_mask, order, 0)
+            eidx = starts[:, None] + offs
+            nbrs = self.adj.indices[eidx]
+            vals = self.adj.data[eidx].astype(np.float32)
+            scale = np.where(deg > fanout, deg / fanout, 1.0).astype(np.float32)
+            vals = vals * scale[:, None] * sel_mask
+            base = cap_l + np.arange(cap_l)[:, None] * fanout + slot_ar
+            nxt[base[sel_mask]] = nbrs[sel_mask]
+            nmask[base[sel_mask]] = 1.0
+            n_edges = int(sel_mask.sum())
             es = np.zeros(cap_l * fanout, dtype=np.int64)
             ed = np.zeros(cap_l * fanout, dtype=np.int64)
             ev = np.zeros(cap_l * fanout, dtype=np.float32)
-            pos = 0
-            for slot in range(cap_l):
-                if node_mask[l][slot] == 0:
-                    continue
-                u = nodes[l][slot]
-                lo, hi = self.adj.indptr[u], self.adj.indptr[u + 1]
-                nbrs = self.adj.indices[lo:hi]
-                vals = self.adj.data[lo:hi]
-                d = len(nbrs)
-                if d == 0:
-                    continue
-                if d > fanout:
-                    pick = self.rng.choice(d, size=fanout, replace=False)
-                    scale = d / fanout
-                else:
-                    pick = np.arange(d)
-                    scale = 1.0
-                k = len(pick)
-                base = cap_l + slot * fanout
-                nxt[base : base + k] = nbrs[pick]
-                nmask[base : base + k] = 1.0
-                es[pos : pos + k] = np.arange(base, base + k)
-                ed[pos : pos + k] = slot
-                ev[pos : pos + k] = vals[pick] * scale
-                pos += k
+            es[:n_edges] = base[sel_mask]
+            ed[:n_edges] = np.repeat(np.arange(cap_l), take)
+            ev[:n_edges] = vals[sel_mask]
             nodes.append(nxt)
             node_mask.append(nmask)
             edge_src.append(es)

@@ -53,6 +53,10 @@ class GCNConfig:
     # cast H to this dtype for the SpMM row gathers (e.g. "bfloat16": ~1.2×
     # on the gather-rate-limited residual path; accumulation stays float32)
     gather_dtype: Optional[str] = None
+    # rematerialize each conv layer in the backward pass: trades one extra
+    # forward SpMM per layer for not storing its activations — lets deep
+    # (4+ layer) Highway-GCNs fit full-graph at Twitter-US/World scale
+    remat: bool = False
 
     def __post_init__(self):
         if self.highway:
@@ -176,14 +180,7 @@ class HighwayGCN:
         else:
             x_seed = jnp.int32(0)
 
-        states = []
-        h = self._input_layer(params, arrays, train=train, seed=x_seed)
-        states.append(h)
-        for i, layer in enumerate(params["layers"]):
-            if train and cfg.dropout > 0.0:
-                h_in = dropout(h, rate=cfg.dropout, rng=seeds[1 + i])
-            else:
-                h_in = h
+        def conv_layer(layer, h, h_in):
             hw = h_in @ layer["w"]
             conv = spmm_operands(
                 arrays["adj"], arrays["adj_t"], hw,
@@ -193,9 +190,21 @@ class HighwayGCN:
             conv = act(conv + layer["b"])
             if "w_t" in layer:
                 gate = jax.nn.sigmoid(h_in @ layer["w_t"] + layer["b_t"])
-                h = gate * conv + (1.0 - gate) * h
+                return gate * conv + (1.0 - gate) * h
+            return conv
+
+        if cfg.remat:
+            conv_layer = jax.checkpoint(conv_layer)
+
+        states = []
+        h = self._input_layer(params, arrays, train=train, seed=x_seed)
+        states.append(h)
+        for i, layer in enumerate(params["layers"]):
+            if train and cfg.dropout > 0.0:
+                h_in = dropout(h, rate=cfg.dropout, rng=seeds[1 + i])
             else:
-                h = conv
+                h_in = h
+            h = conv_layer(layer, h, h_in)
             states.append(h)
         if train and cfg.dropout > 0.0:
             h = dropout(h, rate=cfg.dropout, rng=seeds[-1])

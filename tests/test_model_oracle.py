@@ -126,3 +126,20 @@ def test_sparse_input_dropout_grad_consistency(rng):
 def test_highway_requires_matching_dims():
     with pytest.raises(ValueError):
         GCNConfig(n_features=4, n_classes=2, hidden=(8, 16), highway=True)
+
+
+def test_remat_matches_no_remat(rng):
+    import dataclasses
+
+    model, params, x, a_hat, cfg = _setup(rng, True)
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    from graphconvgeo_tpu.models.gcn import HighwayGCN
+    from graphconvgeo_tpu.sparse.formats import SparseGraph
+
+    model_r = HighwayGCN(cfg_r, model.x, model.adj)
+    y = jnp.asarray(rng.integers(0, 7, 90), dtype=jnp.int32)
+    mask = jnp.asarray(np.ones(90, np.float32))
+    g1 = jax.grad(lambda p: model.loss(p, y, mask, train=False))(params)
+    g2 = jax.grad(lambda p: model_r.loss(p, y, mask, train=False))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
