@@ -70,6 +70,11 @@ def parse_args(argv=None):
         if getattr(args, dest) is None:
             setattr(args, dest, v)
     args.hidden = tuple(args.hidden)
+    if args.highway and any(a != b for a, b in zip(args.hidden, args.hidden[1:])):
+        p.error(
+            f"--highway needs equal hidden sizes (got {args.hidden}); "
+            "pass --no-highway or matching --hidden values"
+        )
     return args
 
 
