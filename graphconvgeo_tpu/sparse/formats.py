@@ -379,7 +379,7 @@ class SparseGraph:
             self._bell_t = BucketedEll.from_scipy(self.csr.T.tocsr())
         return self._bell_t
 
-    def hybrid(self, *, block: int = 128, min_tile_nnz: int = 96) -> tuple:
+    def hybrid(self, *, block: int = 256, min_tile_nnz: int = 96) -> tuple:
         """(BsrMatrix dense-tile part | None, BucketedEll residual | None)."""
         if self._hybrid is None:
             dense, resid = split_dense_tiles(self.csr, block=block, min_tile_nnz=min_tile_nnz)
@@ -388,7 +388,7 @@ class SparseGraph:
             self._hybrid = (bsr, bell)
         return self._hybrid
 
-    def hybrid_t(self, *, block: int = 128, min_tile_nnz: int = 96) -> tuple:
+    def hybrid_t(self, *, block: int = 256, min_tile_nnz: int = 96) -> tuple:
         if self.symmetric:
             return self.hybrid(block=block, min_tile_nnz=min_tile_nnz)
         if self._hybrid_t is None:

@@ -115,7 +115,7 @@ def best_reordering(
     return best
 
 
-def tile_coverage(adj: sp.csr_matrix, *, block: int = 128, min_tile_nnz: int = 96) -> float:
+def tile_coverage(adj: sp.csr_matrix, *, block: int = 256, min_tile_nnz: int = 96) -> float:
     """Fraction of edges living in dense tiles (the BSR-path share)."""
     coo = adj.tocoo()
     cb = -(-adj.shape[1] // block)
