@@ -75,8 +75,11 @@ class DistHighwayGCN:
             # the [D_dst, h_max] table of its own rows to ship per peer
             self.data["send_idx"] = jax.device_put(jnp.asarray(hx.send_idx), shard3)
         else:
-            for k in ("a_idx", "a_val", "at_idx", "at_val"):
-                self.data[k] = jax.device_put(jnp.asarray(getattr(part, k)), shard3)
+            at_idx, at_val = part.at_blocks  # lazy: only the all-gather path needs them
+            self.data["a_idx"] = jax.device_put(jnp.asarray(part.a_idx), shard3)
+            self.data["a_val"] = jax.device_put(jnp.asarray(part.a_val), shard3)
+            self.data["at_idx"] = jax.device_put(jnp.asarray(at_idx), shard3)
+            self.data["at_val"] = jax.device_put(jnp.asarray(at_val), shard3)
         self.data["y"] = jax.device_put(jnp.asarray(part.y), shard1)
         self.data["mask"] = jax.device_put(jnp.asarray(part.mask), shard1)
         self._row_sharding = NamedSharding(mesh, P(GRAPH_AXIS, None))

@@ -66,14 +66,33 @@ class RowPartition:
     n_features: int
     a_idx: np.ndarray
     a_val: np.ndarray
-    at_idx: np.ndarray
-    at_val: np.ndarray
     x_idx: np.ndarray
     x_val: np.ndarray
     xt_idx: np.ndarray
     xt_val: np.ndarray
     y: np.ndarray  # [n_pad] labels (pad = 0)
     mask: np.ndarray  # [n_pad] train mask (pad = 0)
+    # all-gather-path transpose blocks [D, n_pad, Kt] — LAZY: at Twitter-World
+    # scale these are ~10 GB and the halo path never touches them
+    _at: tuple | None = dataclasses.field(default=None, repr=False)
+
+    @property
+    def at_blocks(self) -> tuple:
+        """(at_idx, at_val) for the all-gather SpMM backward (built on first use)."""
+        if self._at is None:
+            rpd, d_n, n_pad = self.rows_per_device, self.n_devices, self.n_pad
+            blocks = []
+            for d in range(d_n):
+                rows = np.repeat(np.arange(rpd), self.a_idx.shape[2])
+                cols = self.a_idx[d].ravel()
+                vals = self.a_val[d].ravel()
+                nz = vals != 0
+                blk = sp.coo_matrix(
+                    (vals[nz], (rows[nz], cols[nz])), shape=(rpd, n_pad)
+                ).tocsr()
+                blocks.append(blk.T.tocsr())
+            self._at = _stack_blocks(blocks)
+        return self._at
 
     @property
     def boundary_stats(self) -> dict:
@@ -116,11 +135,9 @@ def partition_rows(
 
     a_blocks = [adj_p[d * rpd : (d + 1) * rpd] for d in range(n_devices)]
     x_blocks = [x_p[d * rpd : (d + 1) * rpd] for d in range(n_devices)]
-    at_blocks = [b.T.tocsr() for b in a_blocks]  # [n_pad, rpd] each
     xt_blocks = [b.T.tocsr() for b in x_blocks]  # [v, rpd] each
 
     a_idx, a_val = _stack_blocks(a_blocks)
-    at_idx, at_val = _stack_blocks(at_blocks)
     x_idx, x_val = _stack_blocks(x_blocks)
     xt_idx, xt_val = _stack_blocks(xt_blocks)
 
@@ -136,8 +153,6 @@ def partition_rows(
         n_features=v,
         a_idx=a_idx,
         a_val=a_val,
-        at_idx=at_idx,
-        at_val=at_val,
         x_idx=x_idx,
         x_val=x_val,
         xt_idx=xt_idx,
