@@ -75,3 +75,26 @@ def test_label_fraction_runs(synth_ds):
         label_fraction=0.5,
     )
     assert len(out["history"]) == 10
+
+
+@pytest.mark.slow
+def test_four_layer_highway_geotext_config(synth_ds):
+    """BASELINE config 2: deeper (4-layer) highway-gated propagation still
+    trains and localizes (plain GCNs degrade at this depth)."""
+    ds = synth_ds
+    cfg = GCNConfig(
+        n_features=ds.x.shape[1], n_classes=ds.n_classes,
+        hidden=(64, 64, 64, 64), highway=True, dropout=0.3, remat=True,
+    )
+    model = HighwayGCN(cfg, SparseGraph(csr=ds.x), SparseGraph(csr=ds.adj, symmetric=True))
+    trainer = Trainer(model, TrainConfig(learning_rate=5e-3, epochs=80, patience=15, verbose=False))
+    out = trainer.fit(
+        ds.y, ds.train_idx, ds.dev_idx,
+        lat=ds.lat, lon=ds.lon,
+        class_lat_median=ds.class_lat_median, class_lon_median=ds.class_lon_median,
+    )
+    m = trainer.evaluate(
+        out["params"], ds.test_idx, lat=ds.lat, lon=ds.lon,
+        class_lat_median=ds.class_lat_median, class_lon_median=ds.class_lon_median,
+    )
+    assert m["acc_at_161"] > 0.6, m
