@@ -27,6 +27,7 @@ class KDTreeDiscretizer:
     class_lon_median: np.ndarray | None = None
     _split_axis: list | None = None
     _split_val: list | None = None
+    _split_strict: list | None = None  # True → left child is `< val`, not `<= val`
     _children: list | None = None
     _leaf_class: list | None = None
 
@@ -38,12 +39,14 @@ class KDTreeDiscretizer:
         coords = np.stack([np.asarray(lat, np.float64), np.asarray(lon, np.float64)], axis=1)
         n = coords.shape[0]
         self._split_axis, self._split_val, self._children, self._leaf_class = [], [], [], []
+        self._split_strict = []
         leaves: list[np.ndarray] = []
 
         def build(idx: np.ndarray, axis: int) -> int:
             node = len(self._split_axis)
             self._split_axis.append(axis)
             self._split_val.append(0.0)
+            self._split_strict.append(False)
             self._children.append((-1, -1))
             self._leaf_class.append(-1)
             if len(idx) <= self.bucket_size or len(np.unique(coords[idx, axis])) == 1:
@@ -58,9 +61,11 @@ class KDTreeDiscretizer:
             vals = coords[idx, axis]
             med = np.median(vals)
             left_mask = vals <= med
-            # guard: median equal to max ⇒ move strict
+            # guard: median equal to max ⇒ move strict (recorded so assign()
+            # routes boundary-valued points to the same side fit() did)
             if left_mask.all():
                 left_mask = vals < med
+                self._split_strict[node] = True
             if left_mask.all() or not left_mask.any():
                 self._leaf_class[node] = len(leaves)
                 leaves.append(idx)
@@ -99,6 +104,8 @@ class KDTreeDiscretizer:
             while self._leaf_class[node] < 0:
                 axis = self._split_axis[node]
                 l, r = self._children[node]
-                node = l if pt[axis] <= self._split_val[node] else r
+                sv = self._split_val[node]
+                go_left = pt[axis] < sv if self._split_strict[node] else pt[axis] <= sv
+                node = l if go_left else r
             out[i] = self._leaf_class[node]
         return out

@@ -48,13 +48,11 @@ class NeighborSampler:
         fanouts: Sequence[int] = (10, 10),
         batch_size: int = 512,
         seed: int = 0,
-        include_self: bool = True,
     ):
         self.adj = adj.tocsr()
         self.fanouts = tuple(fanouts)
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
-        self.include_self = include_self
         self.deg = np.diff(self.adj.indptr)
 
     def _caps(self):
@@ -92,8 +90,11 @@ class NeighborSampler:
             u = nodes[l]
             deg = self.deg[u] * (node_mask[l] > 0)
             starts = self.adj.indptr[u]
-            # random distinct offsets: rank of uniforms over [0, d) per row
-            r = self.rng.random((cap_l, max(int(deg.max()), 1) if deg.max() else 1))
+            # random distinct offsets: rank of uniforms over [0, d) per row.
+            # width ≥ fanout so the [:, :fanout] slice below always broadcasts
+            # against sel_mask even when every degree is below the fanout.
+            width = max(int(deg.max()) if deg.size and deg.max() else 1, fanout)
+            r = self.rng.random((cap_l, width))
             # mask invalid positions with +inf so argsort puts them last
             valid = np.arange(r.shape[1])[None, :] < deg[:, None]
             r = np.where(valid, r, np.inf)

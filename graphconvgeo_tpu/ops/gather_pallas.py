@@ -8,12 +8,17 @@ pipelining the fixed cost against the transfers.
 Mosaic constraints shape the design:
 - HBM/VMEM memrefs are (8,128)-tiled, so 1-row 2-D DMA slices are illegal →
   both the table and the output are viewed as flat 1-D buffers and each row
-  is an ``F``-element span (lane-aligned for F % 128 == 0).
+  is an ``F``-element span; 1-D memrefs are (1024,)-tiled, so rows must span
+  a multiple of 4 KB (F·itemsize % 4096 == 0) to slice legally.
 - dynamic-offset 1-D vector loads don't compile → the kernel is *pure DMA*
   (HBM → VMEM output block); the arithmetic that consumes the rows happens
   in XLA afterwards, fused into whatever follows.
 
-Used by the bucketed-ELL SpMM residual path and the sampling feature fetch.
+STATUS — measured, not wired into the SpMM paths: on v5e the scalar core
+issues ~17M DMAs/s (≈57 ns each), *below* XLA's native gather (~52M rows/s),
+so `_bell_matvec` keeps the plain `h[idx]` gather. The kernel is retained as
+the starting point for a multi-queue / descriptor-batched gather in a later
+round, and as a correctness-tested example of ring-DMA addressing.
 """
 
 from __future__ import annotations

@@ -10,7 +10,11 @@ first-class primitive with a custom VJP:
 - backward w.r.t. H: ``Aᵀ · G`` — for the symmetric normalized adjacency this
   reuses the same operand; for asymmetric operators (e.g. the BoW feature
   matrix X) the caller supplies the transpose's device format.
-- backward w.r.t. values (optional, for trainable edge weights): SDDMM.
+- backward w.r.t. edge values: the standard ops treat the sparse operand as a
+  CONSTANT (cotangents are zero — differentiating the adjacency through them
+  silently yields no update). For trainable edge weights use
+  :func:`spmm_ell_trainable`, whose backward computes the true value
+  gradient via SDDMM (at the cost of one extra gather pass per step).
 
 Backends:
 - ``ell``  — XLA path: K row-gathers + weighted accumulation via
@@ -31,7 +35,7 @@ import numpy as np
 
 from graphconvgeo_tpu.sparse.formats import BsrMatrix, BucketedEll, EllMatrix, SparseGraph
 
-Backend = Literal["auto", "ell", "bell", "bsr", "oracle"]
+Backend = Literal["auto", "ell", "bell", "bsr", "hybrid", "oracle"]
 
 # Number of ELL slots folded into one scan step. 8 keeps the gather large
 # enough to saturate HBM reads while bounding the [N, CHUNK, F] temporary.
@@ -100,6 +104,40 @@ def _spmm_ell_bwd(res, g):
 
 
 _spmm_ell_core.defvjp(_spmm_ell_fwd, _spmm_ell_bwd)
+
+
+@jax.custom_vjp
+def _spmm_ell_train_core(indices, values, indices_t, values_t, h):
+    return _ell_matvec(indices, values, h)
+
+
+def _spmm_ell_train_fwd(indices, values, indices_t, values_t, h):
+    return _ell_matvec(indices, values, h), (indices, values, indices_t, values_t, h)
+
+
+def _spmm_ell_train_bwd(res, g):
+    from graphconvgeo_tpu.ops.sddmm import sddmm_ell
+
+    indices, values, indices_t, values_t, h = res
+    dh = _ell_matvec(indices_t, values_t, g)
+    # dL/dvalues[i,k] = <g[i], h[indices[i,k]]> — exactly SDDMM on the pattern
+    dvalues = sddmm_ell(indices, g.astype(values.dtype), h.astype(values.dtype))
+    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    # values_t only participates in the backward program; the primal output
+    # does not depend on it, so its true cotangent is zero
+    return (f0(indices), dvalues, f0(indices_t), values_t * 0.0, dh)
+
+
+_spmm_ell_train_core.defvjp(_spmm_ell_train_fwd, _spmm_ell_train_bwd)
+
+
+def spmm_ell_trainable(mat: EllMatrix, mat_t: EllMatrix, h: jax.Array) -> jax.Array:
+    """ELL SpMM whose backward also yields the edge-value gradient (SDDMM) —
+    for attention-style extensions with trainable edge weights. Keep
+    ``mat_t.values`` consistent with ``mat.values`` between optimizer steps
+    (the transpose carries no gradient of its own)."""
+    out = _spmm_ell_train_core(mat.indices, mat.values, mat_t.indices, mat_t.values, h)
+    return out[: mat.indices.shape[0]]
 
 
 def spmm_ell(mat: EllMatrix, mat_t: EllMatrix, h: jax.Array) -> jax.Array:

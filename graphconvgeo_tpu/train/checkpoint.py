@@ -51,7 +51,12 @@ def save_checkpoint(
 def latest_checkpoint(directory: str) -> Optional[str]:
     if not os.path.isdir(directory):
         return None
-    steps = sorted(d for d in os.listdir(directory) if d.startswith("step_"))
+    import re
+
+    # exactly step_<digits>: leftover orbax tmp dirs from an interrupted save
+    # ("step_XXXXXXXX.orbax-checkpoint-tmp-<ts>") must not be selected, or the
+    # crash-recovery resume would crash on the incomplete checkpoint
+    steps = sorted(d for d in os.listdir(directory) if re.fullmatch(r"step_\d+", d))
     return os.path.join(directory, steps[-1]) if steps else None
 
 

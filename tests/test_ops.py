@@ -212,3 +212,46 @@ def test_sddmm_bsr_matches_dense(rng):
             np.testing.assert_allclose(scores[t], want, rtol=1e-4, atol=1e-4)
             checked += mask.sum()
     assert checked == m.nnz
+
+
+def test_spmm_trainable_value_grads(rng):
+    from graphconvgeo_tpu.ops.spmm import spmm_ell_trainable
+
+    m = random_csr(rng, 30, 24, 4)
+    g = SparseGraph(csr=m)
+    ell, ell_t = g.ell(), g.ell_t()
+    h = jnp.asarray(rng.normal(size=(24, 8)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(30, 8)).astype(np.float32))
+
+    def loss(values):
+        import dataclasses
+
+        mat = dataclasses.replace(ell, values=values)
+        return jnp.sum(spmm_ell_trainable(mat, ell_t, h) * w)
+
+    dv = jax.grad(loss)(ell.values)
+    # dense reference: dL/dA[i,j] = <w[i], h[j]> at nonzero positions
+    dense = np.asarray(w) @ np.asarray(h).T  # [30, 24]
+    idx = np.asarray(ell.indices)
+    val = np.asarray(ell.values)
+    want = np.where(val != 0, dense[np.arange(30)[:, None], idx], 0.0)
+    got = np.where(val != 0, np.asarray(dv), 0.0)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_default_spmm_treats_values_as_constant(rng):
+    import dataclasses
+
+    m = random_csr(rng, 20, 20, 3, symmetric=True)
+    g = SparseGraph(csr=m, symmetric=True)
+    ell = g.ell()
+    h = jnp.asarray(rng.normal(size=(20, 4)).astype(np.float32))
+
+    def loss(values):
+        mat = dataclasses.replace(ell, values=values)
+        return jnp.sum(spmm_ell(mat, mat, h))
+
+    from graphconvgeo_tpu.ops.spmm import spmm_ell
+
+    dv = jax.grad(loss)(ell.values)
+    assert float(jnp.abs(dv).sum()) == 0.0  # documented: constants

@@ -25,11 +25,14 @@ def test_reordering_roundtrip(rng):
 
 
 def test_reordering_improves_coverage(rng):
-    n = 8192
-    a = normalize_adjacency(random_sbm_graph(n, 32, 16, seed=5, p_intra=0.95))
+    # sparse enough that the shuffled graph starts below the dense-tile
+    # threshold (avg edges per 256x256 tile << min_tile_nnz)
+    n = 32768
+    a = normalize_adjacency(random_sbm_graph(n, 128, 12, seed=5, p_intra=0.95))
     p = rng.permutation(n)
     shuffled = a[p][:, p].tocsr()
     cov0 = tile_coverage(shuffled)
+    assert cov0 < 0.5, cov0  # premise: shuffled order scatters the edges
     ro = best_reordering(shuffled, seed=0)
     cov1 = tile_coverage(ro.permute_graph(shuffled))
     assert cov1 > max(cov0, 0.5), (cov0, cov1)

@@ -91,3 +91,18 @@ def test_sampled_training_step_learns(rng):
             losses.append(float(loss))
     assert losses[-1] < losses[0]
     assert np.isfinite(losses).all()
+
+
+def test_sampler_fanout_above_max_degree(rng):
+    """Regression: fanout larger than every node's degree must not crash
+    (broadcast bug) and keeps all edges unscaled."""
+    a_hat, x, cfg, model, params = _setup(rng, n=40)
+    sampler = NeighborSampler(a_hat, fanouts=(50, 50), batch_size=8, seed=2)
+    batch = sampler.sample(np.array([0, 1, 2, 3, 4, 5, 6, 7]))
+    assert all(np.isfinite(v).all() for v in batch.edge_val)
+    bd = batch_to_device(batch)
+    logits_s = sampled_forward(params, cfg, model.x.ell(), bd, train=False)
+    logits_f = np.asarray(model.apply(params, train=False))
+    np.testing.assert_allclose(
+        np.asarray(logits_s)[:8], logits_f[:8], rtol=2e-4, atol=2e-5
+    )
