@@ -119,6 +119,56 @@ def random_sbm_graph(
     return a
 
 
+def random_mention_projection_graph(
+    n: int,
+    n_comm: int,
+    *,
+    hubs_per_comm: int = 24,
+    hubs_per_user: int = 2,
+    crossover_prob: float = 0.05,
+    seed: int = 0,
+) -> sp.csr_matrix:
+    """Synthetic graph built THE WAY the reference builds its graph
+    (``data.py :: efficient_collaboration_weighted_projected_graph2``): users
+    mention external hub accounts, and the projected graph connects every
+    pair of users sharing a hub — a union of cliques. Mostly intra-community
+    hubs with a small crossover probability, so the structure (clique blocks
+    on the community diagonal + sparse crossover) mirrors a real projected
+    @-mention graph far more faithfully than an SBM's uniform scatter."""
+    rng = np.random.default_rng(seed)
+    comm_size = n // n_comm
+    comm = np.arange(n) // comm_size
+    total_hubs = n_comm * hubs_per_comm
+    # each user picks hubs: own community's hubs, with crossover to a random one
+    picks = rng.integers(0, hubs_per_comm, (n, hubs_per_user))
+    hub_comm = np.repeat(comm[:, None], hubs_per_user, axis=1)
+    cross = rng.random((n, hubs_per_user)) < crossover_prob
+    hub_comm[cross] = rng.integers(0, n_comm, int(cross.sum()))
+    hub_of = hub_comm * hubs_per_comm + picks  # [n, hubs_per_user]
+
+    users = np.repeat(np.arange(n), hubs_per_user)
+    hubs = hub_of.ravel()
+    order = np.argsort(hubs, kind="stable")
+    users_s, hubs_s = users[order], hubs[order]
+    starts = np.searchsorted(hubs_s, np.arange(total_hubs + 1))
+    groups = [users_s[starts[g] : starts[g + 1]] for g in range(total_hubs)]
+    from graphconvgeo_tpu.data.graph import _project_py
+
+    try:
+        from graphconvgeo_tpu.native import project_cliques
+
+        src, dst = project_cliques({g: m.tolist() for g, m in enumerate(groups)}, n)
+    except Exception:
+        src, dst = _project_py({g: m for g, m in enumerate(groups)})
+    a = sp.coo_matrix((np.ones(len(src), np.float32), (src, dst)), shape=(n, n)).tocsr()
+    a = a + a.T
+    a.data[:] = 1.0
+    a.setdiag(0)
+    a.eliminate_zeros()
+    a.sort_indices()
+    return a
+
+
 def random_powerlaw_graph(
     n: int, avg_deg: float, *, alpha: float = 2.1, seed: int = 0
 ) -> sp.csr_matrix:

@@ -38,15 +38,19 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(tidx_ref, tcol_ref, tiles_ref, h_ref, o_ref):
+def _kernel(tidx_ref, tcol_ref, tiles_ref, h_ref, o_ref, *, mxu_dtype):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
+    # cast inside the kernel: blocks stream from HBM in their storage dtype
+    # (no extra memory pass) and the MXU contracts in `mxu_dtype`
     o_ref[:] += jnp.dot(
-        tiles_ref[0], h_ref[:], preferred_element_type=o_ref.dtype
+        tiles_ref[0].astype(mxu_dtype),
+        h_ref[:].astype(mxu_dtype),
+        preferred_element_type=o_ref.dtype,
     )
 
 
@@ -58,6 +62,7 @@ def _bsr_matmul(
     *,
     fblk: int = 512,
     interpret: bool | None = None,
+    mxu_dtype=jnp.float32,
 ) -> jax.Array:
     """h: [n_cols_padded, F_pad] (rows multiple of block, F multiple of 128).
     Returns [n_row_blocks * block, F_pad] float32."""
@@ -103,7 +108,7 @@ def _bsr_matmul(
         + rb * block * f_pad * 4
     )
     return pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, mxu_dtype=mxu_dtype),
         out_shape=jax.ShapeDtypeStruct((rb * block, f_pad), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -113,19 +118,21 @@ def _bsr_matmul(
     )(tile_idx_flat, tile_col_flat, tiles, h)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def _spmm_bsr_core(tiles, tidx, tcol, tiles_t, tidx_t, tcol_t, h, fblk):
-    return _bsr_matmul(tiles, tidx, tcol, h, fblk=fblk)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _spmm_bsr_core(tiles, tidx, tcol, tiles_t, tidx_t, tcol_t, h, fblk, mxu_dtype):
+    return _bsr_matmul(tiles, tidx, tcol, h, fblk=fblk, mxu_dtype=mxu_dtype)
 
 
-def _spmm_bsr_fwd(tiles, tidx, tcol, tiles_t, tidx_t, tcol_t, h, fblk):
-    out = _bsr_matmul(tiles, tidx, tcol, h, fblk=fblk)
+def _spmm_bsr_fwd(tiles, tidx, tcol, tiles_t, tidx_t, tcol_t, h, fblk, mxu_dtype):
+    out = _bsr_matmul(tiles, tidx, tcol, h, fblk=fblk, mxu_dtype=mxu_dtype)
     return out, (tiles, tidx, tcol, tiles_t, tidx_t, tcol_t)
 
 
-def _spmm_bsr_bwd(fblk, res, g):
+def _spmm_bsr_bwd(fblk, mxu_dtype, res, g):
     tiles, tidx, tcol, tiles_t, tidx_t, tcol_t = res
-    dh = _bsr_matmul(tiles_t, tidx_t, tcol_t, g.astype(tiles_t.dtype), fblk=fblk)
+    dh = _bsr_matmul(
+        tiles_t, tidx_t, tcol_t, g.astype(tiles_t.dtype), fblk=fblk, mxu_dtype=mxu_dtype
+    )
     f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
     return (
         jnp.zeros_like(tiles),
@@ -141,9 +148,22 @@ def _spmm_bsr_bwd(fblk, res, g):
 _spmm_bsr_core.defvjp(_spmm_bsr_fwd, _spmm_bsr_bwd)
 
 
-def spmm_bsr(mat: BsrMatrix, mat_t: BsrMatrix, h: jax.Array, *, fblk: int = 512) -> jax.Array:
+def spmm_bsr(
+    mat: BsrMatrix,
+    mat_t: BsrMatrix,
+    h: jax.Array,
+    *,
+    fblk: int = 512,
+    mxu_dtype=jnp.float32,
+) -> jax.Array:
     """Block-sparse SpMM: pads ``h`` to the tile grid, runs the Pallas kernel,
-    returns ``mat.n_rows`` rows."""
+    returns ``mat.n_rows`` rows.
+
+    ``mxu_dtype`` is the MXU contraction precision (storage/DMA stays in the
+    tiles' dtype; accumulation is float32). Measured on v5e this kernel is
+    DMA-bound (~250 GB/s effective), so bf16 contraction doesn't change
+    wall-clock — the default stays float32 for tight parity; the knob exists
+    for compute-bound shapes (small F, huge k_max)."""
     f = h.shape[1]
     f_pad = _round_up(f, 128)
     rows_needed = mat.n_cols_padded
@@ -165,5 +185,6 @@ def spmm_bsr(mat: BsrMatrix, mat_t: BsrMatrix, h: jax.Array, *, fblk: int = 512)
         mat_t.tile_col,
         h_p.astype(mat.tiles.dtype),
         fblk,
+        jnp.dtype(mxu_dtype),
     )
     return out[: mat.n_rows, :f]
