@@ -33,7 +33,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from graphconvgeo_tpu.sparse.formats import BsrMatrix, BucketedEll, EllMatrix, SparseGraph
+from graphconvgeo_tpu.sparse.formats import (
+    BsrMatrix,
+    BucketedEll,
+    CachedBell,
+    EllMatrix,
+    SparseGraph,
+)
 
 Backend = Literal["auto", "ell", "bell", "bsr", "hybrid", "oracle"]
 
@@ -224,8 +230,20 @@ def device_operands(graph: SparseGraph, backend: Backend = "auto") -> tuple:
     raise ValueError(f"unknown backend {backend!r}")
 
 
+def spmm_cached_bell(cb: CachedBell, h: jax.Array, *, gather_dtype=None) -> jax.Array:
+    """Residual SpMM with the hot-column cache: hot edges gather from the
+    compact ``h[hot_ids]`` table (~6.7× the big-table gather rate), cold
+    edges from the full matrix. Self-contained for autodiff — ``jnp.take``'s
+    transpose scatters the compact cotangent back into dh."""
+    h_hot = jnp.take(h, cb.hot_ids, axis=0)
+    out = spmm_bell(cb.cold, cb.cold_t, h, gather_dtype=gather_dtype)
+    return out + spmm_bell(cb.hot, cb.hot_t, h_hot, gather_dtype=gather_dtype)
+
+
 def spmm_operands(fmt, fmt_t, h: jax.Array, *, n_rows: int, gather_dtype=None) -> jax.Array:
     """SpMM against device-format pytrees (format-dispatched)."""
+    if isinstance(fmt, CachedBell):
+        return spmm_cached_bell(fmt, h, gather_dtype=gather_dtype)[:n_rows]
     if isinstance(fmt, BucketedEll):
         return spmm_bell(fmt, fmt_t, h, gather_dtype=gather_dtype)[:n_rows]
     if isinstance(fmt, EllMatrix):

@@ -300,6 +300,71 @@ class BucketedEll:
         )
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CachedBell:
+    """Residual SpMM operand with a hot-column cache.
+
+    Measured on v5e: XLA's row gather runs ~6.7× faster from tables under
+    ~2^14 rows (337M vs 50M rows/s — small operands stay resident close to
+    the core). Real mention-graph residuals are column-skewed (hub users), so
+    edges pointing at the ``hot_ids`` columns gather from the compact
+    ``h_hot = h[hot_ids]`` table instead of the full feature matrix
+    (the cache-first idea of arXiv:2104.10716).
+
+    ``hot``/``hot_t`` are the [n, C]/[C, n] parts (compact column ids);
+    ``cold``/``cold_t`` the remainder with global ids. Self-contained for
+    autodiff — the transposes ride along for the custom VJPs.
+    """
+
+    hot_ids: jax.Array  # [C] int32 global column ids
+    hot: "BucketedEll"
+    hot_t: "BucketedEll"
+    cold: "BucketedEll"
+    cold_t: "BucketedEll"
+
+    @staticmethod
+    def from_scipy(
+        csr: sp.csr_matrix,
+        *,
+        max_hot: int = 16384,
+        min_fraction: float = 0.25,
+    ):
+        """Returns a CachedBell, or None when the column skew doesn't justify
+        the extra compact-table gather (uniform residuals)."""
+        csr = sp.csr_matrix(csr)
+        n_rows, n_cols = csr.shape
+        if csr.nnz == 0 or n_cols <= max_hot:
+            return None
+        freq = np.bincount(csr.indices, minlength=n_cols)
+        order = np.argsort(-freq, kind="stable")
+        hot_ids = np.sort(order[:max_hot])
+        covered = freq[hot_ids].sum() / csr.nnz
+        if covered < min_fraction:
+            return None
+        hot_mask = np.zeros(n_cols, dtype=bool)
+        hot_mask[hot_ids] = True
+        coo = csr.tocoo()
+        is_hot = hot_mask[coo.col]
+        compact = np.full(n_cols, -1, dtype=np.int64)
+        compact[hot_ids] = np.arange(len(hot_ids))
+        hot_csr = sp.coo_matrix(
+            (coo.data[is_hot], (coo.row[is_hot], compact[coo.col[is_hot]])),
+            shape=(n_rows, len(hot_ids)),
+        ).tocsr()
+        cold_csr = sp.coo_matrix(
+            (coo.data[~is_hot], (coo.row[~is_hot], coo.col[~is_hot])),
+            shape=(n_rows, n_cols),
+        ).tocsr()
+        return CachedBell(
+            hot_ids=jnp.asarray(hot_ids.astype(np.int32)),
+            hot=BucketedEll.from_scipy(hot_csr),
+            hot_t=BucketedEll.from_scipy(hot_csr.T.tocsr()),
+            cold=BucketedEll.from_scipy(cold_csr),
+            cold_t=BucketedEll.from_scipy(cold_csr.T.tocsr()),
+        )
+
+
 def split_dense_tiles(
     csr: sp.csr_matrix, *, block: int = 128, min_tile_nnz: int = 96
 ) -> tuple:
@@ -380,12 +445,18 @@ class SparseGraph:
         return self._bell_t
 
     def hybrid(self, *, block: int = 256, min_tile_nnz: int = 96) -> tuple:
-        """(BsrMatrix dense-tile part | None, BucketedEll residual | None)."""
+        """(BsrMatrix dense-tile part | None, residual | None) where the
+        residual is a :class:`CachedBell` when its column skew justifies the
+        hot-column cache, else a plain :class:`BucketedEll`."""
         if self._hybrid is None:
             dense, resid = split_dense_tiles(self.csr, block=block, min_tile_nnz=min_tile_nnz)
             bsr = BsrMatrix.from_scipy(dense, block=block) if dense.nnz else None
-            bell = BucketedEll.from_scipy(resid) if resid.nnz else None
-            self._hybrid = (bsr, bell)
+            r = None
+            if resid.nnz:
+                r = CachedBell.from_scipy(resid)
+                if r is None:
+                    r = BucketedEll.from_scipy(resid)
+            self._hybrid = (bsr, r)
         return self._hybrid
 
     def hybrid_t(self, *, block: int = 256, min_tile_nnz: int = 96) -> tuple:
@@ -396,8 +467,12 @@ class SparseGraph:
                 self.csr.T.tocsr(), block=block, min_tile_nnz=min_tile_nnz
             )
             bsr = BsrMatrix.from_scipy(dense, block=block) if dense.nnz else None
-            bell = BucketedEll.from_scipy(resid) if resid.nnz else None
-            self._hybrid_t = (bsr, bell)
+            r = None
+            if resid.nnz:
+                r = CachedBell.from_scipy(resid)
+                if r is None:
+                    r = BucketedEll.from_scipy(resid)
+            self._hybrid_t = (bsr, r)
         return self._hybrid_t
 
     def bsr(self, block: int = 128, dtype=jnp.float32) -> BsrMatrix:

@@ -255,3 +255,34 @@ def test_default_spmm_treats_values_as_constant(rng):
 
     dv = jax.grad(loss)(ell.values)
     assert float(jnp.abs(dv).sum()) == 0.0  # documented: constants
+
+
+def test_cached_bell_matches_scipy(rng):
+    from graphconvgeo_tpu.sparse.formats import CachedBell
+
+    # skewed residual: a few hub columns absorb most edges
+    n, hubs = 600, 8
+    rows = rng.integers(0, n, 4000)
+    cols = np.where(rng.random(4000) < 0.7, rng.integers(0, hubs, 4000), rng.integers(0, n, 4000))
+    import scipy.sparse as sp
+
+    m = sp.coo_matrix((rng.normal(size=4000).astype(np.float32), (rows, cols)), shape=(n, n)).tocsr()
+    m.sum_duplicates()
+    cb = CachedBell.from_scipy(m, max_hot=16, min_fraction=0.3)
+    assert cb is not None
+    from graphconvgeo_tpu.ops.spmm import spmm_cached_bell
+
+    h = jnp.asarray(rng.normal(size=(n, 24)).astype(np.float32))
+    out = spmm_cached_bell(cb, h)
+    np.testing.assert_allclose(np.asarray(out), m @ np.asarray(h), rtol=1e-4, atol=1e-4)
+    # gradient: dh = m^T w
+    w = jnp.asarray(rng.normal(size=(n, 24)).astype(np.float32))
+    dh = jax.grad(lambda h: jnp.sum(spmm_cached_bell(cb, h) * w))(h)
+    np.testing.assert_allclose(np.asarray(dh), m.T @ np.asarray(w), rtol=1e-4, atol=1e-4)
+
+
+def test_cached_bell_declines_uniform(rng):
+    from graphconvgeo_tpu.sparse.formats import CachedBell
+
+    m = random_csr(rng, 40000, 40000, 2)
+    assert CachedBell.from_scipy(m, max_hot=1024, min_fraction=0.25) is None
