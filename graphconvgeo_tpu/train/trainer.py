@@ -41,6 +41,7 @@ class TrainConfig:
     checkpoint_dir: str | None = None
     save_every: int = 0  # epochs between periodic saves (0 = only best at end)
     debug_nans: bool = False  # jax_debug_nans for the step (sanitizer mode)
+    metrics_path: str | None = None  # JSONL per-epoch metrics log
 
 
 class Trainer:
@@ -116,6 +117,9 @@ class Trainer:
         best_score = -np.inf
         best_params = jax.tree.map(lambda x: np.asarray(x), params)
         best_epoch = 0
+        from graphconvgeo_tpu.utils.logging import MetricsLogger
+
+        mlog = MetricsLogger(cfg.metrics_path)
         history = []
         t0 = time.time()
         for epoch in range(start_epoch, cfg.epochs):
@@ -142,8 +146,10 @@ class Trainer:
                     "dev_acc_at_161": dev_metrics["acc_at_161"],
                     "dev_mean_km": dev_metrics["mean_km"],
                     "dev_median_km": dev_metrics["median_km"],
+                    "seconds": round(time.time() - t0, 2),
                 }
             )
+            mlog.log(history[-1])
             if score > best_score:
                 best_score = score
                 best_epoch = epoch
