@@ -62,13 +62,9 @@ def parse_args(argv=None):
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--json", action="store_true", help="print final metrics as one JSON line")
     args = p.parse_args(argv)
-    preset = PRESETS[args.preset]
-    for k, v in preset.items():
-        dest = {"bucket": "bucket", "hidden": "hidden", "min_df": "min_df",
-                "encoding": "encoding", "celebrity": "celebrity",
-                "dropout": "dropout", "l2": "l2", "lr": "lr"}[k]
-        if getattr(args, dest) is None:
-            setattr(args, dest, v)
+    for k, v in PRESETS[args.preset].items():
+        if getattr(args, k) is None:
+            setattr(args, k, v)
     args.hidden = tuple(args.hidden)
     if args.highway and any(a != b for a, b in zip(args.hidden, args.hidden[1:])):
         p.error(

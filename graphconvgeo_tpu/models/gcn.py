@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from graphconvgeo_tpu.ops.dropout import bell_dropout, dropout
 from graphconvgeo_tpu.ops.spmm import _spmm_bell_core, device_operands, spmm_operands
-from graphconvgeo_tpu.sparse.formats import EllMatrix, SparseGraph
+from graphconvgeo_tpu.sparse.formats import SparseGraph
 
 _ACTIVATIONS = {
     "tanh": jnp.tanh,
@@ -75,6 +75,15 @@ def _glorot(key, shape, dtype):
     fan_in, fan_out = shape[0], shape[1]
     limit = jnp.sqrt(6.0 / (fan_in + fan_out))
     return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+def l2_penalty(params: dict) -> jax.Array:
+    """Σ‖W‖² over all kernel weights (not biases) — the reference's
+    ``lasagne.regularization.regularize_network_params(l2)`` equivalent.
+    Shared by the single-chip, distributed and sampled losses."""
+    return sum(
+        jnp.sum(p["w"] ** 2) for p in (params["input"], params["out"])
+    ) + sum(jnp.sum(l[k] ** 2) for l in params["layers"] for k in l if k.startswith("w"))
 
 
 def init_gcn_params(key: jax.Array, cfg: GCNConfig, dtype=jnp.float32) -> dict:
@@ -228,10 +237,5 @@ class HighwayGCN:
         mask = mask.astype(ce.dtype)
         loss = jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
         if self.cfg.l2 > 0.0:
-            l2 = sum(
-                jnp.sum(p["w"] ** 2) for p in [params["input"], params["out"]]
-            ) + sum(
-                jnp.sum(l[k] ** 2) for l in params["layers"] for k in l if k.startswith("w")
-            )
-            loss = loss + self.cfg.l2 * l2
+            loss = loss + self.cfg.l2 * l2_penalty(params)
         return loss

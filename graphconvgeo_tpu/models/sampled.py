@@ -23,7 +23,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from graphconvgeo_tpu.models.gcn import GCNConfig, _ACTIVATIONS
+from graphconvgeo_tpu.models.gcn import GCNConfig, _ACTIVATIONS, l2_penalty
 from graphconvgeo_tpu.ops.dropout import dropout
 from graphconvgeo_tpu.ops.scatter_gather import segment_sum
 from graphconvgeo_tpu.sparse.formats import EllMatrix
@@ -90,10 +90,7 @@ def sampled_loss(params, cfg, x_ell, batch_dev, y_batch, mask, *, rng=None, trai
     ce = -jnp.take_along_axis(logp, y_batch[:, None], axis=-1)[:, 0]
     loss = jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
     if cfg.l2 > 0.0:
-        l2 = sum(jnp.sum(p["w"] ** 2) for p in [params["input"], params["out"]]) + sum(
-            jnp.sum(l[k] ** 2) for l in params["layers"] for k in l if k.startswith("w")
-        )
-        loss = loss + cfg.l2 * l2
+        loss = loss + cfg.l2 * l2_penalty(params)
     return loss
 
 

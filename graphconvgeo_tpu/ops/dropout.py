@@ -40,22 +40,26 @@ def ell_dropout_values(
     seed: jax.Array,
     n_cols: int,
     transposed: bool,
+    row_offset=0,
 ) -> jax.Array:
     """Dropout over ELL values with an entry-position-keyed mask.
 
     For the forward layout, entry (i, k) has global id i * n_cols + indices[i,k].
     For the transposed layout the same logical entry appears at row j = its
     column, so the id is indices[j,k] * n_cols + j — both enumerate the same
-    id set, hence identical masks.
+    id set, hence identical masks. ``row_offset`` shifts the row-dimension ids
+    (used by the distributed model, where each device holds a local block of
+    a globally-numbered matrix).
     """
     if rate <= 0.0:
         return values
     n, k = indices.shape
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, k), 0)
+    off = jnp.int32(row_offset)
     if transposed:
-        entry_id = indices * jnp.int32(n_cols) + row_ids
+        entry_id = (indices + off) * jnp.int32(n_cols) + row_ids
     else:
-        entry_id = row_ids * jnp.int32(n_cols) + indices
+        entry_id = (row_ids + off) * jnp.int32(n_cols) + indices
     u = entry_uniform(entry_id, seed)
     keep = (u >= rate).astype(values.dtype)
     return values * keep / (1.0 - rate)

@@ -22,11 +22,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from graphconvgeo_tpu.sparse.formats import BsrMatrix
+from graphconvgeo_tpu.sparse.formats import BsrMatrix, _round_up
 
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _kernel(trow_ref, tcol_ref, h1_ref, h2_ref, o_ref):

@@ -31,11 +31,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from graphconvgeo_tpu.sparse.formats import BsrMatrix
+from graphconvgeo_tpu.sparse.formats import BsrMatrix, _round_up
 
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _kernel(tidx_ref, tcol_ref, tiles_ref, h_ref, o_ref, *, mxu_dtype):

@@ -20,7 +20,6 @@ weights automatically.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -34,7 +33,7 @@ except ImportError:  # pragma: no cover
 
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from graphconvgeo_tpu.models.gcn import GCNConfig, _ACTIVATIONS, init_gcn_params
+from graphconvgeo_tpu.models.gcn import GCNConfig, _ACTIVATIONS, init_gcn_params, l2_penalty
 from graphconvgeo_tpu.ops.dropout import dropout, ell_dropout_values
 from graphconvgeo_tpu.parallel.mesh import GRAPH_AXIS
 from graphconvgeo_tpu.parallel.partition import RowPartition, build_halo
@@ -98,19 +97,18 @@ class DistHighwayGCN:
         def body(w0, xi, xv, xti, xtv, seed):
             xi, xv, xti, xtv = xi[0], xv[0], xti[0], xtv[0]
             if train and cfg.dropout > 0.0:
-                d = jax.lax.axis_index(GRAPH_AXIS)
-                row0 = (d * rpd).astype(jnp.int32)
-                n_loc, k = xi.shape
-                rows = jax.lax.broadcasted_iota(jnp.int32, (n_loc, k), 0) + row0
-                from graphconvgeo_tpu.ops.dropout import entry_uniform
-
-                u = entry_uniform(rows * jnp.int32(v) + xi, seed)
-                xv = xv * (u >= cfg.dropout).astype(xv.dtype) / (1.0 - cfg.dropout)
-                # transpose block: row j (feature), entries are local user ids
-                nt, kt = xti.shape
-                feat = jax.lax.broadcasted_iota(jnp.int32, (nt, kt), 0)
-                ut = entry_uniform((xti + row0) * jnp.int32(v) + feat, seed)
-                xtv = xtv * (ut >= cfg.dropout).astype(xtv.dtype) / (1.0 - cfg.dropout)
+                # local block of the global X: the user-row dimension is
+                # offset by this device's first row; the mask hash must use
+                # global entry ids so it matches the transpose layout
+                row0 = jax.lax.axis_index(GRAPH_AXIS).astype(jnp.int32) * rpd
+                xv = ell_dropout_values(
+                    xi, xv, rate=cfg.dropout, seed=seed, n_cols=v,
+                    transposed=False, row_offset=row0,
+                )
+                xtv = ell_dropout_values(
+                    xti, xtv, rate=cfg.dropout, seed=seed, n_cols=v,
+                    transposed=True, row_offset=row0,
+                )
             return local_input_spmm(w0, xi, xv, xti, xtv)
 
         return shard_map(
@@ -186,15 +184,7 @@ class DistHighwayGCN:
         ce = -jnp.take_along_axis(logp, y[:, None], axis=-1)[:, 0]
         loss = jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
         if self.cfg.l2 > 0.0:
-            l2 = sum(
-                jnp.sum(p["w"] ** 2) for p in [params["input"], params["out"]]
-            ) + sum(
-                jnp.sum(l[k] ** 2)
-                for l in params["layers"]
-                for k in l
-                if k.startswith("w")
-            )
-            loss = loss + self.cfg.l2 * l2
+            loss = loss + self.cfg.l2 * l2_penalty(params)
         return loss
 
     # ---- training -------------------------------------------------------

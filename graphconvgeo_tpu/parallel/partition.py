@@ -1,16 +1,17 @@
 """Edge partitioner: contiguous node-row blocks per device.
 
 Each device owns rows ``[d·rpd, (d+1)·rpd)`` of the (padded) adjacency and
-feature matrices — the edges incident to those rows as destination. For every
-device block we precompute BOTH the forward ELL (its rows, global column ids)
-and the transpose ELL of the block (needed by the SpMM custom VJP: the
+feature matrices — the edges incident to those rows as destination. Device
+blocks carry both the forward ELL (global column ids) and, where a backward
+pass needs it, the transpose ELL of the block (the SpMM custom VJP's
 cotangent w.r.t. the gathered dense operand is ``A_blockᵀ · G_local``).
 
 Stacked layouts (leading device axis, consumed by ``shard_map`` with spec
 ``P('graph', None, None)``):
 
 - ``a_idx/a_val``   [D, rpd, Ka]    forward adjacency rows, *global* col ids
-- ``at_idx/at_val`` [D, n_pad, Kat] per-block transpose, *local* col ids (< rpd)
+- ``at_blocks``     [D, n_pad, Kat] per-block transpose, *local* col ids —
+  built lazily (only the all-gather path reads it; ~10 GB at World scale)
 - ``x_idx/x_val``   [D, rpd, Kx]    forward feature rows, vocab col ids
 - ``xt_idx/xt_val`` [D, V, Kxt]     per-block feature transpose, local col ids
 
@@ -26,11 +27,8 @@ import numpy as np
 import scipy.sparse as sp
 
 from graphconvgeo_tpu.data.pipeline import Dataset
-from graphconvgeo_tpu.sparse.formats import EllMatrix
+from graphconvgeo_tpu.sparse.formats import _round_up
 
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _ell_np(csr: sp.csr_matrix, k: int):

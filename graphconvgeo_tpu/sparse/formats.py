@@ -160,7 +160,7 @@ class BsrMatrix:
         tile_key = br.astype(np.int64) * cb + bc
         order = np.argsort(tile_key, kind="stable")
         tile_key_s = tile_key[order]
-        uniq_keys, start = np.unique(tile_key_s, return_index=True)
+        uniq_keys = np.unique(tile_key_s)
         n_tiles = len(uniq_keys)
         if n_tiles > max_tiles:
             raise ValueError(
