@@ -1,0 +1,138 @@
+"""Mini-batch (neighbor-sampled) training loop — BASELINE config 5.
+
+Same epoch/early-stopping/eval semantics as the full-graph ``Trainer``
+(reference ``GCN.fit``), but each step consumes one sampled batch from the
+host-side :class:`NeighborSampler`; a background prefetch thread keeps the
+device fed while the host samples the next batch. Evaluation runs full-graph
+with the SAME parameters (the sampled and full models share the pytree)."""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from typing import Iterable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from graphconvgeo_tpu.data.sampling import NeighborSampler
+from graphconvgeo_tpu.models.gcn import HighwayGCN
+from graphconvgeo_tpu.models.sampled import batch_to_device, sampled_loss
+from graphconvgeo_tpu.train.evaluate import geo_eval
+from graphconvgeo_tpu.train.trainer import TrainConfig
+
+
+def prefetch(iterable: Iterable, depth: int = 2) -> Iterator:
+    """Run an iterator in a background thread with a bounded queue —
+    overlaps host-side sampling with device steps."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in iterable:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item
+
+
+class SampledTrainer:
+    def __init__(
+        self,
+        model: HighwayGCN,
+        sampler: NeighborSampler,
+        cfg: TrainConfig = TrainConfig(),
+    ):
+        self.model = model
+        self.sampler = sampler
+        self.cfg = cfg
+        self.optimizer = optax.adam(cfg.learning_rate)
+        mcfg = model.cfg
+
+        def step(params, opt_state, x_ell, x_ell_t, bd, yb, mask, key):
+            def loss_fn(p):
+                return sampled_loss(p, mcfg, x_ell, bd, yb, mask, rng=key, train=True)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        self._step = jax.jit(step, donate_argnums=(0, 1))
+        self._predict_jit = jax.jit(
+            lambda p, arrays: jnp.argmax(model.apply(p, arrays, train=False), axis=-1)
+        )
+
+    def fit(
+        self,
+        y: np.ndarray,
+        train_idx: np.ndarray,
+        dev_idx: np.ndarray,
+        *,
+        lat: np.ndarray,
+        lon: np.ndarray,
+        class_lat_median: np.ndarray,
+        class_lon_median: np.ndarray,
+        params: Optional[dict] = None,
+    ) -> dict:
+        cfg = self.cfg
+        rng = jax.random.key(cfg.seed)
+        rng, init_key = jax.random.split(rng)
+        if params is None:
+            params = self.model.init(init_key)
+        opt_state = self.optimizer.init(params)
+        y_j = jnp.asarray(y)
+        x_ell = self.model.x.ell()
+        x_ell_t = self.model.x.ell_t()
+        sign = 1.0 if cfg.monitor == "acc_at_161" else -1.0
+        best_score, best_epoch = -np.inf, 0
+        best_params = jax.tree.map(np.asarray, params)
+        history = []
+        t0 = time.time()
+        for epoch in range(cfg.epochs):
+            losses = []
+            for batch in prefetch(self.sampler.epoch(train_idx)):
+                bd = batch_to_device(batch)
+                yb = jnp.take(y_j, jnp.asarray(batch.targets, jnp.int32))
+                rng, k = jax.random.split(rng)
+                params, opt_state, loss = self._step(
+                    params, opt_state, x_ell, x_ell_t, bd, yb,
+                    jnp.asarray(batch.target_mask), k,
+                )
+                losses.append(float(loss))
+            pred = np.asarray(self._predict_jit(params, self.model.arrays))
+            m = geo_eval(pred[dev_idx], lat[dev_idx], lon[dev_idx],
+                         class_lat_median, class_lon_median)
+            history.append(
+                {"epoch": epoch, "loss": float(np.mean(losses)),
+                 "dev_acc_at_161": m["acc_at_161"], "dev_median_km": m["median_km"],
+                 "seconds": round(time.time() - t0, 2)}
+            )
+            score = sign * m[cfg.monitor]
+            if score > best_score:
+                best_score, best_epoch = score, epoch
+                best_params = jax.tree.map(np.asarray, params)
+            if cfg.verbose and epoch % cfg.log_every == 0:
+                h = history[-1]
+                print(
+                    f"epoch {epoch:4d} loss {h['loss']:.4f} dev acc@161 "
+                    f"{h['dev_acc_at_161']:.3f} ({h['seconds']:.1f}s)"
+                )
+            if epoch >= cfg.min_epochs and epoch - best_epoch >= cfg.patience:
+                break
+        return {
+            "params": jax.tree.map(jnp.asarray, best_params),
+            "history": history,
+            "best_epoch": best_epoch,
+        }

@@ -175,3 +175,18 @@ def test_dist_trainer_full_loop(rng, mesh):
     )
     assert len(out["history"]) == 8
     assert np.isfinite([h["loss"] for h in out["history"]]).all()
+
+
+def test_dist_model_on_single_device_mesh(rng):
+    """SURVEY §4.4b: the same shard_map program must run unmodified on a
+    1-device mesh (the single-real-TPU deployment shape)."""
+    a_hat, x, y, mask, cfg = _mk_problem(rng, n=64)
+    part = partition_rows(a_hat, x, y, mask, 1)
+    mesh = make_graph_mesh(1)
+    dist = DistHighwayGCN(cfg, part, mesh, halo="auto")
+    single = HighwayGCN(cfg, SparseGraph(csr=x), SparseGraph(csr=a_hat, symmetric=True))
+    params = single.init(jax.random.key(9))
+    dparams = jax.device_put(params, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+    logits = np.asarray(jax.jit(lambda p: dist.apply(p, train=False))(dparams))
+    want = np.asarray(single.apply(params, train=False))
+    np.testing.assert_allclose(logits[:64], want, rtol=2e-4, atol=2e-5)

@@ -106,3 +106,36 @@ def test_sampler_fanout_above_max_degree(rng):
     np.testing.assert_allclose(
         np.asarray(logits_s)[:8], logits_f[:8], rtol=2e-4, atol=2e-5
     )
+
+
+@pytest.mark.slow
+def test_sampled_trainer_learns_geolocation(rng):
+    from graphconvgeo_tpu.data.kdtree import KDTreeDiscretizer
+    from graphconvgeo_tpu.train.trainer import TrainConfig
+    from graphconvgeo_tpu.train.trainer_sampled import SampledTrainer
+
+    n = 120
+    a_hat, x, _, model0, _ = _setup(rng, n=n, v=40)
+    lat = rng.uniform(20, 50, n)
+    lon = rng.uniform(-120, -70, n)
+    disc = KDTreeDiscretizer(bucket_size=30).fit(lat[:80], lon[:80])
+    y = np.zeros(n, np.int32)
+    y[:80] = disc.class_of_train
+    y[80:] = disc.assign(lat[80:], lon[80:])
+    from graphconvgeo_tpu.models.gcn import GCNConfig, HighwayGCN
+    from graphconvgeo_tpu.sparse.formats import SparseGraph
+
+    cfg = GCNConfig(n_features=40, n_classes=disc.n_classes, hidden=(16, 16), highway=True, dropout=0.2)
+    model = HighwayGCN(cfg, model0.x, model0.adj)
+    from graphconvgeo_tpu.data.sampling import NeighborSampler
+
+    sampler = NeighborSampler(a_hat, fanouts=(5, 5), batch_size=32, seed=0)
+    trainer = SampledTrainer(model, sampler, TrainConfig(epochs=6, min_epochs=6, patience=6, verbose=False, learning_rate=1e-2))
+    out = trainer.fit(
+        y, np.arange(80), np.arange(80, 100),
+        lat=lat, lon=lon,
+        class_lat_median=disc.class_lat_median, class_lon_median=disc.class_lon_median,
+    )
+    hist = out["history"]
+    assert len(hist) == 6
+    assert hist[-1]["loss"] < hist[0]["loss"]
