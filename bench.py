@@ -70,14 +70,16 @@ def main() -> None:
     import jax.numpy as jnp
 
     results = {}
-    for name, gather_dtype in (("hybrid+bf16gather", jnp.bfloat16), ("hybrid", None)):
+    # single measured variant (bf16 gathers, f32 accumulate — the production
+    # configuration) to keep the bench within the driver's time budget
+    for name, gather_dtype in (("hybrid+bf16gather", jnp.bfloat16),):
         try:
             fmt, fmt_t = device_operands(g, "hybrid")
             # scale+shift keeps the chained iterate numerically bounded
             step = lambda x, a, b, gd=gather_dtype: (
                 spmm_operands(a, b, x, n_rows=N, gather_dtype=gd) * 0.25 + 0.01
             )
-            dt = device_seconds_per_iter(step, h, fmt, fmt_t, trials=2)
+            dt = device_seconds_per_iter(step, h, fmt, fmt_t, iters_lo=2, iters_hi=12, trials=2)
             results[name] = g.nnz / dt
         except Exception as e:  # pragma: no cover — keep bench robust
             import sys

@@ -1,2 +1,3 @@
 from graphconvgeo_tpu.train.evaluate import geo_eval, haversine_km  # noqa: F401
 from graphconvgeo_tpu.train.trainer import TrainConfig, Trainer  # noqa: F401
+from graphconvgeo_tpu.train.trainer_sampled import SampledTrainer  # noqa: F401
