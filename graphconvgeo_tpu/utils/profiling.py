@@ -21,6 +21,10 @@ V5E = {"hbm_gbps": 819.0, "bf16_tflops": 197.0, "f32_tflops": 98.5}
 
 @contextlib.contextmanager
 def trace(logdir: str = "/tmp/gcg_trace", *, create_perfetto_link: bool = False):
+    """NOTE: on this build environment's tunneled `axon` platform the
+    profiler hangs collecting device traces (relay limitation) — use
+    ``utils.timing.device_seconds_per_iter`` for numbers there. On a directly
+    attached TPU this produces standard xprof/tensorboard traces."""
     os.makedirs(logdir, exist_ok=True)
     jax.profiler.start_trace(logdir, create_perfetto_link=create_perfetto_link)
     try:
