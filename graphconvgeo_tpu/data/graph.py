@@ -7,9 +7,11 @@ Pipeline:
 2. **celebrity removal**: mentioned accounts that are *not* dataset users and
    whose degree exceeds ``celebrity_threshold`` are dropped;
 3. **projection** onto dataset users: two users are connected iff one mentions
-   the other, or both mention a common (surviving) external account — the
-   reference's ``efficient_collaboration_weighted_projected_graph2`` clique
-   expansion, O(Σ deg²) over external accounts.
+   the other, or both share a (surviving) common neighbor in the mention
+   graph — an external account both mention, or a dataset user adjacent to
+   both (mentioning or mentioned) — the reference's
+   ``efficient_collaboration_weighted_projected_graph2`` clique expansion,
+   O(Σ deg²) over shared-neighbor groups.
 
 Node order in the returned adjacency is the caller's user order (train, dev,
 test contiguous — SURVEY.md C4), so index ranges slice the matrix directly.
@@ -71,13 +73,25 @@ def build_mention_adjacency(
             if m in ext_degree and ext_degree[m] <= celebrity_threshold:
                 ext_neighbors.setdefault(m, []).append(i)
 
-    # projection: clique over users sharing an external mention
+    # dataset users are shared neighbors too: user c's mention-graph
+    # neighborhood (users c mentions + users mentioning c) forms a clique
+    # group, exactly like an external account's audience
+    user_neighbors: dict = {}
+    for s, t in zip(direct_src, direct_dst):
+        user_neighbors.setdefault(s, set()).add(t)
+        user_neighbors.setdefault(t, set()).add(s)
+    groups = dict(ext_neighbors)
+    for c, nbrs in user_neighbors.items():
+        if len(nbrs) >= 2:
+            groups[("u", c)] = sorted(nbrs)
+
+    # projection: clique over users sharing a mention-graph neighbor
     try:
         from graphconvgeo_tpu.native import project_cliques  # C++ fast path
 
-        proj_src, proj_dst = project_cliques(ext_neighbors, n)
+        proj_src, proj_dst = project_cliques(groups, n)
     except Exception:
-        proj_src, proj_dst = _project_py(ext_neighbors)
+        proj_src, proj_dst = _project_py(groups)
 
     src = np.concatenate([np.asarray(direct_src, np.int64), proj_src])
     dst = np.concatenate([np.asarray(direct_dst, np.int64), proj_dst])

@@ -88,3 +88,21 @@ def test_tfidf_fit_on_train_only(tmp_path):
     norms = np.sqrt(np.asarray(x.multiply(x).sum(axis=1)).ravel())
     nz = norms > 0
     np.testing.assert_allclose(norms[nz], 1.0, rtol=1e-5)
+
+
+def test_projection_via_shared_dataset_user():
+    """Two users mentioned by / mentioning a common dataset user are
+    connected (the reference's projection cliques over ANY shared neighbor,
+    not only external accounts)."""
+    users = ["a", "b", "c", "d"]
+    texts = [
+        "hi @b @d",   # a mentions b and d -> b-d share neighbor a
+        "",
+        "",
+        "",
+    ]
+    adj = build_mention_adjacency(users, texts, celebrity_threshold=5)
+    dense = adj.toarray()
+    assert dense[1, 3] == 1 and dense[3, 1] == 1  # b-d via shared neighbor a
+    assert dense[0, 1] == 1 and dense[0, 3] == 1  # direct mentions kept
+    assert dense[2].sum() == 0  # c untouched
