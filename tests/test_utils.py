@@ -1,0 +1,36 @@
+import json
+
+import numpy as np
+
+
+def test_metrics_logger_jsonl(tmp_path):
+    from graphconvgeo_tpu.utils.logging import MetricsLogger
+
+    p = str(tmp_path / "m.jsonl")
+    log = MetricsLogger(p)
+    log.log({"epoch": 0, "loss": 1.5})
+    log.log({"epoch": 1, "loss": 1.2})
+    lines = [json.loads(l) for l in open(p)]
+    assert [l["epoch"] for l in lines] == [0, 1]
+    assert all("ts" in l for l in lines)
+    # disabled logger is a no-op
+    MetricsLogger(None).log({"x": 1})
+
+
+def test_roofline_report_math():
+    from graphconvgeo_tpu.utils.profiling import roofline_report
+
+    r = roofline_report(nnz=1_000_000, n_rows=100_000, feat=512, seconds=0.01)
+    assert r["memory_bound"] is True
+    assert 0 < r["roofline_fraction"] < 1
+    assert r["edges_per_sec"] == 1_000_000 / 0.01
+
+
+def test_device_seconds_per_iter_cpu():
+    import jax.numpy as jnp
+
+    from graphconvgeo_tpu.utils.timing import device_seconds_per_iter
+
+    x = jnp.ones((256, 256))
+    dt = device_seconds_per_iter(lambda v: v @ x * 1e-3, x, iters_lo=1, iters_hi=3, trials=1)
+    assert dt > 0
