@@ -61,10 +61,14 @@ def spmm_oracle(indices: jax.Array, values: jax.Array, h: jax.Array) -> jax.Arra
 
 def _ell_matvec(indices: jax.Array, values: jax.Array, h: jax.Array) -> jax.Array:
     """XLA SpMM: scan over slot chunks, each step gathers CHUNK rows of h per
-    output row and accumulates. Memory high-water: [N, CHUNK, F]."""
+    output row and accumulates. Memory high-water: [N, CHUNK, F].
+
+    The chunk width scales inversely with the row count so narrow, deep
+    blocks (hub buckets: tens of rows × thousands of slots) still issue
+    large gathers per step instead of hundreds of tiny scan iterations."""
     h = jnp.asarray(h)
     n, k = indices.shape
-    chunk = min(_ELL_CHUNK, k)
+    chunk = min(max(_ELL_CHUNK, 4096 // max(n, 1)), k)
     if k % chunk:
         pad = chunk - k % chunk
         indices = jnp.pad(indices, ((0, 0), (0, pad)))
