@@ -104,9 +104,16 @@ def _bsr_matmul(
         + h.size * h.dtype.itemsize * max(1, n_tiles // max(rb, 1))
         + rb * block * f_pad * 4
     )
+    # inside shard_map the output must declare its varying mesh axes (vma);
+    # inherit them from the dense operand
+    try:
+        vma = jax.typeof(h).vma
+        out_shape = jax.ShapeDtypeStruct((rb * block, f_pad), jnp.float32, vma=vma)
+    except (AttributeError, TypeError):
+        out_shape = jax.ShapeDtypeStruct((rb * block, f_pad), jnp.float32)
     return pl.pallas_call(
         functools.partial(_kernel, mxu_dtype=mxu_dtype),
-        out_shape=jax.ShapeDtypeStruct((rb * block, f_pad), jnp.float32),
+        out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(

@@ -41,14 +41,28 @@ from graphconvgeo_tpu.parallel.spmm_dist import (
     local_input_spmm,
     local_spmm_allgather,
     local_spmm_halo,
+    local_spmm_halo_bsr,
 )
 
 
 class DistHighwayGCN:
-    def __init__(self, cfg: GCNConfig, part: RowPartition, mesh, *, halo: str = "auto"):
+    def __init__(
+        self,
+        cfg: GCNConfig,
+        part: RowPartition,
+        mesh,
+        *,
+        halo: str = "auto",
+        local_backend: str = "auto",
+    ):
         """halo: 'auto' | 'on' | 'off'. 'on' exchanges only boundary rows via
         all-to-all (partition.build_halo); 'off' all-gathers every feature
-        row. 'auto' picks halo when it moves less data."""
+        row. 'auto' picks halo when it moves less data.
+
+        local_backend: 'auto' | 'bsr' | 'bell' — 'bsr' runs each device's
+        local dense tiles through the Pallas MXU kernel (needs
+        rows_per_device % 256 == 0, i.e. partition_rows(row_align=256), and a
+        symmetric Â); 'auto' enables it when the alignment allows."""
         self.cfg = cfg
         self.part = part
         self.mesh = mesh
@@ -61,7 +75,9 @@ class DistHighwayGCN:
         self.halo = None
         use_halo = halo in ("on", "auto")
         if use_halo:
-            hx = build_halo(part)
+            if local_backend == "auto":
+                local_backend = "bsr" if part.rows_per_device % 256 == 0 else "bell"
+            hx = build_halo(part, local_backend=local_backend)
             if halo == "auto" and hx.halo_fraction >= 1.0:
                 use_halo = False  # boundary as big as the graph — gather wins
             else:
@@ -73,6 +89,11 @@ class DistHighwayGCN:
             # send_idx [src, dst, slot] sharded over src: each device holds
             # the [D_dst, h_max] table of its own rows to ship per peer
             self.data["send_idx"] = jax.device_put(jnp.asarray(hx.send_idx), shard3)
+            if hx.bsr_tiles is not None:
+                shard4 = NamedSharding(mesh, P(GRAPH_AXIS, None, None, None))
+                self.data["bsr_tiles"] = jax.device_put(jnp.asarray(hx.bsr_tiles), shard4)
+                self.data["bsr_tidx"] = jax.device_put(jnp.asarray(hx.bsr_tidx), shard3)
+                self.data["bsr_tcol"] = jax.device_put(jnp.asarray(hx.bsr_tcol), shard3)
         else:
             at_idx, at_val = part.at_blocks  # lazy: only the all-gather path needs them
             self.data["a_idx"] = jax.device_put(jnp.asarray(part.a_idx), shard3)
@@ -122,12 +143,30 @@ class DistHighwayGCN:
     def _conv(self, hw, data):
         spec3 = P(GRAPH_AXIS, None, None)
         if self.halo is not None:
+            keys = ("al_idx", "al_val", "alt_idx", "alt_val",
+                    "ar_idx", "ar_val", "art_idx", "art_val", "send_idx")
+            if self.halo.bsr_tiles is not None:
+                block = self.halo.block
+                bsr_keys = ("bsr_tiles", "bsr_tidx", "bsr_tcol")
+
+                def body(h, *blocks):
+                    return local_spmm_halo_bsr(h, *(b[0] for b in blocks), block=block)
+
+                specs = (spec3,) * len(keys) + (P(GRAPH_AXIS, None, None, None), spec3, spec3)
+                # check_vma=False: pallas interpret mode (CPU tests) emits
+                # dynamic_slices mixing varying/unvarying values that the vma
+                # checker rejects; numerical parity is covered by tests
+                return shard_map(
+                    body,
+                    mesh=self.mesh,
+                    in_specs=(P(GRAPH_AXIS, None),) + specs,
+                    out_specs=P(GRAPH_AXIS, None),
+                    check_vma=False,
+                )(hw, *(data[k] for k in keys + bsr_keys))
 
             def body(h, *blocks):
                 return local_spmm_halo(h, *(b[0] for b in blocks))
 
-            keys = ("al_idx", "al_val", "alt_idx", "alt_val",
-                    "ar_idx", "ar_val", "art_idx", "art_val", "send_idx")
             return shard_map(
                 body,
                 mesh=self.mesh,

@@ -187,6 +187,14 @@ class HaloExchange:
     ar_val: np.ndarray
     art_idx: np.ndarray  # [D, D*h_max, Krt]
     art_val: np.ndarray
+    # Optional MXU fast path for the local square blocks (community-reordered
+    # graphs put most local edges in dense tiles): per-device BSR arrays
+    # padded to common shapes, plus the residual local edges in ELL form.
+    # When set, al_*/alt_* above hold ONLY the residual local edges.
+    bsr_tiles: np.ndarray | None = None  # [D, Tmax+1, B, B]
+    bsr_tidx: np.ndarray | None = None  # [D, rbl, Km]
+    bsr_tcol: np.ndarray | None = None  # [D, rbl, Km]
+    block: int = 0
 
     @property
     def halo_fraction(self) -> float:
@@ -196,7 +204,17 @@ class HaloExchange:
         return (d * self.h_max) / max(d * rpd, 1)
 
 
-def build_halo(part: RowPartition, *, pad_align: int = 8) -> HaloExchange:
+def build_halo(
+    part: RowPartition,
+    *,
+    pad_align: int = 8,
+    local_backend: str = "bell",
+    bsr_block: int = 256,
+    min_tile_nnz: int = 96,
+) -> HaloExchange:
+    """local_backend='bsr' additionally densifies each device's local square
+    block into MXU tiles (requires rows_per_device % bsr_block == 0 — pass
+    row_align=bsr_block to partition_rows); 'bell' keeps everything in ELL."""
     d_n, rpd = part.n_devices, part.rows_per_device
     a_idx, a_val = part.a_idx, part.a_val
 
@@ -245,6 +263,34 @@ def build_halo(part: RowPartition, *, pad_align: int = 8) -> HaloExchange:
             sp.coo_matrix((vals[rm], (rows_flat[rm], rcols)), shape=(rpd, n_halo)).tocsr()
         )
 
+    bsr_tiles = bsr_tidx = bsr_tcol = None
+    block = 0
+    if local_backend == "bsr" and rpd % bsr_block == 0:
+        # split each local square block into dense MXU tiles + ELL residual;
+        # the local block of a symmetric Â is symmetric, so one BSR operand
+        # serves forward and backward
+        from graphconvgeo_tpu.sparse.formats import BsrMatrix, split_dense_tiles
+
+        dense_parts, resid_parts = [], []
+        for b in local_blocks:
+            dense, resid = split_dense_tiles(b, block=bsr_block, min_tile_nnz=min_tile_nnz)
+            dense_parts.append(dense)
+            resid_parts.append(resid)
+        if any(d.nnz for d in dense_parts):
+            block = bsr_block
+            bsrs = [BsrMatrix.from_scipy(d, block=bsr_block) for d in dense_parts]
+            t_max = max(b.tiles.shape[0] for b in bsrs)
+            k_m = max(b.k_max for b in bsrs)
+            rbl = rpd // bsr_block
+            bsr_tiles = np.zeros((d_n, t_max, bsr_block, bsr_block), np.float32)
+            bsr_tidx = np.zeros((d_n, rbl, k_m), np.int32)
+            bsr_tcol = np.zeros((d_n, rbl, k_m), np.int32)
+            for d, b in enumerate(bsrs):
+                bsr_tiles[d, : b.tiles.shape[0]] = np.asarray(b.tiles)
+                bsr_tidx[d, :, : b.k_max] = np.asarray(b.tile_idx)
+                bsr_tcol[d, :, : b.k_max] = np.asarray(b.tile_col)
+            local_blocks = resid_parts  # al_*/alt_* hold only the residual
+
     al_idx, al_val = _stack_blocks(local_blocks)
     alt_idx, alt_val = _stack_blocks([b.T.tocsr() for b in local_blocks])
     ar_idx, ar_val = _stack_blocks(remote_blocks)
@@ -260,6 +306,10 @@ def build_halo(part: RowPartition, *, pad_align: int = 8) -> HaloExchange:
         ar_val=ar_val,
         art_idx=art_idx,
         art_val=art_val,
+        bsr_tiles=bsr_tiles,
+        bsr_tidx=bsr_tidx,
+        bsr_tcol=bsr_tcol,
+        block=block,
     )
 
 

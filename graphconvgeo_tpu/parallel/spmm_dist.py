@@ -66,6 +66,37 @@ def local_spmm_halo(
     return out_local + out_remote
 
 
+def local_spmm_halo_bsr(
+    h_local,
+    al_idx, al_val, alt_idx, alt_val,
+    ar_idx, ar_val, art_idx, art_val,
+    send_idx,
+    bsr_tiles, bsr_tidx, bsr_tcol,
+    *,
+    block: int,
+    axis: str = GRAPH_AXIS,
+):
+    """Halo body with the MXU fast path: the dense tiles of the local square
+    block run through the Pallas BSR kernel (the local block of a symmetric Â
+    is symmetric, so one operand serves forward and backward); al_* carry
+    only the residual local edges. Still one all-to-all, still overlapped.
+    """
+    from graphconvgeo_tpu.ops.spmm_pallas import spmm_bsr
+    from graphconvgeo_tpu.sparse.formats import BsrMatrix
+
+    send = jnp.take(h_local, send_idx, axis=0)
+    recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=True)
+    rpd = h_local.shape[0]
+    mat = BsrMatrix(
+        tiles=bsr_tiles, tile_idx=bsr_tidx, tile_col=bsr_tcol,
+        n_rows=rpd, n_cols=rpd, block=block,
+    )
+    out_local = spmm_bsr(mat, mat, h_local)
+    out_local = out_local + _spmm_ell_core(al_idx, al_val, alt_idx, alt_val, h_local)
+    halo = recv.reshape(-1, h_local.shape[1])
+    return out_local + _spmm_ell_core(ar_idx, ar_val, art_idx, art_val, halo)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _input_spmm(axis, x_idx, x_val, xt_idx, xt_val, w0):
     return _ell_matvec(x_idx, x_val, w0)

@@ -190,3 +190,40 @@ def test_dist_model_on_single_device_mesh(rng):
     logits = np.asarray(jax.jit(lambda p: dist.apply(p, train=False))(dparams))
     want = np.asarray(single.apply(params, train=False))
     np.testing.assert_allclose(logits[:64], want, rtol=2e-4, atol=2e-5)
+
+
+def test_halo_bsr_local_backend_matches_single(rng, mesh):
+    """Halo path with the per-device BSR local fast path (row_align=256)
+    reproduces the single-device model."""
+    n = 1024
+    adj = random_csr(rng, n, n, 6, symmetric=True)
+    adj.data = np.abs(adj.data)
+    a_hat = normalize_adjacency(adj)
+    x = random_csr(rng, n, 30, 5)
+    x.data = np.abs(x.data).astype(np.float32)
+    y = rng.integers(0, 5, n).astype(np.int32)
+    mask = (rng.random(n) < 0.6).astype(np.float32)
+    cfg = GCNConfig(n_features=30, n_classes=5, hidden=(16, 16), highway=True, dropout=0.3)
+
+    part = partition_rows(a_hat, x, y, mask, 4, row_align=256)
+    assert part.rows_per_device % 256 == 0
+    dist = DistHighwayGCN(cfg, part, jax.sharding.Mesh(np.array(jax.devices()[:4]), ("graph",)),
+                          halo="on", local_backend="bsr")
+    assert dist.halo is not None and dist.halo.bsr_tiles is not None
+
+    single = HighwayGCN(cfg, SparseGraph(csr=x), SparseGraph(csr=a_hat, symmetric=True))
+    params = single.init(jax.random.key(11))
+    mesh4 = dist.mesh
+    dparams = jax.device_put(params, jax.sharding.NamedSharding(mesh4, jax.sharding.PartitionSpec()))
+    logits = np.asarray(jax.jit(lambda p: dist.apply(p, train=False))(dparams))
+    want = np.asarray(single.apply(params, train=False))
+    np.testing.assert_allclose(logits[:n], want, rtol=2e-4, atol=2e-5)
+
+    # gradients too
+    loss_s, grads_s = jax.value_and_grad(
+        lambda p: single.loss(p, jnp.asarray(y), jnp.asarray(mask), train=False)
+    )(params)
+    loss_d, grads_d = jax.jit(jax.value_and_grad(lambda p: dist.loss(p, train=False)))(dparams)
+    np.testing.assert_allclose(float(loss_d), float(loss_s), rtol=1e-5)
+    for gs, gd in zip(jax.tree.leaves(grads_s), jax.tree.leaves(grads_d)):
+        np.testing.assert_allclose(np.asarray(gd), np.asarray(gs), rtol=5e-4, atol=1e-5)
