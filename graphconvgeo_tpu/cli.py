@@ -51,6 +51,11 @@ def parse_args(argv=None):
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--highway", dest="highway", action="store_true", default=True)
     p.add_argument("--no-highway", dest="highway", action="store_false")
+    p.add_argument("--model", choices=("gcn", "gat"), default="gcn",
+                   help="model family: highway-GCN (reference) or graph attention")
+    p.add_argument("--heads", type=int, default=4, help="attention heads (--model gat)")
+    p.add_argument("--attn-dropout", type=float, default=0.0,
+                   help="dropout on attention coefficients (--model gat)")
     p.add_argument("--epochs", type=int, default=500)
     p.add_argument("--patience", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
@@ -66,10 +71,17 @@ def parse_args(argv=None):
         if getattr(args, k) is None:
             setattr(args, k, v)
     args.hidden = tuple(args.hidden)
-    if args.highway and any(a != b for a, b in zip(args.hidden, args.hidden[1:])):
+    if args.model == "gcn" and args.highway and any(
+        a != b for a, b in zip(args.hidden, args.hidden[1:])
+    ):
         p.error(
             f"--highway needs equal hidden sizes (got {args.hidden}); "
             "pass --no-highway or matching --hidden values"
+        )
+    if args.model == "gat" and any(h % args.heads for h in args.hidden):
+        p.error(
+            f"--model gat needs hidden sizes divisible by --heads {args.heads} "
+            f"(got {args.hidden})"
         )
     return args
 
@@ -99,20 +111,35 @@ def load_dataset(args):
 def run_one(args, ds, *, dropout=None, l2=None, hidden=None, lr=None, quiet=None):
     import jax
 
+    from graphconvgeo_tpu.models.gat import GATConfig, GraphAttentionNet
     from graphconvgeo_tpu.models.gcn import GCNConfig, HighwayGCN
     from graphconvgeo_tpu.sparse.formats import SparseGraph
     from graphconvgeo_tpu.train.trainer import TrainConfig, Trainer
 
-    cfg = GCNConfig(
-        n_features=ds.x.shape[1],
-        n_classes=ds.n_classes,
-        hidden=tuple(hidden or args.hidden),
-        highway=args.highway,
-        dropout=args.dropout if dropout is None else dropout,
-        l2=args.l2 if l2 is None else l2,
-        spmm_backend=args.backend,
-    )
-    model = HighwayGCN(cfg, SparseGraph(csr=ds.x), SparseGraph(csr=ds.adj, symmetric=True))
+    x_graph = SparseGraph(csr=ds.x)
+    adj_graph = SparseGraph(csr=ds.adj, symmetric=True)
+    if args.model == "gat":
+        cfg = GATConfig(
+            n_features=ds.x.shape[1],
+            n_classes=ds.n_classes,
+            hidden=tuple(hidden or args.hidden),
+            heads=args.heads,
+            dropout=args.dropout if dropout is None else dropout,
+            attn_dropout=args.attn_dropout,
+            l2=args.l2 if l2 is None else l2,
+        )
+        model = GraphAttentionNet(cfg, x_graph, adj_graph)
+    else:
+        cfg = GCNConfig(
+            n_features=ds.x.shape[1],
+            n_classes=ds.n_classes,
+            hidden=tuple(hidden or args.hidden),
+            highway=args.highway,
+            dropout=args.dropout if dropout is None else dropout,
+            l2=args.l2 if l2 is None else l2,
+            spmm_backend=args.backend,
+        )
+        model = HighwayGCN(cfg, x_graph, adj_graph)
     tcfg = TrainConfig(
         learning_rate=args.lr if lr is None else lr,
         epochs=args.epochs,

@@ -1,1 +1,2 @@
+from graphconvgeo_tpu.models.gat import GATConfig, GraphAttentionNet  # noqa: F401
 from graphconvgeo_tpu.models.gcn import GCNConfig, HighwayGCN  # noqa: F401

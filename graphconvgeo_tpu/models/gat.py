@@ -1,0 +1,198 @@
+"""Graph-attention geolocation model (GAT family, TPU-first).
+
+An extension model family over the same data pipeline / trainer / eval stack
+as :class:`~graphconvgeo_tpu.models.gcn.HighwayGCN` (the reference,
+``gcnmodel.py :: GCN``, has no attention variant — this family exercises the
+SDDMM / trainable-edge machinery the kernel inventory provides, see
+`ops/attention.py`). Architecture:
+
+    H₀ = act( X · W₀ + b₀ )                        # shared sparse input layer
+    for each hidden layer i = 1..L (heads m, per-head dim f, out = m·f):
+        Z  = Hᵢ₋₁ Wᵢ                               # MXU GEMM
+        e_jk = LeakyReLU( (Z a_src)_j + (Z a_dst)_k )   per edge (j→k)
+        αᵢ = edge_softmax(e) over each node's neighbor slots
+        H̃ᵢ = act( concat_heads( Σ_k αᵢ Z_k ) + bᵢ )
+        Hᵢ = H̃ᵢ + Hᵢ₋₁   (residual, when dims match)
+    logits = H_L W_out + b_out
+
+Trainer/eval compatibility is duck-typed: same ``init / apply / loss /
+hidden_states / arrays`` surface as HighwayGCN, so Trainer, checkpointing,
+and the CLI work unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from graphconvgeo_tpu.models.gcn import l2_penalty, sparse_input_layer
+from graphconvgeo_tpu.ops.attention import gat_layer
+from graphconvgeo_tpu.ops.dropout import dropout
+from graphconvgeo_tpu.sparse.formats import AttentionEll, SparseGraph
+
+_ACTIVATIONS = {
+    "elu": jax.nn.elu,
+    "tanh": jnp.tanh,
+    "relu": jax.nn.relu,
+    "none": lambda x: x,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class GATConfig:
+    n_features: int
+    n_classes: int
+    hidden: tuple = (300, 300)  # per-layer output dims (= heads · per-head dim)
+    heads: int = 4
+    dropout: float = 0.5
+    attn_dropout: float = 0.0  # dropout on the attention coefficients
+    l2: float = 0.0
+    activation: str = "elu"
+    negative_slope: float = 0.2  # LeakyReLU slope for edge scores
+    residual: bool = True  # skip connection when consecutive dims match
+    dtype: str = "float32"
+    gather_dtype: Optional[str] = None
+    remat: bool = False  # rematerialize each attention layer in the backward
+
+    def __post_init__(self):
+        for h in self.hidden:
+            if h % self.heads:
+                raise ValueError(
+                    f"hidden dims must be divisible by heads={self.heads}, got {self.hidden}"
+                )
+        if self.activation not in _ACTIVATIONS:
+            raise ValueError(f"unknown activation {self.activation!r}")
+
+
+def _glorot(key, shape, dtype):
+    fan_in, fan_out = shape[0], int(jnp.prod(jnp.asarray(shape[1:])))
+    limit = jnp.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+def init_gat_params(key: jax.Array, cfg: GATConfig, dtype=jnp.float32) -> dict:
+    params: dict = {"layers": []}
+    keys = jax.random.split(key, len(cfg.hidden) + 2)
+    params["input"] = {
+        "w": _glorot(keys[0], (cfg.n_features, cfg.hidden[0]), dtype),
+        "b": jnp.zeros((cfg.hidden[0],), dtype),
+    }
+    in_dims = (cfg.hidden[0],) + tuple(cfg.hidden[:-1])
+    for i, (d_in, d_out) in enumerate(zip(in_dims, cfg.hidden)):
+        k1, k2, k3 = jax.random.split(keys[i + 1], 3)
+        f = d_out // cfg.heads
+        params["layers"].append(
+            {
+                "w": _glorot(k1, (d_in, d_out), dtype),
+                "b": jnp.zeros((d_out,), dtype),
+                "a_src": _glorot(k2, (cfg.heads, f), dtype),
+                "a_dst": _glorot(k3, (cfg.heads, f), dtype),
+            }
+        )
+    params["out"] = {
+        "w": _glorot(keys[-1], (cfg.hidden[-1], cfg.n_classes), dtype),
+        "b": jnp.zeros((cfg.n_classes,), dtype),
+    }
+    return params
+
+
+class GraphAttentionNet:
+    """Model = static config + sparse operands; params live outside (same
+    contract as :class:`HighwayGCN` — see that class for why arrays must be
+    threaded through jit as arguments)."""
+
+    def __init__(self, cfg: GATConfig, x: SparseGraph, adj: SparseGraph):
+        self.cfg = cfg
+        self.x = x
+        self.adj = adj
+        self._dtype = jnp.dtype(cfg.dtype)
+        self.arrays = {
+            "x": x.bell(),
+            "x_t": x.bell_t(),
+            # attention uses the adjacency PATTERN only (scores replace Â's
+            # values); self-loops are already present in the normalized csr
+            "att": AttentionEll.from_scipy(adj.csr),
+        }
+
+    def init(self, key: jax.Array) -> dict:
+        return init_gat_params(key, self.cfg, self._dtype)
+
+    def hidden_states(
+        self, params, arrays=None, *, train: bool = False, rng: Optional[jax.Array] = None
+    ) -> list:
+        cfg = self.cfg
+        if arrays is None:
+            arrays = self.arrays
+        act = _ACTIVATIONS[cfg.activation]
+        need_rng = cfg.dropout > 0.0 or cfg.attn_dropout > 0.0
+        if train and need_rng and rng is None:
+            raise ValueError("rng required when train=True and dropout > 0")
+        if train and need_rng:
+            seeds = jax.random.split(rng, 2 + 2 * len(cfg.hidden))
+            x_seed = jax.random.randint(seeds[0], (), 0, 2**31 - 1, dtype=jnp.int32)
+        else:
+            seeds = None
+            x_seed = jnp.int32(0)
+
+        def attn_layer(layer, h, h_in, attn_rng):
+            z = gat_layer(
+                arrays["att"],
+                h_in,
+                layer["w"],
+                layer["a_src"],
+                layer["a_dst"],
+                negative_slope=cfg.negative_slope,
+                attn_dropout=cfg.attn_dropout if train else 0.0,
+                rng=attn_rng,
+            )
+            out = act(z + layer["b"])
+            if cfg.residual and out.shape == h.shape:
+                out = out + h
+            return out
+
+        if cfg.remat:
+            attn_layer = jax.checkpoint(attn_layer)
+
+        states = []
+        h = sparse_input_layer(
+            params["input"],
+            arrays,
+            n_rows=self.x.shape[0],
+            n_cols=self.x.shape[1],
+            dropout_rate=cfg.dropout if train else 0.0,
+            activation=act,
+            gather_dtype=cfg.gather_dtype,
+            out_dtype=self._dtype,
+            train=train,
+            seed=x_seed,
+        )
+        states.append(h)
+        for i, layer in enumerate(params["layers"]):
+            if train and seeds is not None and cfg.dropout > 0.0:
+                h_in = dropout(h, rate=cfg.dropout, rng=seeds[1 + 2 * i])
+            else:
+                h_in = h
+            attn_rng = seeds[2 + 2 * i] if (train and seeds is not None) else None
+            h = attn_layer(layer, h, h_in, attn_rng)
+            states.append(h)
+        if train and seeds is not None and cfg.dropout > 0.0:
+            h = dropout(h, rate=cfg.dropout, rng=seeds[-1])
+        logits = h @ params["out"]["w"] + params["out"]["b"]
+        states.append(logits)
+        return states
+
+    def apply(self, params, arrays=None, *, train: bool = False, rng=None):
+        return self.hidden_states(params, arrays, train=train, rng=rng)[-1]
+
+    def loss(self, params, y, mask, arrays=None, *, rng=None, train=True):
+        logits = self.apply(params, arrays, train=train, rng=rng)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ce = -jnp.take_along_axis(logp, y[:, None], axis=-1)[:, 0]
+        mask = mask.astype(ce.dtype)
+        loss = jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+        if self.cfg.l2 > 0.0:
+            loss = loss + self.cfg.l2 * l2_penalty(params)
+        return loss

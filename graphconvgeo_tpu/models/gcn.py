@@ -80,10 +80,50 @@ def _glorot(key, shape, dtype):
 def l2_penalty(params: dict) -> jax.Array:
     """Σ‖W‖² over all kernel weights (not biases) — the reference's
     ``lasagne.regularization.regularize_network_params(l2)`` equivalent.
-    Shared by the single-chip, distributed and sampled losses."""
+    Shared by the single-chip, distributed, sampled and attention losses
+    (every non-bias layer parameter: w, w_t, a_src, a_dst)."""
     return sum(
         jnp.sum(p["w"] ** 2) for p in (params["input"], params["out"])
-    ) + sum(jnp.sum(l[k] ** 2) for l in params["layers"] for k in l if k.startswith("w"))
+    ) + sum(jnp.sum(l[k] ** 2) for l in params["layers"] for k in l if not k.startswith("b"))
+
+
+def sparse_input_layer(
+    params_in: dict,
+    arrays: dict,
+    *,
+    n_rows: int,
+    n_cols: int,
+    dropout_rate: float,
+    activation,
+    gather_dtype,
+    out_dtype,
+    train: bool,
+    seed,
+) -> jax.Array:
+    """H₀ = act(X W₀ + b₀) with sparse-input dropout at train time.
+
+    Reference: ``gcnmodel.py :: SparseInputDenseLayer`` (+ the sparse input
+    dropout layer). X and Xᵀ are degree-bucketed (text lengths are as skewed
+    as mention degrees); the hashed dropout mask is keyed by global entry
+    position so the forward and transpose layouts drop identical entries —
+    the custom VJP then differentiates the *dropped* operator exactly.
+    Shared by the GCN and GAT model families (identical input layers).
+    """
+    x_bell = arrays["x"]
+    x_bell_t = arrays["x_t"]
+    if train and dropout_rate > 0.0:
+        x_bell = bell_dropout(
+            x_bell, rate=dropout_rate, seed=seed, n_cols_forward=n_cols, transposed=False
+        )
+        x_bell_t = bell_dropout(
+            x_bell_t, rate=dropout_rate, seed=seed, n_cols_forward=n_cols, transposed=True
+        )
+    w0 = params_in["w"]
+    if gather_dtype is not None:
+        w0 = w0.astype(gather_dtype)
+    h = _spmm_bell_core(x_bell, x_bell_t, w0)
+    h = h[:n_rows].astype(out_dtype)
+    return activation(h + params_in["b"])
 
 
 def init_gcn_params(key: jax.Array, cfg: GCNConfig, dtype=jnp.float32) -> dict:
@@ -146,30 +186,20 @@ class HighwayGCN:
 
     # ---- forward --------------------------------------------------------
     def _input_layer(self, params, arrays, *, train: bool, seed) -> jax.Array:
-        """H₀ = act(X W₀ + b₀) with sparse-input dropout at train time.
-
-        X and Xᵀ are degree-bucketed (text lengths are as skewed as mention
-        degrees); the hashed dropout mask is keyed by global entry position so
-        the forward and transpose layouts drop identical entries — the custom
-        VJP then differentiates the *dropped* operator exactly.
-        """
+        """H₀ = act(X W₀ + b₀) — see :func:`sparse_input_layer`."""
         cfg = self.cfg
-        x_bell = arrays["x"]
-        x_bell_t = arrays["x_t"]
-        if train and cfg.dropout > 0.0:
-            v = self.x.shape[1]
-            x_bell = bell_dropout(
-                x_bell, rate=cfg.dropout, seed=seed, n_cols_forward=v, transposed=False
-            )
-            x_bell_t = bell_dropout(
-                x_bell_t, rate=cfg.dropout, seed=seed, n_cols_forward=v, transposed=True
-            )
-        w0 = params["input"]["w"]
-        if cfg.gather_dtype is not None:
-            w0 = w0.astype(cfg.gather_dtype)
-        h = _spmm_bell_core(x_bell, x_bell_t, w0)
-        h = h[: self.x.shape[0]].astype(self._dtype)
-        return _ACTIVATIONS[cfg.activation](h + params["input"]["b"])
+        return sparse_input_layer(
+            params["input"],
+            arrays,
+            n_rows=self.x.shape[0],
+            n_cols=self.x.shape[1],
+            dropout_rate=cfg.dropout,
+            activation=_ACTIVATIONS[cfg.activation],
+            gather_dtype=cfg.gather_dtype,
+            out_dtype=self._dtype,
+            train=train,
+            seed=seed,
+        )
 
     def hidden_states(
         self, params, arrays=None, *, train: bool = False, rng: Optional[jax.Array] = None

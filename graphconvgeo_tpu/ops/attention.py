@@ -1,0 +1,90 @@
+"""Edge softmax + attention-weighted aggregation (GAT-style model family).
+
+The reference (`afcarl/graphconvgeo`) has no attention model; this is the
+extension family BASELINE.json's kernel inventory anticipates ("SpMM/SDDMM"
+— SDDMM is exactly the edge-value gradient below). The design is TPU-first:
+
+- Per-edge scores are GATv1-decomposable: e_ij = LeakyReLU(s_i + d_j) with
+  s = (HW)·a_src, d = (HW)·a_dst — so the per-edge work is ONE row gather of
+  a narrow [N, heads] table plus VPU elementwise, never an SDDMM over the
+  full feature dim in the forward.
+- Softmax is over the dense ELL slot axis ([N, K, heads] elementwise + row
+  reductions) — no segment ops, no dynamic shapes.
+- Aggregation reuses the trainable-edge SpMM core: backward yields the
+  edge-value gradient via SDDMM (`ops/sddmm.py`) and the input cotangent via
+  a TRANSPOSE-LAYOUT GATHER (`AttentionEll.perm_t`), never a scatter-add
+  (measured ~7x slower than gather on v5e — PERF.md).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from graphconvgeo_tpu.ops.spmm import _spmm_ell_train_core
+from graphconvgeo_tpu.sparse.formats import AttentionEll
+
+
+def edge_softmax(scores: jax.Array, valid: jax.Array) -> jax.Array:
+    """Masked softmax over the ELL slot axis (axis 1).
+
+    scores: [N, K, ...], valid: broadcastable {0,1} mask. Padding slots get
+    probability 0; all-padding rows return all-zero rows (no NaN).
+    """
+    neg = jnp.asarray(-1e30, scores.dtype)
+    s = jnp.where(valid > 0, scores, neg)
+    m = jax.lax.stop_gradient(jnp.max(s, axis=1, keepdims=True))
+    e = jnp.exp(s - m) * valid
+    denom = jnp.sum(e, axis=1, keepdims=True)
+    return e / jnp.maximum(denom, jnp.asarray(1e-30, scores.dtype))
+
+
+def attention_spmm(att: AttentionEll, alpha: jax.Array, h: jax.Array) -> jax.Array:
+    """out[i] = Σ_k alpha[i, k] · h[att.indices[i, k]], differentiable in
+    BOTH alpha (via SDDMM) and h (via the transpose-layout gather).
+
+    alpha: [N, K] edge weights over the forward layout (padding slots must
+    already be 0 — :func:`edge_softmax` guarantees this).
+    """
+    alpha_t = (alpha.reshape(-1)[att.perm_t] * att.valid_t.reshape(-1)).reshape(
+        att.indices_t.shape
+    )
+    out = _spmm_ell_train_core(att.indices, alpha, att.indices_t, alpha_t, h)
+    return out[: att.indices.shape[0]]
+
+
+def gat_layer(
+    att: AttentionEll,
+    h_in: jax.Array,
+    w: jax.Array,
+    a_src: jax.Array,
+    a_dst: jax.Array,
+    *,
+    negative_slope: float = 0.2,
+    attn_dropout: float = 0.0,
+    rng: jax.Array | None = None,
+) -> jax.Array:
+    """One multi-head GAT propagation (heads concatenated).
+
+    h_in: [N, d_in]; w: [d_in, heads·f]; a_src/a_dst: [heads, f].
+    Returns [N, heads·f] (pre-bias, pre-activation).
+    """
+    heads, f = a_src.shape
+    n = h_in.shape[0]
+    hw = h_in @ w  # [N, heads·f] — the MXU op
+    hw_heads = hw.reshape(n, heads, f)
+    s = jnp.einsum("nhf,hf->nh", hw_heads, a_src)
+    d = jnp.einsum("nhf,hf->nh", hw_heads, a_dst)
+    d_nbr = d[att.indices]  # [N, K, heads] — narrow-table row gather
+    scores = s[:, None, :] + d_nbr
+    scores = jnp.where(scores >= 0, scores, negative_slope * scores)
+    alpha = edge_softmax(scores, att.valid[:, :, None])
+    if attn_dropout > 0.0:
+        if rng is None:
+            raise ValueError("rng required when attn_dropout > 0")
+        keep = jax.random.bernoulli(rng, 1.0 - attn_dropout, alpha.shape)
+        alpha = jnp.where(keep, alpha / (1.0 - attn_dropout), 0.0)
+    outs = [
+        attention_spmm(att, alpha[:, :, j], hw_heads[:, j, :]) for j in range(heads)
+    ]
+    return jnp.concatenate(outs, axis=-1)

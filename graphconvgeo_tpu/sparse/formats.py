@@ -365,6 +365,79 @@ class CachedBell:
         )
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class AttentionEll:
+    """Edge-pattern operand for attention layers (GAT-style extensions).
+
+    Unlike :class:`EllMatrix`, the edge VALUES here are computed on device
+    each step (softmax of learned scores), so the format carries only the
+    pattern plus what the backward pass needs:
+
+    - ``indices``/``valid``: forward ELL layout ([N, K] column ids, pad = 0,
+      with an explicit validity mask — attention values are dense over the
+      layout so "value == 0" cannot mark padding).
+    - ``indices_t``/``valid_t``: the transpose pattern's ELL layout, used to
+      gather the input cotangent ``Aᵀ·G`` without a scatter-add.
+    - ``perm_t``: flat forward-layout position of every transpose slot, so
+      the transposed value tensor is one cheap gather
+      ``alpha.reshape(-1)[perm_t]`` instead of a scatter.
+    """
+
+    indices: jax.Array
+    valid: jax.Array
+    indices_t: jax.Array
+    valid_t: jax.Array
+    perm_t: jax.Array
+    n_cols: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_rows(self) -> int:
+        return self.indices.shape[0]
+
+    @property
+    def k(self) -> int:
+        return self.indices.shape[1]
+
+    @staticmethod
+    def _pattern_ell(csr: sp.csr_matrix, *, pad_k_to: int = 8):
+        deg = np.diff(csr.indptr)
+        n_rows = csr.shape[0]
+        k = _round_up(max(int(deg.max()) if n_rows and csr.nnz else 0, 1), pad_k_to)
+        indices = np.zeros((n_rows, k), dtype=np.int32)
+        valid = np.zeros((n_rows, k), dtype=np.float32)
+        rows = np.repeat(np.arange(n_rows), deg)
+        slots = np.arange(csr.nnz) - np.repeat(csr.indptr[:-1], deg)
+        indices[rows, slots] = csr.indices
+        valid[rows, slots] = 1.0
+        return indices, valid, rows, slots, k
+
+    @staticmethod
+    def from_scipy(mat: sp.spmatrix, *, pad_k_to: int = 8) -> "AttentionEll":
+        csr = sp.csr_matrix(mat)
+        csr.sort_indices()
+        indices, valid, rows, slots, k = AttentionEll._pattern_ell(csr, pad_k_to=pad_k_to)
+        # Forward flat position of each edge (CSR order), carried through the
+        # transpose so alpha_t is a gather of alpha.
+        ell_pos = (rows.astype(np.int64) * k + slots).astype(np.int64)
+        csr_e = sp.csr_matrix((ell_pos + 1, csr.indices, csr.indptr), shape=csr.shape)
+        csr_t = csr_e.T.tocsr()
+        csr_t.sort_indices()
+        indices_t, valid_t, rows_t, slots_t, k_t = AttentionEll._pattern_ell(
+            csr_t, pad_k_to=pad_k_to
+        )
+        perm_t = np.zeros(indices_t.shape, dtype=np.int32)
+        perm_t[rows_t, slots_t] = (csr_t.data - 1).astype(np.int32)
+        return AttentionEll(
+            indices=jnp.asarray(indices),
+            valid=jnp.asarray(valid),
+            indices_t=jnp.asarray(indices_t),
+            valid_t=jnp.asarray(valid_t),
+            perm_t=jnp.asarray(perm_t.reshape(-1)),
+            n_cols=csr.shape[1],
+        )
+
+
 def split_dense_tiles(
     csr: sp.csr_matrix, *, block: int = 128, min_tile_nnz: int = 96
 ) -> tuple:

@@ -25,3 +25,22 @@ def test_cli_preset_parity_flags():
     # overrides win over preset
     o = parse_args(["--preset", "geotext", "-d", "/tmp/x", "--bucket", "7"])
     assert o.bucket == 7
+
+
+def test_cli_gat_model_end_to_end():
+    from graphconvgeo_tpu.cli import main
+
+    report = main([
+        "--preset", "synthetic", "--model", "gat", "--heads", "2",
+        "--epochs", "20", "--patience", "20", "--quiet", "--hidden", "32", "32",
+    ])
+    assert 0.0 <= report["test"]["acc_at_161"] <= 1.0
+
+
+def test_cli_gat_validates_heads():
+    import pytest
+
+    from graphconvgeo_tpu.cli import parse_args
+
+    with pytest.raises(SystemExit):
+        parse_args(["--model", "gat", "--heads", "3", "--hidden", "32", "32"])

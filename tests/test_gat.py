@@ -1,0 +1,220 @@
+"""GAT model-family tests: edge softmax, attention SpMM gradients (forward
+SDDMM backward contract), per-layer numpy-oracle parity, and a tiny e2e
+training-improves check. Same oracle discipline as test_model_oracle.py
+(SURVEY.md §4.1-4.2)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graphconvgeo_tpu.models.gat import GATConfig, GraphAttentionNet
+from graphconvgeo_tpu.ops.attention import attention_spmm, edge_softmax
+from graphconvgeo_tpu.sparse.formats import AttentionEll, SparseGraph, normalize_adjacency
+from tests.conftest import random_csr
+
+
+# ---------- unit: format + edge softmax ------------------------------------
+
+
+def test_attention_ell_transpose_permutation(rng):
+    a = random_csr(rng, 30, 30, 4, empty_rows=True)
+    a.data[:] = 1.0
+    att = AttentionEll.from_scipy(a)
+    # random per-edge values placed in the forward layout must land at the
+    # transpose position of the same edge
+    vals = np.where(np.asarray(att.valid) > 0, rng.normal(size=att.valid.shape), 0.0)
+    vals = jnp.asarray(vals.astype(np.float32))
+    vals_t = (vals.reshape(-1)[att.perm_t] * att.valid_t.reshape(-1)).reshape(
+        att.indices_t.shape
+    )
+    dense = np.zeros(a.shape, np.float32)
+    iv, vv = np.asarray(att.indices), np.asarray(vals)
+    for i in range(att.n_rows):
+        for k in range(att.k):
+            if np.asarray(att.valid)[i, k] > 0:
+                dense[i, iv[i, k]] += vv[i, k]
+    dense_t = np.zeros(a.shape, np.float32)
+    it, vt = np.asarray(att.indices_t), np.asarray(vals_t)
+    for i in range(att.indices_t.shape[0]):
+        for k in range(att.indices_t.shape[1]):
+            if np.asarray(att.valid_t)[i, k] > 0:
+                dense_t[i, it[i, k]] += vt[i, k]
+    np.testing.assert_allclose(dense_t, dense.T, atol=1e-6)
+
+
+def test_edge_softmax_masks_padding_and_sums_to_one(rng):
+    scores = jnp.asarray(rng.normal(size=(5, 8)).astype(np.float32))
+    valid = jnp.asarray(
+        (np.arange(8)[None, :] < np.array([3, 8, 1, 0, 5])[:, None]).astype(np.float32)
+    )
+    alpha = edge_softmax(scores, valid)
+    a = np.asarray(alpha)
+    assert (a[valid == 0] == 0).all()
+    sums = a.sum(axis=1)
+    np.testing.assert_allclose(sums[[0, 1, 2, 4]], 1.0, rtol=1e-6)
+    assert sums[3] == 0.0  # all-padding row: zeros, no NaN
+    assert np.isfinite(a).all()
+
+
+def test_attention_spmm_matches_dense_and_grads(rng):
+    n, f = 24, 5
+    a = random_csr(rng, n, n, 3, empty_rows=False)
+    a.data[:] = 1.0
+    att = AttentionEll.from_scipy(a)
+    alpha = jnp.asarray(
+        (rng.random(att.valid.shape) * np.asarray(att.valid)).astype(np.float32)
+    )
+    h = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+
+    def f_sum(alpha_, h_):
+        return jnp.sum(attention_spmm(att, alpha_, h_) ** 2)
+
+    out = attention_spmm(att, alpha, h)
+    dense = np.zeros((n, n), np.float32)
+    iv = np.asarray(att.indices)
+    for i in range(n):
+        for k in range(att.k):
+            if np.asarray(att.valid)[i, k] > 0:
+                dense[i, iv[i, k]] += np.asarray(alpha)[i, k]
+    np.testing.assert_allclose(np.asarray(out), dense @ np.asarray(h), rtol=1e-5, atol=1e-5)
+
+    # gradients w.r.t. BOTH alpha (SDDMM path) and h (transpose-gather path)
+    g_alpha, g_h = jax.grad(f_sum, argnums=(0, 1))(alpha, h)
+    eps = 1e-3
+    rs = np.random.default_rng(1)
+    for _ in range(4):
+        i = rs.integers(0, n)
+        k = rs.integers(0, att.k)
+        if np.asarray(att.valid)[i, k] == 0:
+            continue
+        d = jnp.zeros_like(alpha).at[i, k].set(eps)
+        fd = (f_sum(alpha + d, h) - f_sum(alpha - d, h)) / (2 * eps)
+        np.testing.assert_allclose(float(g_alpha[i, k]), float(fd), rtol=2e-2, atol=1e-3)
+    for _ in range(4):
+        i, j = rs.integers(0, n), rs.integers(0, f)
+        d = jnp.zeros_like(h).at[i, j].set(eps)
+        fd = (f_sum(alpha, h + d) - f_sum(alpha, h - d)) / (2 * eps)
+        np.testing.assert_allclose(float(g_h[i, j]), float(fd), rtol=2e-2, atol=1e-3)
+
+
+# ---------- oracle: full model forward -------------------------------------
+
+
+def numpy_gat_forward(params, x_csr, a_pattern, cfg):
+    """Dense numpy oracle of the GAT layer chain (no dropout)."""
+    act = {"elu": lambda v: np.where(v > 0, v, np.expm1(v)), "tanh": np.tanh}[
+        cfg.activation
+    ]
+
+    def g(a):
+        return np.asarray(a, dtype=np.float64)
+
+    states = []
+    h = act(x_csr.toarray() @ g(params["input"]["w"]) + g(params["input"]["b"]))
+    states.append(h)
+    adj = (a_pattern.toarray() != 0).astype(np.float64)
+    n = adj.shape[0]
+    heads = cfg.heads
+    for layer in params["layers"]:
+        z = h @ g(layer["w"])  # [n, heads*f]
+        f = z.shape[1] // heads
+        outs = []
+        for m in range(heads):
+            zm = z[:, m * f : (m + 1) * f]
+            s = zm @ g(layer["a_src"])[m]
+            d = zm @ g(layer["a_dst"])[m]
+            e = s[:, None] + d[None, :]
+            e = np.where(e >= 0, e, cfg.negative_slope * e)
+            e = np.where(adj > 0, e, -np.inf)
+            e = e - e.max(axis=1, keepdims=True)
+            w = np.exp(e) * (adj > 0)
+            alpha = w / np.maximum(w.sum(axis=1, keepdims=True), 1e-30)
+            outs.append(alpha @ zm)
+        out = act(np.concatenate(outs, axis=1) + g(layer["b"]))
+        if cfg.residual and out.shape == h.shape:
+            out = out + h
+        h = out
+        states.append(h)
+    states.append(h @ g(params["out"]["w"]) + g(params["out"]["b"]))
+    return states
+
+
+def _setup(rng, hidden=(24, 24), heads=3, **kw):
+    n, v = 70, 30
+    x = random_csr(rng, n, v, 6)
+    x.data = np.abs(x.data).astype(np.float32)
+    adj = random_csr(rng, n, n, 4, symmetric=True)
+    adj.data = np.abs(adj.data)
+    a_hat = normalize_adjacency(adj)
+    cfg = GATConfig(n_features=v, n_classes=5, hidden=hidden, heads=heads, **kw)
+    model = GraphAttentionNet(cfg, SparseGraph(csr=x), SparseGraph(csr=a_hat, symmetric=True))
+    params = model.init(jax.random.key(1))
+    return model, params, x, a_hat, cfg
+
+
+def test_gat_per_layer_activations_allclose(rng):
+    model, params, x, a_hat, cfg = _setup(rng)
+    got = model.hidden_states(params, train=False)
+    want = numpy_gat_forward(jax.tree.map(np.asarray, params), x, a_hat, cfg)
+    assert len(got) == len(want)
+    for i, (g_, w_) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(
+            np.asarray(g_), w_, rtol=3e-4, atol=3e-5, err_msg=f"layer {i}"
+        )
+
+
+def test_gat_remat_matches_no_remat(rng):
+    model, params, *_ = _setup(rng)
+    cfg_r = dataclasses.replace(model.cfg, remat=True)
+    model_r = GraphAttentionNet(cfg_r, model.x, model.adj)
+    y = jnp.asarray(np.random.default_rng(0).integers(0, 5, 70), dtype=jnp.int32)
+    mask = jnp.asarray(np.ones(70, np.float32))
+    g1 = jax.grad(lambda p: model.loss(p, y, mask, train=False))(params)
+    g2 = jax.grad(lambda p: model_r.loss(p, y, mask, train=False))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_gat_config_validates_heads():
+    with pytest.raises(ValueError):
+        GATConfig(n_features=4, n_classes=2, hidden=(10,), heads=4)
+
+
+@pytest.mark.slow
+def test_gat_trains_on_synthetic(tmp_path):
+    """E2e: GAT through the full pipeline (TSV → graph → TF-IDF → kd-tree →
+    training → geo_eval) localizes synthetic users — same regression harness
+    as the GCN e2e (test_train_e2e.py), swapping only the model family."""
+    from graphconvgeo_tpu.data.pipeline import PreprocessConfig, preprocess
+    from graphconvgeo_tpu.data.synthetic import make_synthetic_dumps
+    from graphconvgeo_tpu.train.trainer import TrainConfig, Trainer
+
+    make_synthetic_dumps(str(tmp_path), n_users=400, n_clusters=4, seed=5)
+    ds = preprocess(
+        str(tmp_path), PreprocessConfig(bucket_size=30, min_df=2, celebrity_threshold=10)
+    )
+    cfg = GATConfig(
+        n_features=ds.x.shape[1], n_classes=ds.n_classes, hidden=(64, 64),
+        heads=4, dropout=0.3, attn_dropout=0.1,
+    )
+    model = GraphAttentionNet(
+        cfg, SparseGraph(csr=ds.x), SparseGraph(csr=ds.adj, symmetric=True)
+    )
+    trainer = Trainer(
+        model, TrainConfig(learning_rate=5e-3, epochs=120, patience=15, verbose=False)
+    )
+    out = trainer.fit(
+        ds.y, ds.train_idx, ds.dev_idx,
+        lat=ds.lat, lon=ds.lon,
+        class_lat_median=ds.class_lat_median, class_lon_median=ds.class_lon_median,
+    )
+    metrics = trainer.evaluate(
+        out["params"], ds.test_idx,
+        lat=ds.lat, lon=ds.lon,
+        class_lat_median=ds.class_lat_median, class_lon_median=ds.class_lon_median,
+    )
+    assert metrics["acc_at_161"] > 0.7, metrics
+    assert metrics["median_km"] < 161, metrics
