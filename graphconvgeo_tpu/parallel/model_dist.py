@@ -38,11 +38,21 @@ from graphconvgeo_tpu.ops.dropout import dropout, ell_dropout_values
 from graphconvgeo_tpu.parallel.mesh import GRAPH_AXIS
 from graphconvgeo_tpu.parallel.partition import RowPartition, build_halo
 from graphconvgeo_tpu.parallel.spmm_dist import (
+    device_slice,
     local_input_spmm,
     local_spmm_allgather,
     local_spmm_halo,
     local_spmm_halo_bsr,
 )
+
+
+def _leaf_spec(leaf):
+    return P(GRAPH_AXIS, *([None] * (leaf.ndim - 1)))
+
+
+def _op_specs(op):
+    """Per-leaf PartitionSpecs: every stacked array shards its device axis."""
+    return jax.tree.map(_leaf_spec, op)
 
 
 class DistHighwayGCN:
@@ -54,6 +64,7 @@ class DistHighwayGCN:
         *,
         halo: str = "auto",
         local_backend: str = "auto",
+        dist_format: str = "bell",
     ):
         """halo: 'auto' | 'on' | 'off'. 'on' exchanges only boundary rows via
         all-to-all (partition.build_halo); 'off' all-gathers every feature
@@ -62,12 +73,21 @@ class DistHighwayGCN:
         local_backend: 'auto' | 'bsr' | 'bell' — 'bsr' runs each device's
         local dense tiles through the Pallas MXU kernel (needs
         rows_per_device % 256 == 0, i.e. partition_rows(row_align=256), and a
-        symmetric Â); 'auto' enables it when the alignment allows."""
+        symmetric Â); 'auto' enables it when the alignment allows.
+
+        dist_format: 'bell' (degree-bucketed ELL blocks — hub rows don't
+        inflate every device's padding) | 'ell' (plain common-K ELL)."""
         self.cfg = cfg
         self.part = part
         self.mesh = mesh
+        self.dist_format = dist_format
         shard3 = NamedSharding(mesh, P(GRAPH_AXIS, None, None))
         shard1 = NamedSharding(mesh, P(GRAPH_AXIS))
+
+        def put(op):
+            sh = jax.tree.map(lambda l: NamedSharding(mesh, _leaf_spec(l)), op)
+            return jax.device_put(jax.tree.map(jnp.asarray, op), sh)
+
         self.data = {
             k: jax.device_put(jnp.asarray(getattr(part, k)), shard3)
             for k in ("x_idx", "x_val", "xt_idx", "xt_val")
@@ -83,9 +103,8 @@ class DistHighwayGCN:
             else:
                 self.halo = hx
         if self.halo is not None:
-            for k in ("al_idx", "al_val", "alt_idx", "alt_val",
-                      "ar_idx", "ar_val", "art_idx", "art_val"):
-                self.data[k] = jax.device_put(jnp.asarray(getattr(hx, k)), shard3)
+            for k, op in hx.operands(dist_format).items():
+                self.data[k] = put(op)
             # send_idx [src, dst, slot] sharded over src: each device holds
             # the [D_dst, h_max] table of its own rows to ship per peer
             self.data["send_idx"] = jax.device_put(jnp.asarray(hx.send_idx), shard3)
@@ -95,11 +114,9 @@ class DistHighwayGCN:
                 self.data["bsr_tidx"] = jax.device_put(jnp.asarray(hx.bsr_tidx), shard3)
                 self.data["bsr_tcol"] = jax.device_put(jnp.asarray(hx.bsr_tcol), shard3)
         else:
-            at_idx, at_val = part.at_blocks  # lazy: only the all-gather path needs them
-            self.data["a_idx"] = jax.device_put(jnp.asarray(part.a_idx), shard3)
-            self.data["a_val"] = jax.device_put(jnp.asarray(part.a_val), shard3)
-            self.data["at_idx"] = jax.device_put(jnp.asarray(at_idx), shard3)
-            self.data["at_val"] = jax.device_put(jnp.asarray(at_val), shard3)
+            a_op, at_op = part.a_operands(dist_format)
+            self.data["a"] = put(a_op)
+            self.data["at"] = put(at_op)
         self.data["y"] = jax.device_put(jnp.asarray(part.y), shard1)
         self.data["mask"] = jax.device_put(jnp.asarray(part.mask), shard1)
         self._row_sharding = NamedSharding(mesh, P(GRAPH_AXIS, None))
@@ -141,48 +158,59 @@ class DistHighwayGCN:
         )(w0, data["x_idx"], data["x_val"], data["xt_idx"], data["xt_val"], seed)
 
     def _conv(self, hw, data):
-        spec3 = P(GRAPH_AXIS, None, None)
         if self.halo is not None:
-            keys = ("al_idx", "al_val", "alt_idx", "alt_val",
-                    "ar_idx", "ar_val", "art_idx", "art_val", "send_idx")
+            op_keys = ("al", "alt", "ar", "art")
+            ops = tuple(data[k] for k in op_keys)
             if self.halo.bsr_tiles is not None:
                 block = self.halo.block
-                bsr_keys = ("bsr_tiles", "bsr_tidx", "bsr_tcol")
 
-                def body(h, *blocks):
-                    return local_spmm_halo_bsr(h, *(b[0] for b in blocks), block=block)
+                def body(h, al, alt, ar, art, sidx, tiles, tidx, tcol):
+                    return local_spmm_halo_bsr(
+                        h, device_slice(al), device_slice(alt), device_slice(ar),
+                        device_slice(art), sidx[0], tiles[0], tidx[0], tcol[0],
+                        block=block,
+                    )
 
-                specs = (spec3,) * len(keys) + (P(GRAPH_AXIS, None, None, None), spec3, spec3)
+                args = (*ops, data["send_idx"], data["bsr_tiles"],
+                        data["bsr_tidx"], data["bsr_tcol"])
                 # check_vma=False: pallas interpret mode (CPU tests) emits
                 # dynamic_slices mixing varying/unvarying values that the vma
                 # checker rejects; numerical parity is covered by tests
                 return shard_map(
                     body,
                     mesh=self.mesh,
-                    in_specs=(P(GRAPH_AXIS, None),) + specs,
+                    in_specs=(P(GRAPH_AXIS, None),) + tuple(_op_specs(a) for a in args),
                     out_specs=P(GRAPH_AXIS, None),
                     check_vma=False,
-                )(hw, *(data[k] for k in keys + bsr_keys))
+                )(hw, *args)
 
-            def body(h, *blocks):
-                return local_spmm_halo(h, *(b[0] for b in blocks))
+            def body(h, al, alt, ar, art, sidx):
+                return local_spmm_halo(
+                    h, device_slice(al), device_slice(alt), device_slice(ar),
+                    device_slice(art), sidx[0],
+                )
 
+            args = (*ops, data["send_idx"])
             return shard_map(
                 body,
                 mesh=self.mesh,
-                in_specs=(P(GRAPH_AXIS, None),) + (spec3,) * len(keys),
+                in_specs=(P(GRAPH_AXIS, None),) + tuple(_op_specs(a) for a in args),
                 out_specs=P(GRAPH_AXIS, None),
-            )(hw, *(data[k] for k in keys))
+            )(hw, *args)
 
-        def body(h, ai, av, ati, atv):
-            return local_spmm_allgather(h, ai[0], av[0], ati[0], atv[0])
+        def body(h, a, at):
+            return local_spmm_allgather(h, device_slice(a), device_slice(at))
 
         return shard_map(
             body,
             mesh=self.mesh,
-            in_specs=(P(GRAPH_AXIS, None), spec3, spec3, spec3, spec3),
+            in_specs=(
+                P(GRAPH_AXIS, None),
+                _op_specs(data["a"]),
+                _op_specs(data["at"]),
+            ),
             out_specs=P(GRAPH_AXIS, None),
-        )(hw, data["a_idx"], data["a_val"], data["at_idx"], data["at_val"])
+        )(hw, data["a"], data["at"])
 
     # ---- forward / loss -------------------------------------------------
     def apply(self, params, data=None, *, train: bool = False, rng: Optional[jax.Array] = None):

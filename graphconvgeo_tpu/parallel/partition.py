@@ -2,18 +2,22 @@
 
 Each device owns rows ``[d·rpd, (d+1)·rpd)`` of the (padded) adjacency and
 feature matrices — the edges incident to those rows as destination. Device
-blocks carry both the forward ELL (global column ids) and, where a backward
-pass needs it, the transpose ELL of the block (the SpMM custom VJP's
+blocks carry both the forward sparse operand (global column ids) and, where a
+backward pass needs it, the transpose of the block (the SpMM custom VJP's
 cotangent w.r.t. the gathered dense operand is ``A_blockᵀ · G_local``).
 
-Stacked layouts (leading device axis, consumed by ``shard_map`` with spec
-``P('graph', None, None)``):
+Device formats (leading device axis, consumed by ``shard_map``):
 
-- ``a_idx/a_val``   [D, rpd, Ka]    forward adjacency rows, *global* col ids
-- ``at_blocks``     [D, n_pad, Kat] per-block transpose, *local* col ids —
-  built lazily (only the all-gather path reads it; ~10 GB at World scale)
-- ``x_idx/x_val``   [D, rpd, Kx]    forward feature rows, vocab col ids
-- ``xt_idx/xt_val`` [D, V, Kxt]     per-block feature transpose, local col ids
+- :class:`StackedEll` — plain ELL blocks padded to one common slot count
+  across devices. Simple, but a single hub row inflates every device's K.
+- :class:`StackedBell` — degree-bucketed ELL: per device, rows are sorted by
+  degree and split into geometric-width buckets; bucket shapes (row count,
+  slot count) are padded to a COMMON shape across devices so the arrays stack
+  into one SPMD program. Padded slots ≈ 1.3–2× nnz instead of max-degree×,
+  and the (mostly-empty) transpose blocks shrink by orders of magnitude.
+
+Feature blocks (``x_*``/``xt_*``) stay plain ELL: the sparse-input dropout
+hashes global (row, col) entry positions and is defined on that layout.
 
 Padding rows are appended at the *end* of the global numbering, so real node
 ids are unchanged and blocks are contiguous ranges — no column remapping.
@@ -23,12 +27,13 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
 
 from graphconvgeo_tpu.data.pipeline import Dataset
 from graphconvgeo_tpu.sparse.formats import _round_up
-
 
 
 def _ell_np(csr: sp.csr_matrix, k: int):
@@ -55,6 +60,115 @@ def _stack_blocks(blocks, pad_k_to=8):
     return np.stack([p[0] for p in pairs]), np.stack([p[1] for p in pairs])
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StackedEll:
+    """Plain ELL device blocks: indices/values [D, rows, K] (pad = 0)."""
+
+    indices: jax.Array
+    values: jax.Array
+
+    @staticmethod
+    def from_blocks(blocks, pad_k_to: int = 8) -> "StackedEll":
+        idx, val = _stack_blocks(blocks, pad_k_to)
+        return StackedEll(indices=idx, values=val)
+
+    @property
+    def padded_slots(self) -> int:
+        return int(np.prod(self.indices.shape))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StackedBell:
+    """Degree-bucketed ELL device blocks with SPMD-common bucket shapes.
+
+    indices/values: tuple of [D, rows_b, K_b]; per device, bucket b holds its
+    rows_b highest-remaining-degree rows (padded with empty rows — bucket row
+    counts are the max over devices, so every device runs the same program).
+    ``inv_perm`` [D, n_rows]: original row → position in the concatenated
+    per-bucket output (restores row order after the bucket matvecs).
+    """
+
+    indices: tuple
+    values: tuple
+    inv_perm: jax.Array
+
+    @property
+    def padded_slots(self) -> int:
+        return sum(int(np.prod(i.shape[1:])) for i in self.indices) * self.indices[0].shape[0]
+
+    @staticmethod
+    def from_blocks(
+        blocks, *, min_k: int = 2, growth: int = 2, row_align: int = 8
+    ) -> "StackedBell":
+        blocks = [b.tocsr() for b in blocks]
+        for b in blocks:
+            b.sort_indices()
+        n_rows = blocks[0].shape[0]
+        degs = [np.diff(b.indptr) for b in blocks]
+        gmax = max((int(d.max()) if d.size and d.max() else 1) for d in degs)
+        widths = [max(min_k, 1)]
+        while widths[-1] < gmax:
+            widths.append(widths[-1] * growth)
+        widths = widths[::-1]  # largest first (rows sorted by degree desc)
+        n_b = len(widths)
+        d_n = len(blocks)
+        orders, cuts = [], []
+        counts = np.zeros((d_n, n_b), np.int64)
+        for di, deg in enumerate(degs):
+            order = np.argsort(-deg, kind="stable")
+            ds = deg[order]
+            start, dev_cuts = 0, []
+            for bi, k in enumerate(widths):
+                lower = widths[bi + 1] if bi + 1 < n_b else 0
+                end = start + int(np.searchsorted(-ds[start:], -lower))
+                if bi + 1 == n_b:
+                    end = n_rows  # last bucket: everything left (incl. deg 0)
+                dev_cuts.append((start, end))
+                counts[di, bi] = end - start
+                start = end
+            orders.append(order)
+            cuts.append(dev_cuts)
+        rows_b = [
+            int(_round_up(int(counts[:, bi].max()), row_align)) if counts[:, bi].max() else 0
+            for bi in range(n_b)
+        ]
+        keep = [bi for bi in range(n_b) if rows_b[bi] > 0]
+        if not keep:  # all blocks empty
+            keep, rows_b = [n_b - 1], [0] * (n_b - 1) + [row_align]
+        idx_arrays = [np.zeros((d_n, rows_b[bi], widths[bi]), np.int32) for bi in keep]
+        val_arrays = [np.zeros((d_n, rows_b[bi], widths[bi]), np.float32) for bi in keep]
+        inv_perm = np.zeros((d_n, n_rows), dtype=np.int32)
+        for di, b in enumerate(blocks):
+            off = 0
+            for j, bi in enumerate(keep):
+                start, end = cuts[di][bi]
+                rows = orders[di][start:end]
+                if len(rows):
+                    blk = b[rows]
+                    bdeg = np.diff(blk.indptr)
+                    if blk.nnz:
+                        rr = np.repeat(np.arange(end - start), bdeg)
+                        ss = np.arange(blk.nnz) - np.repeat(blk.indptr[:-1], bdeg)
+                        idx_arrays[j][di, rr, ss] = blk.indices
+                        val_arrays[j][di, rr, ss] = blk.data
+                    inv_perm[di, rows] = off + np.arange(len(rows), dtype=np.int32)
+                off += rows_b[bi]
+        return StackedBell(
+            indices=tuple(idx_arrays), values=tuple(val_arrays), inv_perm=inv_perm
+        )
+
+
+def stack_operand(blocks, fmt: str = "bell", **kw):
+    """Device operand for a list of per-device csr blocks."""
+    if fmt == "bell":
+        return StackedBell.from_blocks(blocks, **kw)
+    if fmt == "ell":
+        return StackedEll.from_blocks(blocks, **kw)
+    raise ValueError(f"unknown dist format {fmt!r}")
+
+
 @dataclasses.dataclass
 class RowPartition:
     n_devices: int
@@ -62,44 +176,33 @@ class RowPartition:
     n_pad: int  # padded global rows = n_devices * rows_per_device
     rows_per_device: int
     n_features: int
-    a_idx: np.ndarray
-    a_val: np.ndarray
+    a_blocks: list  # per-device csr [rpd, n_pad] (host planning + lazy operands)
     x_idx: np.ndarray
     x_val: np.ndarray
     xt_idx: np.ndarray
     xt_val: np.ndarray
     y: np.ndarray  # [n_pad] labels (pad = 0)
     mask: np.ndarray  # [n_pad] train mask (pad = 0)
-    # all-gather-path transpose blocks [D, n_pad, Kt] — LAZY: at Twitter-World
-    # scale these are ~10 GB and the halo path never touches them
-    _at: tuple | None = dataclasses.field(default=None, repr=False)
+    _a_ops: dict = dataclasses.field(default_factory=dict, repr=False)
 
-    @property
-    def at_blocks(self) -> tuple:
-        """(at_idx, at_val) for the all-gather SpMM backward (built on first use)."""
-        if self._at is None:
-            rpd, d_n, n_pad = self.rows_per_device, self.n_devices, self.n_pad
-            blocks = []
-            for d in range(d_n):
-                rows = np.repeat(np.arange(rpd), self.a_idx.shape[2])
-                cols = self.a_idx[d].ravel()
-                vals = self.a_val[d].ravel()
-                nz = vals != 0
-                blk = sp.coo_matrix(
-                    (vals[nz], (rows[nz], cols[nz])), shape=(rpd, n_pad)
-                ).tocsr()
-                blocks.append(blk.T.tocsr())
-            self._at = _stack_blocks(blocks)
-        return self._at
+    def a_operands(self, fmt: str = "bell") -> tuple:
+        """(a, at) device operands for the all-gather path, built on first
+        use — the transpose blocks are [n_pad, rpd] per device (~10 GB plain
+        at Twitter-World scale; bucketed, the mostly-empty rows collapse)."""
+        if fmt not in self._a_ops:
+            a = stack_operand(self.a_blocks, fmt)
+            at = stack_operand([b.T.tocsr() for b in self.a_blocks], fmt)
+            self._a_ops[fmt] = (a, at)
+        return self._a_ops[fmt]
 
     @property
     def boundary_stats(self) -> dict:
         """Fraction of referenced columns that are remote per device —
         the halo-exchange volume driver."""
         out = []
-        for d in range(self.n_devices):
+        for d, blk in enumerate(self.a_blocks):
             lo, hi = d * self.rows_per_device, (d + 1) * self.rows_per_device
-            cols = self.a_idx[d][self.a_val[d] != 0]
+            cols = blk.indices
             if cols.size == 0:
                 out.append(0.0)
                 continue
@@ -131,11 +234,10 @@ def partition_rows(
     adj_p = sp.csr_matrix((adj_p.data, adj_p.indices, adj_p.indptr), shape=(n_pad, n_pad))
     x_p = pad_rows(x, n_pad)
 
-    a_blocks = [adj_p[d * rpd : (d + 1) * rpd] for d in range(n_devices)]
+    a_blocks = [adj_p[d * rpd : (d + 1) * rpd].tocsr() for d in range(n_devices)]
     x_blocks = [x_p[d * rpd : (d + 1) * rpd] for d in range(n_devices)]
     xt_blocks = [b.T.tocsr() for b in x_blocks]  # [v, rpd] each
 
-    a_idx, a_val = _stack_blocks(a_blocks)
     x_idx, x_val = _stack_blocks(x_blocks)
     xt_idx, xt_val = _stack_blocks(xt_blocks)
 
@@ -149,8 +251,7 @@ def partition_rows(
         n_pad=n_pad,
         rows_per_device=rpd,
         n_features=v,
-        a_idx=a_idx,
-        a_val=a_val,
+        a_blocks=a_blocks,
         x_idx=x_idx,
         x_val=x_val,
         xt_idx=xt_idx,
@@ -170,38 +271,45 @@ class HaloExchange:
     can overlap the all-to-all (the GNN version of ring attention's
     compute/comm overlap):
 
-    - ``al_*``  — edges whose source is local: cols in [0, rpd).
-    - ``ar_*``  — edges whose source is remote: cols in halo space
-      [0, D·h_max), where slot s·h_max + j holds device s's row
+    - ``local_blocks``  — edges whose source is local: csr [rpd, rpd].
+    - ``remote_blocks`` — edges whose source is remote: csr [rpd, D·h_max] in
+      halo space, where slot s·h_max + j holds device s's row
       ``send_idx[s, d, j]``.
-    - ``alt_*`` / ``art_*`` — transposes of the two parts (backward pass).
+
+    Device operands (forward + transpose of each part) come from
+    :meth:`operands` in either stacked format.
     """
 
     h_max: int
     send_idx: np.ndarray  # [D(src), D(dst), h_max] local row ids (pad 0)
-    al_idx: np.ndarray  # [D, rpd, Kl]   local-source edges
-    al_val: np.ndarray
-    alt_idx: np.ndarray  # [D, rpd, Klt]
-    alt_val: np.ndarray
-    ar_idx: np.ndarray  # [D, rpd, Kr]   remote-source edges (halo cols)
-    ar_val: np.ndarray
-    art_idx: np.ndarray  # [D, D*h_max, Krt]
-    art_val: np.ndarray
+    local_blocks: list  # csr [rpd, rpd] (residual only when BSR fast path on)
+    remote_blocks: list  # csr [rpd, n_halo]
+    rpd: int
     # Optional MXU fast path for the local square blocks (community-reordered
     # graphs put most local edges in dense tiles): per-device BSR arrays
-    # padded to common shapes, plus the residual local edges in ELL form.
-    # When set, al_*/alt_* above hold ONLY the residual local edges.
+    # padded to common shapes. When set, local_blocks hold ONLY the residual.
     bsr_tiles: np.ndarray | None = None  # [D, Tmax+1, B, B]
     bsr_tidx: np.ndarray | None = None  # [D, rbl, Km]
     bsr_tcol: np.ndarray | None = None  # [D, rbl, Km]
     block: int = 0
+    _ops: dict = dataclasses.field(default_factory=dict, repr=False)
+
+    def operands(self, fmt: str = "bell") -> dict:
+        """{'al', 'alt', 'ar', 'art'} device operands (built on first use)."""
+        if fmt not in self._ops:
+            self._ops[fmt] = {
+                "al": stack_operand(self.local_blocks, fmt),
+                "alt": stack_operand([b.T.tocsr() for b in self.local_blocks], fmt),
+                "ar": stack_operand(self.remote_blocks, fmt),
+                "art": stack_operand([b.T.tocsr() for b in self.remote_blocks], fmt),
+            }
+        return self._ops[fmt]
 
     @property
     def halo_fraction(self) -> float:
         """Halo rows exchanged / rows all_gather would move (v1 baseline)."""
         d = self.send_idx.shape[0]
-        rpd = self.al_idx.shape[1]
-        return (d * self.h_max) / max(d * rpd, 1)
+        return (d * self.h_max) / max(d * self.rpd, 1)
 
 
 def build_halo(
@@ -214,14 +322,14 @@ def build_halo(
 ) -> HaloExchange:
     """local_backend='bsr' additionally densifies each device's local square
     block into MXU tiles (requires rows_per_device % bsr_block == 0 — pass
-    row_align=bsr_block to partition_rows); 'bell' keeps everything in ELL."""
+    row_align=bsr_block to partition_rows); 'bell' keeps everything sparse."""
     d_n, rpd = part.n_devices, part.rows_per_device
-    a_idx, a_val = part.a_idx, part.a_val
 
     # which remote rows does each device need from each peer?
     need = [[None] * d_n for _ in range(d_n)]  # need[dst][src]
+    block_coo = [b.tocoo() for b in part.a_blocks]
     for d in range(d_n):
-        cols = a_idx[d][a_val[d] != 0]
+        cols = block_coo[d].col
         owner = cols // rpd
         for s in range(d_n):
             if s == d:
@@ -239,17 +347,15 @@ def build_halo(
             rows = need[d][s]
             send_idx[s, d, : len(rows)] = rows
         lo = d * rpd
-        rows_flat = np.repeat(np.arange(rpd), a_idx.shape[2])
-        cols = a_idx[d].ravel()
-        vals = a_val[d].ravel()
+        coo = block_coo[d]
+        rows_flat, cols, vals = coo.row, coo.col, coo.data
         owner = cols // rpd
-        nz = vals != 0
-        lm = nz & (owner == d)
+        lm = owner == d
         local_blocks.append(
             sp.coo_matrix((vals[lm], (rows_flat[lm], cols[lm] - lo)), shape=(rpd, rpd)).tocsr()
         )
         # remote part: remap col -> s*h_max + pos_in_need
-        rm = nz & (owner != d)
+        rm = ~lm
         rcols = np.zeros(int(rm.sum()), dtype=np.int64)
         if rm.any():
             c = cols[rm]
@@ -266,7 +372,7 @@ def build_halo(
     bsr_tiles = bsr_tidx = bsr_tcol = None
     block = 0
     if local_backend == "bsr" and rpd % bsr_block == 0:
-        # split each local square block into dense MXU tiles + ELL residual;
+        # split each local square block into dense MXU tiles + sparse residual;
         # the local block of a symmetric Â is symmetric, so one BSR operand
         # serves forward and backward
         from graphconvgeo_tpu.sparse.formats import BsrMatrix, split_dense_tiles
@@ -289,23 +395,14 @@ def build_halo(
                 bsr_tiles[d, : b.tiles.shape[0]] = np.asarray(b.tiles)
                 bsr_tidx[d, :, : b.k_max] = np.asarray(b.tile_idx)
                 bsr_tcol[d, :, : b.k_max] = np.asarray(b.tile_col)
-            local_blocks = resid_parts  # al_*/alt_* hold only the residual
+            local_blocks = resid_parts  # local operands hold only the residual
 
-    al_idx, al_val = _stack_blocks(local_blocks)
-    alt_idx, alt_val = _stack_blocks([b.T.tocsr() for b in local_blocks])
-    ar_idx, ar_val = _stack_blocks(remote_blocks)
-    art_idx, art_val = _stack_blocks([b.T.tocsr() for b in remote_blocks])
     return HaloExchange(
         h_max=h_max,
         send_idx=send_idx,
-        al_idx=al_idx,
-        al_val=al_val,
-        alt_idx=alt_idx,
-        alt_val=alt_val,
-        ar_idx=ar_idx,
-        ar_val=ar_val,
-        art_idx=art_idx,
-        art_val=art_val,
+        local_blocks=local_blocks,
+        remote_blocks=remote_blocks,
+        rpd=rpd,
         bsr_tiles=bsr_tiles,
         bsr_tidx=bsr_tidx,
         bsr_tcol=bsr_tcol,

@@ -7,9 +7,14 @@ the transpose program: local ``A_blockᵀ·G`` followed by the all-gather's
 transpose, a ``reduce-scatter`` — both inserted automatically (all_gather is
 differentiable; the block transpose comes from the SpMM custom VJP).
 
-Strategy v2 — halo exchange (see ``halo.py``): only boundary rows move, via
-all-to-all, overlapped with the local-block SpMM. v1 is the correctness
-anchor and the fallback when the boundary set is dense (small graphs).
+Strategy v2 — halo exchange (see ``partition.build_halo``): only boundary
+rows move, via all-to-all, overlapped with the local-block SpMM. v1 is the
+correctness anchor and the fallback when the boundary set is dense (small
+graphs).
+
+Per-device sparse operands are either :class:`StackedEll` (plain, common K)
+or :class:`StackedBell` (degree-bucketed — hub rows stop inflating every
+device's padding); ``_op_matvec`` dispatches, and one custom VJP serves both.
 
 Reference has no analog (single process, SURVEY.md §2 "parallelism: none");
 this is the BASELINE.json:10 deliverable.
@@ -23,27 +28,67 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from graphconvgeo_tpu.ops.spmm import _ell_matvec, _spmm_ell_core
+from graphconvgeo_tpu.ops.spmm import _ell_matvec
 from graphconvgeo_tpu.parallel.mesh import GRAPH_AXIS
+from graphconvgeo_tpu.parallel.partition import StackedBell
 
 
-def local_spmm_allgather(h_local, a_idx, a_val, at_idx, at_val, *, axis: str = GRAPH_AXIS):
+def device_slice(op):
+    """Slice one device's block out of a stacked operand (shard_map body)."""
+    return jax.tree.map(lambda a: a[0], op)
+
+
+def _op_matvec(op, h):
+    """Per-device SpMM for either stacked format (leading D axis removed)."""
+    if isinstance(op, StackedBell):
+        outs = [_ell_matvec(i, v, h) for i, v in zip(op.indices, op.values)]
+        return jnp.take(jnp.concatenate(outs, axis=0), op.inv_perm, axis=0)
+    return _ell_matvec(op.indices, op.values, h)
+
+
+def _zeros_op(op):
+    """Zero cotangents for an operand pytree: float0 for integer leaves,
+    value*0 for float leaves (derived from residuals, not fresh zeros, so
+    they keep their varying mesh axes under shard_map)."""
+    return jax.tree.map(
+        lambda leaf: np.zeros(leaf.shape, dtype=jax.dtypes.float0)
+        if jnp.issubdtype(leaf.dtype, jnp.integer)
+        else leaf * 0.0,
+        op,
+    )
+
+
+@jax.custom_vjp
+def _spmm_op_core(fwd, bwd, h):
+    return _op_matvec(fwd, h)
+
+
+def _spmm_op_fwd(fwd, bwd, h):
+    # zero-size dtype marker so bwd can cast dh back to the primal h dtype
+    return _op_matvec(fwd, h), (fwd, bwd, jnp.zeros((0,), h.dtype))
+
+
+def _spmm_op_bwd(res, g):
+    fwd, bwd, marker = res
+    dh = _op_matvec(bwd, g.astype(marker.dtype)).astype(marker.dtype)
+    return (_zeros_op(fwd), _zeros_op(bwd), dh)
+
+
+_spmm_op_core.defvjp(_spmm_op_fwd, _spmm_op_bwd)
+
+
+def local_spmm_allgather(h_local, a_op, at_op, *, axis: str = GRAPH_AXIS):
     """Per-device body: h_local [rpd, F] → out [rpd, F].
 
-    a_idx/a_val: [rpd, K] local rows with global col ids;
-    at_idx/at_val: [n_pad, Kt] transpose of the local block (local col ids).
+    a_op: local rows with global col ids; at_op: transpose of the local
+    block (local col ids, n_pad rows).
     """
     h_full = jax.lax.all_gather(h_local, axis, axis=0, tiled=True)  # [n_pad, F]
-    return _spmm_ell_core(a_idx, a_val, at_idx, at_val, h_full)
+    return _spmm_op_core(a_op, at_op, h_full)
 
 
 def local_spmm_halo(
-    h_local,
-    al_idx, al_val, alt_idx, alt_val,
-    ar_idx, ar_val, art_idx, art_val,
-    send_idx,
-    *,
-    axis: str = GRAPH_AXIS,
+    h_local, al_op, alt_op, ar_op, art_op, send_idx, *, axis: str = GRAPH_AXIS
 ):
     """Per-device body with boundary exchange + compute/comm overlap.
 
@@ -60,16 +105,15 @@ def local_spmm_halo(
     """
     send = jnp.take(h_local, send_idx, axis=0)  # [D, h_max, F]
     recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=True)
-    out_local = _spmm_ell_core(al_idx, al_val, alt_idx, alt_val, h_local)
+    out_local = _spmm_op_core(al_op, alt_op, h_local)
     halo = recv.reshape(-1, h_local.shape[1])  # [D*h_max, F]
-    out_remote = _spmm_ell_core(ar_idx, ar_val, art_idx, art_val, halo)
+    out_remote = _spmm_op_core(ar_op, art_op, halo)
     return out_local + out_remote
 
 
 def local_spmm_halo_bsr(
     h_local,
-    al_idx, al_val, alt_idx, alt_val,
-    ar_idx, ar_val, art_idx, art_val,
+    al_op, alt_op, ar_op, art_op,
     send_idx,
     bsr_tiles, bsr_tidx, bsr_tcol,
     *,
@@ -78,7 +122,7 @@ def local_spmm_halo_bsr(
 ):
     """Halo body with the MXU fast path: the dense tiles of the local square
     block run through the Pallas BSR kernel (the local block of a symmetric Â
-    is symmetric, so one operand serves forward and backward); al_* carry
+    is symmetric, so one operand serves forward and backward); al_op carries
     only the residual local edges. Still one all-to-all, still overlapped.
     """
     from graphconvgeo_tpu.ops.spmm_pallas import spmm_bsr
@@ -92,9 +136,9 @@ def local_spmm_halo_bsr(
         n_rows=rpd, n_cols=rpd, block=block,
     )
     out_local = spmm_bsr(mat, mat, h_local)
-    out_local = out_local + _spmm_ell_core(al_idx, al_val, alt_idx, alt_val, h_local)
+    out_local = out_local + _spmm_op_core(al_op, alt_op, h_local)
     halo = recv.reshape(-1, h_local.shape[1])
-    return out_local + _spmm_ell_core(ar_idx, ar_val, art_idx, art_val, halo)
+    return out_local + _spmm_op_core(ar_op, art_op, halo)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))

@@ -227,3 +227,35 @@ def test_halo_bsr_local_backend_matches_single(rng, mesh):
     np.testing.assert_allclose(float(loss_d), float(loss_s), rtol=1e-5)
     for gs, gd in zip(jax.tree.leaves(grads_s), jax.tree.leaves(grads_d)):
         np.testing.assert_allclose(np.asarray(gd), np.asarray(gs), rtol=5e-4, atol=1e-5)
+
+
+def test_dist_format_ell_matches_bell(rng, mesh):
+    """Both stacked formats produce identical logits; the bucketed format
+    spends (far) fewer padded slots on skewed graphs."""
+    from graphconvgeo_tpu.parallel.partition import StackedBell, StackedEll
+
+    a_hat, x, y, mask, cfg = _mk_problem(rng, n=150)
+    # add one hub row to force plain-ELL K inflation
+    import scipy.sparse as sp
+
+    hub = sp.lil_matrix(a_hat)
+    hub[0, :100] = 0.01
+    hub[:100, 0] = 0.01
+    a_hat = normalize_adjacency(sp.csr_matrix(hub), add_self_loops=False)
+    part = partition_rows(a_hat, x, y, mask, 8)
+    single = HighwayGCN(cfg, SparseGraph(csr=x), SparseGraph(csr=a_hat, symmetric=True))
+    params = single.init(jax.random.key(12))
+    repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    dparams = jax.device_put(params, repl)
+    logits = {}
+    for fmt in ("ell", "bell"):
+        dist = DistHighwayGCN(cfg, part, mesh, halo="on", local_backend="bell",
+                              dist_format=fmt)
+        logits[fmt] = np.asarray(jax.jit(lambda p: dist.apply(p, train=False))(dparams))
+    np.testing.assert_allclose(logits["bell"], logits["ell"], rtol=1e-5, atol=1e-6)
+
+    # padded-slot economics: bucketed strictly cheaper on the hub graph
+    ops_e = part.a_operands("ell")
+    ops_b = part.a_operands("bell")
+    assert isinstance(ops_e[0], StackedEll) and isinstance(ops_b[0], StackedBell)
+    assert ops_b[1].padded_slots < ops_e[1].padded_slots
