@@ -53,6 +53,43 @@ def attention_spmm(att: AttentionEll, alpha: jax.Array, h: jax.Array) -> jax.Arr
     return out[: att.indices.shape[0]]
 
 
+def gat_attention(
+    att: AttentionEll,
+    hw: jax.Array,
+    a_src: jax.Array,
+    a_dst: jax.Array,
+    *,
+    negative_slope: float = 0.2,
+    attn_dropout: float = 0.0,
+    rng: jax.Array | None = None,
+) -> jax.Array:
+    """Multi-head attention scoring + aggregation over precomputed features.
+
+    hw: [M, heads·f] transformed features covering att's COLUMN space
+    (M ≥ att.n_rows; in the distributed setting rows [n_local, M) are the
+    received halo). Destination scores ``s`` use the first ``att.n_rows``
+    rows; neighbor scores ``d`` and the aggregation read all of hw.
+    Returns [att.n_rows, heads·f] (pre-bias, pre-activation).
+    """
+    heads, f = a_src.shape
+    hw_heads = hw.reshape(hw.shape[0], heads, f)
+    s = jnp.einsum("nhf,hf->nh", hw_heads[: att.n_rows], a_src)
+    d = jnp.einsum("nhf,hf->nh", hw_heads, a_dst)
+    d_nbr = d[att.indices]  # [N, K, heads] — narrow-table row gather
+    scores = s[:, None, :] + d_nbr
+    scores = jnp.where(scores >= 0, scores, negative_slope * scores)
+    alpha = edge_softmax(scores, att.valid[:, :, None])
+    if attn_dropout > 0.0:
+        if rng is None:
+            raise ValueError("rng required when attn_dropout > 0")
+        keep = jax.random.bernoulli(rng, 1.0 - attn_dropout, alpha.shape)
+        alpha = jnp.where(keep, alpha / (1.0 - attn_dropout), 0.0)
+    outs = [
+        attention_spmm(att, alpha[:, :, j], hw_heads[:, j, :]) for j in range(heads)
+    ]
+    return jnp.concatenate(outs, axis=-1)
+
+
 def gat_layer(
     att: AttentionEll,
     h_in: jax.Array,
@@ -69,22 +106,7 @@ def gat_layer(
     h_in: [N, d_in]; w: [d_in, heads·f]; a_src/a_dst: [heads, f].
     Returns [N, heads·f] (pre-bias, pre-activation).
     """
-    heads, f = a_src.shape
-    n = h_in.shape[0]
-    hw = h_in @ w  # [N, heads·f] — the MXU op
-    hw_heads = hw.reshape(n, heads, f)
-    s = jnp.einsum("nhf,hf->nh", hw_heads, a_src)
-    d = jnp.einsum("nhf,hf->nh", hw_heads, a_dst)
-    d_nbr = d[att.indices]  # [N, K, heads] — narrow-table row gather
-    scores = s[:, None, :] + d_nbr
-    scores = jnp.where(scores >= 0, scores, negative_slope * scores)
-    alpha = edge_softmax(scores, att.valid[:, :, None])
-    if attn_dropout > 0.0:
-        if rng is None:
-            raise ValueError("rng required when attn_dropout > 0")
-        keep = jax.random.bernoulli(rng, 1.0 - attn_dropout, alpha.shape)
-        alpha = jnp.where(keep, alpha / (1.0 - attn_dropout), 0.0)
-    outs = [
-        attention_spmm(att, alpha[:, :, j], hw_heads[:, j, :]) for j in range(heads)
-    ]
-    return jnp.concatenate(outs, axis=-1)
+    return gat_attention(
+        att, h_in @ w, a_src, a_dst,
+        negative_slope=negative_slope, attn_dropout=attn_dropout, rng=rng,
+    )

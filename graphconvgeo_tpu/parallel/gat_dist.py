@@ -1,0 +1,143 @@
+"""Distributed graph-attention model: edge-partitioned GAT training.
+
+Same partitioning and halo machinery as :class:`DistHighwayGCN` — each
+device owns a contiguous row block; one all-to-all per layer ships the
+transformed source features its peers reference. Attention specifics:
+
+- The edge softmax is over each DESTINATION row's neighbor slots, and all
+  edges of a destination live on its owner device — so the softmax needs no
+  communication at all.
+- Neighbor scores ``d_j = (Z a_dst)_j`` are computed from the received halo
+  features locally (the a_dst contraction is cheaper than shipping scores
+  separately), so the ONLY exchanged tensor is Z = H·W, exactly like the
+  GCN halo path.
+- Pattern operands live in extended column space (local rows ++ halo slots),
+  built once by ``partition.build_attention_operands``; the backward pass
+  reuses the transpose-layout gather + SDDMM machinery of
+  :mod:`graphconvgeo_tpu.ops.attention` per device, and autodiff of the
+  all-to-all + concat routes the halo cotangents home.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax import shard_map  # jax >= 0.6
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from graphconvgeo_tpu.models.gat import GATConfig, _ACTIVATIONS, init_gat_params
+from graphconvgeo_tpu.ops.attention import gat_attention
+from graphconvgeo_tpu.ops.dropout import dropout
+from graphconvgeo_tpu.parallel.mesh import GRAPH_AXIS
+from graphconvgeo_tpu.parallel.model_dist import DistHighwayGCN, _leaf_spec, _op_specs
+from graphconvgeo_tpu.parallel.partition import (
+    RowPartition,
+    build_attention_operands,
+    build_halo,
+)
+from graphconvgeo_tpu.parallel.spmm_dist import device_slice
+
+
+class DistGAT(DistHighwayGCN):
+    """Inherits the sparse input layer, loss, and train-step plumbing from
+    the distributed GCN; overrides the propagation with halo attention."""
+
+    def __init__(self, cfg: GATConfig, part: RowPartition, mesh):
+        self.cfg = cfg
+        self.part = part
+        self.mesh = mesh
+        shard3 = NamedSharding(mesh, P(GRAPH_AXIS, None, None))
+        shard1 = NamedSharding(mesh, P(GRAPH_AXIS))
+
+        def put(op):
+            sh = jax.tree.map(lambda l: NamedSharding(mesh, _leaf_spec(l)), op)
+            return jax.device_put(jax.tree.map(jnp.asarray, op), sh)
+
+        self.data = {
+            k: jax.device_put(jnp.asarray(getattr(part, k)), shard3)
+            for k in ("x_idx", "x_val", "xt_idx", "xt_val")
+        }
+        # full pattern in the local blocks (no BSR stripping): attention
+        # needs every edge slot, dense tiles included
+        self.halo = build_halo(part, local_backend="bell")
+        self.data["att"] = put(build_attention_operands(self.halo))
+        self.data["send_idx"] = jax.device_put(jnp.asarray(self.halo.send_idx), shard3)
+        self.data["y"] = jax.device_put(jnp.asarray(part.y), shard1)
+        self.data["mask"] = jax.device_put(jnp.asarray(part.mask), shard1)
+        self._row_sharding = NamedSharding(mesh, P(GRAPH_AXIS, None))
+
+    def init(self, key: jax.Array) -> dict:
+        params = init_gat_params(key, self.cfg)
+        return jax.device_put(params, NamedSharding(self.mesh, P()))
+
+    # ---- attention propagation under shard_map ---------------------------
+    def _attn_conv(self, h_in, layer, data, attn_rng):
+        cfg = self.cfg
+        attn_dropout = cfg.attn_dropout if attn_rng is not None else 0.0
+
+        def body(h, w, a_src, a_dst, att, sidx, *rng):
+            att = device_slice(att)
+            hw = h @ w  # [rpd, heads·f]
+            send = jnp.take(hw, sidx[0], axis=0)  # [D, h_max, heads·f]
+            recv = jax.lax.all_to_all(
+                send, GRAPH_AXIS, split_axis=0, concat_axis=0, tiled=True
+            )
+            hw_ext = jnp.concatenate([hw, recv.reshape(-1, hw.shape[1])], axis=0)
+            key = None
+            if rng:
+                key = jax.random.fold_in(rng[0], jax.lax.axis_index(GRAPH_AXIS))
+            return gat_attention(
+                att, hw_ext, a_src, a_dst,
+                negative_slope=cfg.negative_slope,
+                attn_dropout=attn_dropout,
+                rng=key,
+            )
+
+        args = (h_in, layer["w"], layer["a_src"], layer["a_dst"],
+                data["att"], data["send_idx"])
+        specs = (P(GRAPH_AXIS, None), P(), P(), P(),
+                 _op_specs(data["att"]), _op_specs(data["send_idx"]))
+        if attn_rng is not None and cfg.attn_dropout > 0.0:
+            args = args + (attn_rng,)
+            specs = specs + (P(),)
+        return shard_map(
+            body, mesh=self.mesh, in_specs=specs, out_specs=P(GRAPH_AXIS, None)
+        )(*args)
+
+    # ---- forward / loss ---------------------------------------------------
+    def apply(self, params, data=None, *, train: bool = False, rng: Optional[jax.Array] = None):
+        cfg = self.cfg
+        act = _ACTIVATIONS[cfg.activation]
+        if data is None:
+            data = self.data
+        need_rng = cfg.dropout > 0.0 or cfg.attn_dropout > 0.0
+        if train and need_rng:
+            seeds = jax.random.split(rng, 2 + 2 * len(cfg.hidden))
+            x_seed = jax.random.randint(seeds[0], (), 0, 2**31 - 1, dtype=jnp.int32)
+        else:
+            seeds = None
+            x_seed = jnp.int32(0)
+        h = self._input_layer(params["input"]["w"], data, train=train, seed=x_seed)
+        h = act(h + params["input"]["b"])
+        h = jax.lax.with_sharding_constraint(h, self._row_sharding)
+        for i, layer in enumerate(params["layers"]):
+            if seeds is not None and cfg.dropout > 0.0:
+                h_in = dropout(h, rate=cfg.dropout, rng=seeds[1 + 2 * i])
+            else:
+                h_in = h
+            attn_rng = seeds[2 + 2 * i] if seeds is not None else None
+            z = self._attn_conv(h_in, layer, data, attn_rng)
+            out = act(z + layer["b"])
+            if cfg.residual and out.shape == h.shape:
+                out = out + h
+            h = jax.lax.with_sharding_constraint(out, self._row_sharding)
+        if seeds is not None and cfg.dropout > 0.0:
+            h = dropout(h, rate=cfg.dropout, rng=seeds[-1])
+        return h @ params["out"]["w"] + params["out"]["b"]

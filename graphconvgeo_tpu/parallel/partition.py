@@ -410,6 +410,34 @@ def build_halo(
     )
 
 
+def build_attention_operands(hx: HaloExchange):
+    """Stacked per-device :class:`AttentionEll` operands for distributed
+    attention (GAT) layers, in EXTENDED column space: cols [0, rpd) are the
+    device's local rows, cols [rpd, rpd + D·h_max) the halo slots of the
+    same all-to-all the GCN path uses. Slot counts are padded to a common
+    SPMD shape across devices; ``device_slice`` recovers one device's
+    AttentionEll inside the shard_map body."""
+    from graphconvgeo_tpu.sparse.formats import AttentionEll
+
+    ext_blocks = [
+        sp.hstack([l, r]).tocsr() for l, r in zip(hx.local_blocks, hx.remote_blocks)
+    ]
+    n_ext = ext_blocks[0].shape[1]
+    k = _round_up(max(max(int(np.diff(b.indptr).max()) if b.nnz else 0 for b in ext_blocks), 1), 8)
+    k_t = _round_up(
+        max(
+            max(
+                int(np.bincount(b.indices, minlength=n_ext).max()) if b.nnz else 0
+                for b in ext_blocks
+            ),
+            1,
+        ),
+        8,
+    )
+    ells = [AttentionEll.from_scipy(b, fixed_k=k, fixed_k_t=k_t) for b in ext_blocks]
+    return jax.tree.map(lambda *ls: np.stack([np.asarray(l) for l in ls]), *ells)
+
+
 def partition_dataset(ds: Dataset, n_devices: int, **kw) -> RowPartition:
     mask = np.zeros(ds.n_nodes, dtype=np.float32)
     mask[ds.train_idx] = 1.0

@@ -400,10 +400,10 @@ class AttentionEll:
         return self.indices.shape[1]
 
     @staticmethod
-    def _pattern_ell(csr: sp.csr_matrix, *, pad_k_to: int = 8):
+    def _pattern_ell(csr: sp.csr_matrix, *, pad_k_to: int = 8, fixed_k: int = 0):
         deg = np.diff(csr.indptr)
         n_rows = csr.shape[0]
-        k = _round_up(max(int(deg.max()) if n_rows and csr.nnz else 0, 1), pad_k_to)
+        k = fixed_k or _round_up(max(int(deg.max()) if n_rows and csr.nnz else 0, 1), pad_k_to)
         indices = np.zeros((n_rows, k), dtype=np.int32)
         valid = np.zeros((n_rows, k), dtype=np.float32)
         rows = np.repeat(np.arange(n_rows), deg)
@@ -413,10 +413,16 @@ class AttentionEll:
         return indices, valid, rows, slots, k
 
     @staticmethod
-    def from_scipy(mat: sp.spmatrix, *, pad_k_to: int = 8) -> "AttentionEll":
+    def from_scipy(
+        mat: sp.spmatrix, *, pad_k_to: int = 8, fixed_k: int = 0, fixed_k_t: int = 0
+    ) -> "AttentionEll":
+        """``fixed_k``/``fixed_k_t`` force the slot counts (used to pad
+        per-device blocks to a common SPMD shape in the distributed path)."""
         csr = sp.csr_matrix(mat)
         csr.sort_indices()
-        indices, valid, rows, slots, k = AttentionEll._pattern_ell(csr, pad_k_to=pad_k_to)
+        indices, valid, rows, slots, k = AttentionEll._pattern_ell(
+            csr, pad_k_to=pad_k_to, fixed_k=fixed_k
+        )
         # Forward flat position of each edge (CSR order), carried through the
         # transpose so alpha_t is a gather of alpha.
         ell_pos = (rows.astype(np.int64) * k + slots).astype(np.int64)
@@ -424,7 +430,7 @@ class AttentionEll:
         csr_t = csr_e.T.tocsr()
         csr_t.sort_indices()
         indices_t, valid_t, rows_t, slots_t, k_t = AttentionEll._pattern_ell(
-            csr_t, pad_k_to=pad_k_to
+            csr_t, pad_k_to=pad_k_to, fixed_k=fixed_k_t
         )
         perm_t = np.zeros(indices_t.shape, dtype=np.int32)
         perm_t[rows_t, slots_t] = (csr_t.data - 1).astype(np.int32)

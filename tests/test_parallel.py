@@ -259,3 +259,64 @@ def test_dist_format_ell_matches_bell(rng, mesh):
     ops_b = part.a_operands("bell")
     assert isinstance(ops_e[0], StackedEll) and isinstance(ops_b[0], StackedBell)
     assert ops_b[1].padded_slots < ops_e[1].padded_slots
+
+
+def _mk_gat(rng, n=96):
+    from graphconvgeo_tpu.models.gat import GATConfig
+
+    adj = random_csr(rng, n, n, 4, symmetric=True)
+    adj.data = np.abs(adj.data)
+    a_hat = normalize_adjacency(adj)
+    x = random_csr(rng, n, 33, 6)
+    x.data = np.abs(x.data).astype(np.float32)
+    y = rng.integers(0, 5, n).astype(np.int32)
+    mask = (rng.random(n) < 0.6).astype(np.float32)
+    cfg = GATConfig(n_features=33, n_classes=5, hidden=(24, 24), heads=3, dropout=0.4)
+    return a_hat, x, y, mask, cfg
+
+
+def test_dist_gat_matches_single_device(rng, mesh):
+    from graphconvgeo_tpu.models.gat import GraphAttentionNet
+    from graphconvgeo_tpu.parallel.gat_dist import DistGAT
+
+    a_hat, x, y, mask, cfg = _mk_gat(rng)
+    n = a_hat.shape[0]
+    single = GraphAttentionNet(cfg, SparseGraph(csr=x), SparseGraph(csr=a_hat, symmetric=True))
+    params = single.init(jax.random.key(21))
+    logits_s = np.asarray(single.apply(params, train=False))
+    loss_s, grads_s = jax.value_and_grad(
+        lambda p: single.loss(p, jnp.asarray(y), jnp.asarray(mask), train=False)
+    )(params)
+
+    part = partition_rows(a_hat, x, y, mask, 8)
+    dist = DistGAT(cfg, part, mesh)
+    dparams = jax.device_put(params, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+    logits_d = np.asarray(jax.jit(lambda p: dist.apply(p, train=False))(dparams))
+    np.testing.assert_allclose(logits_d[:n], logits_s, rtol=3e-4, atol=3e-5)
+    assert np.isfinite(logits_d).all()
+
+    loss_d, grads_d = jax.jit(jax.value_and_grad(lambda p: dist.loss(p, train=False)))(dparams)
+    np.testing.assert_allclose(float(loss_d), float(loss_s), rtol=1e-5)
+    for gs, gd in zip(jax.tree.leaves(grads_s), jax.tree.leaves(grads_d)):
+        np.testing.assert_allclose(np.asarray(gd), np.asarray(gs), rtol=5e-4, atol=1e-5)
+
+
+def test_dist_gat_train_step_learns(rng, mesh):
+    from graphconvgeo_tpu.parallel.gat_dist import DistGAT
+
+    a_hat, x, y, mask, cfg = _mk_gat(rng, n=120)
+    import dataclasses as dc
+
+    cfg = dc.replace(cfg, attn_dropout=0.1)
+    part = partition_rows(a_hat, x, y, mask, 8)
+    dist = DistGAT(cfg, part, mesh)
+    params = dist.init(jax.random.key(22))
+    opt, step = dist.make_train_step(1e-2)
+    opt_state = opt.init(params)
+    losses = []
+    k = jax.random.key(23)
+    for _ in range(10):
+        k, sk = jax.random.split(k)
+        params, opt_state, loss = step(params, opt_state, sk)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] and np.isfinite(losses).all()
