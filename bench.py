@@ -33,12 +33,17 @@ def roofline_edges_per_sec(g, fmt) -> float:
     bytes_total = 0.0
     edges = g.nnz
     if bsr_p is not None:
-        n_tiles = int(bsr_p.tiles.shape[0]) - 1
+        n_tiles = int(bsr_p.tiles.shape[0])  # BsrFlat: no reserved zero tile
         block = bsr_p.block
         # per tile: A tile + h block read (+ out block amortized over k tiles)
         bytes_total += n_tiles * (block * block + block * FEAT) * 4
     if bell_p is not None:
-        bytes_total += bell_p.padded_slots * (8 + 4 * FEAT)  # idx+val+h row
+        slots = (
+            bell_p.padded_slots
+            if hasattr(bell_p, "padded_slots")
+            else bell_p.hot.padded_slots + bell_p.cold.padded_slots
+        )
+        bytes_total += slots * (8 + 4 * FEAT)  # idx+val+h row
     bytes_total += 2 * g.shape[0] * FEAT * 4  # read h once more + write out
     secs = bytes_total / (HBM_GBPS * 1e9)
     return edges / secs

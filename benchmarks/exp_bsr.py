@@ -1,0 +1,59 @@
+"""BSR kernel microbench: effective HBM bandwidth vs storage dtype, fblk,
+block size. Synthetic block-diagonal-ish tile structure (dense community
+tiles), which is what the realistic projected-mention workload looks like
+after reordering."""
+import numpy as np
+import jax.numpy as jnp
+import scipy.sparse as sp
+
+from graphconvgeo_tpu.sparse.formats import BsrMatrix
+from graphconvgeo_tpu.ops.spmm_pallas import spmm_bsr
+from graphconvgeo_tpu.utils.timing import device_seconds_per_iter
+
+N, F = 262_144, 512
+rng = np.random.default_rng(0)
+h = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32))
+
+
+def banded_bsr(n, block, k_tiles, dt, fill=0.3):
+    """Build a BsrMatrix directly: k_tiles tiles per block row near the
+    diagonal, each tile `fill`-dense (community-tile-like)."""
+    rb = n // block
+    n_tiles = rb * k_tiles
+    tiles = (rng.random((n_tiles + 1, block, block)) < fill).astype(np.float32)
+    tiles[0] = 0.0
+    tile_idx = np.arange(1, n_tiles + 1, dtype=np.int32).reshape(rb, k_tiles)
+    tile_col = (
+        (np.arange(rb)[:, None] + np.arange(k_tiles)[None, :]) % rb
+    ).astype(np.int32)
+    nnz = int(tiles.sum())
+    return (
+        BsrMatrix(
+            tiles=jnp.asarray(tiles, dtype=dt),
+            tile_idx=jnp.asarray(tile_idx),
+            tile_col=jnp.asarray(tile_col),
+            n_rows=n,
+            n_cols=n,
+            block=block,
+        ),
+        nnz,
+    )
+
+
+for block in (256, 512):
+    for dt in (jnp.float32, jnp.bfloat16):
+        mat, nnz = banded_bsr(N, block, max(1, 512 // block), dt)
+        n_tiles = mat.tiles.shape[0] - 1
+        for fblk in (256, 512):
+            step = lambda x, m: spmm_bsr(m, m, x, fblk=fblk, mxu_dtype=jnp.bfloat16) * 0.999
+            t = device_seconds_per_iter(step, h, mat, iters_lo=2, iters_hi=8, trials=2)
+            bytes_moved = (
+                n_tiles * (block * block + block * F) * np.dtype(dt).itemsize + N * F * 4
+            )
+            gbs = bytes_moved / t / 1e9
+            eps = nnz / t / 1e9
+            print(
+                f"block={block} dtype={np.dtype(dt).name:8s} fblk={fblk} "
+                f"tiles={n_tiles:6d}  {t*1e3:7.3f} ms  {gbs:6.1f} GB/s(storage)  {eps:5.2f} Gedge/s",
+                flush=True,
+            )

@@ -1,0 +1,105 @@
+"""BSR kernel variants: dimension_semantics + k-unroll (U consecutive tiles
+per grid step, one wide A-DMA + U h-block inputs)."""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from graphconvgeo_tpu.utils.timing import device_seconds_per_iter
+
+N, F, BLOCK, KT = 262_144, 512, 256, 8
+rng = np.random.default_rng(0)
+h = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32))
+RB = N // BLOCK
+NT = RB * KT
+tiles = jnp.asarray((rng.random((NT + 1, BLOCK, BLOCK)) < 0.3).astype(np.float32))
+tile_idx = jnp.asarray(np.arange(1, NT + 1, dtype=np.int32).reshape(RB, KT))
+tile_col = jnp.asarray(((np.arange(RB)[:, None] + np.arange(KT)[None, :]) % RB).astype(np.int32))
+NNZ = float(jnp.sum(tiles != 0))
+
+
+def run(name, fn):
+    t = device_seconds_per_iter(lambda x, *a: fn(x, *a) * 0.999, h, tile_idx, tile_col, tiles,
+                                iters_lo=2, iters_hi=8, trials=2)
+    bytes_moved = NT * (BLOCK * BLOCK + BLOCK * F) * 4 + N * F * 4
+    print(f"{name:34s} {t*1e3:8.3f} ms  {bytes_moved/t/1e9:6.1f} GB/s  {NNZ/t/1e9:5.2f} Gedge/s", flush=True)
+
+
+def make(dimsem, unroll):
+    kt = KT // unroll
+
+    def kern(tidx_ref, tcol_ref, a_ref, *rest):
+        h_refs, o_ref = rest[:-1], rest[-1]
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        acc = o_ref[:]
+        for u in range(unroll):
+            a_u = a_ref[0, u] if unroll > 1 else a_ref[0]
+            acc += jnp.dot(a_u.astype(jnp.float32), h_refs[u][:],
+                           preferred_element_type=jnp.float32)
+        o_ref[:] = acc
+
+    in_specs = [
+        pl.BlockSpec((1, unroll * BLOCK, BLOCK),
+                     lambda r, j, k, tidx, tcol, u0=unroll: (0, tidx[r * KT + k * u0], 0),
+                     memory_space=pltpu.VMEM)
+        if False else
+        pl.BlockSpec((unroll, BLOCK, BLOCK),
+                     lambda r, j, k, tidx, tcol, u0=unroll: (tidx[r * KT + k * u0] // max(u0, 1) if False else tidx[r * KT + k * u0], 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    # NOTE: block index for a (unroll, B, B) spec is in units of `unroll`
+    # tiles, so tiles must be aligned; here tile ids are 1 + r*KT + k and we
+    # index by element: use index_map returning element-block index
+    # (tidx[...]) only if unroll == 1; for unroll > 1 we require
+    # (tidx-1) % unroll == 0 and pass (tidx-1)//unroll... handle below.
+    if unroll > 1:
+        def a_index(r, j, k, tidx, tcol, u0=unroll):
+            return ((tidx[r * KT + k * u0] - 1) // u0, 0, 0, 0)
+        a_spec = pl.BlockSpec((1, unroll, BLOCK, BLOCK), a_index, memory_space=pltpu.VMEM)
+    else:
+        def a_index(r, j, k, tidx, tcol):
+            return (tidx[r * KT + k], 0, 0)
+        a_spec = pl.BlockSpec((1, BLOCK, BLOCK), a_index, memory_space=pltpu.VMEM)
+    in_specs = [a_spec]
+    for u in range(unroll):
+        in_specs.append(
+            pl.BlockSpec((BLOCK, F),
+                         functools.partial(lambda r, j, k, tidx, tcol, u=0: (tcol[r * KT + k * unroll + u], 0), u=u),
+                         memory_space=pltpu.VMEM))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(RB, 1, kt),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((BLOCK, F), lambda r, j, k, tidx, tcol: (r, j),
+                               memory_space=pltpu.VMEM),
+    )
+    kwargs = {}
+    if dimsem:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"))
+
+    def fn(x, tidx, tcol, tl):
+        if unroll > 1:
+            # pad tiles so that (id-1) aligns: ids are 1..NT contiguous per row
+            # block; KT % unroll == 0 so within-row chunks stay aligned
+            tl = tl[1:].reshape(NT // unroll, unroll, BLOCK, BLOCK)
+            return pl.pallas_call(kern, out_shape=jax.ShapeDtypeStruct((N, F), jnp.float32),
+                                  grid_spec=grid_spec, **kwargs)(tidx.reshape(-1), tcol.reshape(-1), tl, *([x] * unroll))
+        return pl.pallas_call(kern, out_shape=jax.ShapeDtypeStruct((N, F), jnp.float32),
+                              grid_spec=grid_spec, **kwargs)(tidx.reshape(-1), tcol.reshape(-1), tl.reshape(NT + 1, 1, BLOCK, BLOCK)[:, 0] if False else tl, *([x] * unroll))
+
+    return fn
+
+
+run("baseline (no dimsem, U=1)", make(False, 1))
+run("dimsem (par,par,arb), U=1", make(True, 1))
+run("dimsem + U=2", make(True, 2))
+run("dimsem + U=4", make(True, 4))

@@ -1,0 +1,41 @@
+"""Hybrid SpMM on the projection-process graph (the reference's actual
+graph-construction process) at bench scale."""
+import numpy as np
+import jax.numpy as jnp
+
+from graphconvgeo_tpu.data.synthetic import random_mention_projection_graph
+from graphconvgeo_tpu.ops.spmm import device_operands, spmm_operands
+from graphconvgeo_tpu.sparse.formats import SparseGraph, normalize_adjacency, CachedBell
+from graphconvgeo_tpu.sparse.reorder import best_reordering, tile_coverage
+from graphconvgeo_tpu.utils.timing import device_seconds_per_iter
+
+N, N_COMM, FEAT = 262_144, 1024, 512
+
+adj = random_mention_projection_graph(N, N_COMM, seed=7)
+print("nnz:", adj.nnz, "avg deg:", adj.nnz / N, flush=True)
+perm = np.random.default_rng(1).permutation(N)
+adj = adj[perm][:, perm].tocsr()
+a_hat = normalize_adjacency(adj)
+ro = best_reordering(a_hat, seed=0)
+a_hat = ro.permute_graph(a_hat)
+print("tile coverage (256):", tile_coverage(a_hat, block=256, min_tile_nnz=96), flush=True)
+g = SparseGraph(csr=a_hat, symmetric=True)
+fmt, fmt_t = device_operands(g, "hybrid")
+bsr_p, resid = fmt
+if bsr_p is not None:
+    n_tiles = bsr_p.tiles.shape[0] - 1
+    print("bsr tiles:", n_tiles, "fill:", bsr_p.density_stats()["tile_fill"], flush=True)
+print("residual type:", type(resid).__name__, flush=True)
+if isinstance(resid, CachedBell):
+    print(" hot slots:", resid.hot.padded_slots, " cold slots:", resid.cold.padded_slots, flush=True)
+elif resid is not None:
+    print(" resid slots:", resid.padded_slots, flush=True)
+
+h = jnp.asarray(np.random.default_rng(0).normal(size=(N, FEAT)).astype(np.float32))
+step = lambda x, a, b: spmm_operands(a, b, x, n_rows=N, gather_dtype=jnp.bfloat16) * 0.25 + 0.01
+dt = device_seconds_per_iter(step, h, fmt, fmt_t, iters_lo=2, iters_hi=12, trials=2)
+print(f"hybrid: {dt*1e3:.3f} ms  {g.nnz/dt/1e6:.1f} M edges/s", flush=True)
+
+import bench
+roof = bench.roofline_edges_per_sec(g, fmt)
+print(f"roofline {roof/1e6:.0f} M edges/s  vs_baseline {g.nnz/dt/roof:.3f}", flush=True)

@@ -1,0 +1,48 @@
+"""Experiments: cost anatomy of the bucketed-ELL residual path.
+
+Q1: what does the inv_perm restore gather cost (N rows from an N-row table)?
+Q2: does a per-group restore (gather from <=16k-row freshly computed tables)
+    ride the small-table cliff?
+Q3: are repeated-index (padding) gathers cheaper than distinct-row gathers?
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from graphconvgeo_tpu.utils.timing import device_seconds_per_iter
+
+N = 262_144
+F = 512
+G = 16_384
+
+rng = np.random.default_rng(0)
+h = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32))
+perm = jnp.asarray(rng.permutation(N).astype(np.int32))
+# group-local permutation: within each 16k block, a random shuffle
+lp = np.concatenate(
+    [g * G + rng.permutation(G) for g in range(N // G)]
+).astype(np.int32)
+local_perm = jnp.asarray(lp)
+zeros_idx = jnp.zeros((N,), jnp.int32)
+
+def t(name, step, *args):
+    dt = device_seconds_per_iter(step, h, *args, iters_lo=2, iters_hi=10, trials=2)
+    print(f"{name:34s} {dt*1e3:8.3f} ms  {N/dt/1e6:8.1f} Mrows/s")
+    return dt
+
+# Q1: full random restore (big-table gather), chained
+t("restore: global perm", lambda x, p: jnp.take(x, p, axis=0) * 0.999, perm)
+
+# Q2: group-local restore — same total rows, but each gather's source is a
+# 16k-row slice of the (freshly produced) table
+def grouped(x, p):
+    outs = [
+        jnp.take(jax.lax.dynamic_slice_in_dim(x, g * G, G, 0), p[g * G:(g + 1) * G] - g * G, axis=0)
+        for g in range(N // G)
+    ]
+    return jnp.concatenate(outs, axis=0) * 0.999
+
+t("restore: 16 group-local gathers", grouped, local_perm)
+
+# Q3: all-same-index gather (what ELL padding slots cost)
+t("gather: all index 0", lambda x, p: jnp.take(x, p, axis=0) * 0.999 + 1e-6, zeros_idx)

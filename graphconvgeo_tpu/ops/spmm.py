@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from graphconvgeo_tpu.sparse.formats import (
+    BsrFlat,
     BsrMatrix,
     BucketedEll,
     CachedBell,
@@ -256,13 +257,19 @@ def spmm_operands(fmt, fmt_t, h: jax.Array, *, n_rows: int, gather_dtype=None) -
         from graphconvgeo_tpu.ops.spmm_pallas import spmm_bsr
 
         return spmm_bsr(fmt, fmt_t, h)[:n_rows]
+    if isinstance(fmt, BsrFlat):
+        from graphconvgeo_tpu.ops.spmm_pallas import spmm_bsr_flat
+
+        return spmm_bsr_flat(fmt, fmt_t, h)[:n_rows]
     if isinstance(fmt, tuple):  # hybrid (bsr | None, bell | None)
-        from graphconvgeo_tpu.ops.spmm_pallas import spmm_bsr
+        from graphconvgeo_tpu.ops.spmm_pallas import spmm_bsr, spmm_bsr_flat
 
         bsr_p, bell_p = fmt
         bsr_tp, bell_tp = fmt_t
         out = None
-        if bsr_p is not None:
+        if isinstance(bsr_p, BsrFlat):
+            out = spmm_bsr_flat(bsr_p, bsr_tp, h)[:n_rows]
+        elif bsr_p is not None:
             out = spmm_bsr(bsr_p, bsr_tp, h)[:n_rows]
         if bell_p is not None:
             o2 = spmm_bell(bell_p, bell_tp, h, gather_dtype=gather_dtype)[:n_rows]

@@ -31,7 +31,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from graphconvgeo_tpu.sparse.formats import BsrMatrix, _round_up
+from graphconvgeo_tpu.sparse.formats import BsrFlat, BsrMatrix, _round_up
 
 
 
@@ -150,6 +150,164 @@ def _spmm_bsr_bwd(fblk, mxu_dtype, res, g):
 
 
 _spmm_bsr_core.defvjp(_spmm_bsr_fwd, _spmm_bsr_bwd)
+
+
+def _flat_kernel(first_ref, rowblk_ref, colblk_ref, tile_ref, h_ref, o_ref, *, mxu_dtype):
+    t = pl.program_id(1)
+
+    @pl.when(first_ref[t] == 1)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    o_ref[:] += jnp.dot(
+        tile_ref[0].astype(mxu_dtype),
+        h_ref[:].astype(mxu_dtype),
+        preferred_element_type=o_ref.dtype,
+    )
+
+
+def _bsr_flat_matmul(
+    tiles: jax.Array,
+    rowblk: jax.Array,
+    colblk: jax.Array,
+    first: jax.Array,
+    h: jax.Array,
+    *,
+    n_row_blocks: int,
+    fblk: int = 512,
+    interpret: bool | None = None,
+    mxu_dtype=jnp.float32,
+) -> jax.Array:
+    """Flat-tile BSR matmul: grid = (F blocks, n_tiles) — one step per
+    materialized tile, no k_max padding (see :class:`BsrFlat`). ``h`` must be
+    [n_cols_padded, F_pad]. Returns [n_row_blocks * block, F_pad] float32.
+
+    The accumulator output block index is ``rowblk[t]``, constant across the
+    consecutive grid steps of one row block (tiles sorted row-major), so
+    Mosaic keeps it in VMEM for the whole per-row reduction; ``first[t]``
+    flags the reset points.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_tiles, block, _ = tiles.shape
+    f_pad = h.shape[1]
+    fblk = min(fblk, f_pad)
+    assert f_pad % fblk == 0, (f_pad, fblk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(f_pad // fblk, n_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, block, block),
+                lambda j, t, first, rblk, cblk: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block, fblk),
+                lambda j, t, first, rblk, cblk: (cblk[t], j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (block, fblk),
+            lambda j, t, first, rblk, cblk: (rblk[t], j),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    try:
+        vma = jax.typeof(h).vma
+        out_shape = jax.ShapeDtypeStruct((n_row_blocks * block, f_pad), jnp.float32, vma=vma)
+    except (AttributeError, TypeError):
+        out_shape = jax.ShapeDtypeStruct((n_row_blocks * block, f_pad), jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_flat_kernel, mxu_dtype=mxu_dtype),
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_tiles * block * block * f_pad,
+            bytes_accessed=tiles.size * tiles.dtype.itemsize
+            + n_tiles * block * f_pad * h.dtype.itemsize
+            + n_row_blocks * block * f_pad * 4,
+            transcendentals=0,
+        ),
+    )(first, rowblk, colblk, tiles, h)
+
+
+def spmm_bsr_flat(
+    mat: BsrFlat, mat_t: BsrFlat, h: jax.Array, *, fblk: int = 512, mxu_dtype=jnp.float32
+) -> jax.Array:
+    """Flat-tile block-sparse SpMM with custom VJP (``mat_t`` drives the
+    backward ``Âᵀ·G``; symmetric operators pass the same operand twice)."""
+    f = h.shape[1]
+    f_pad = _round_up(f, 128)
+    rows_needed = mat.n_cols_padded
+    m = min(h.shape[0], rows_needed)
+    if h.shape[0] != rows_needed or f_pad != f:
+        h_p = jnp.zeros((rows_needed, f_pad), dtype=h.dtype)
+        h_p = h_p.at[:m, :f].set(h[:m])
+    else:
+        h_p = h
+    fblk = min(fblk, f_pad)
+    while f_pad % fblk:
+        fblk //= 2
+    out = _flat_core(
+        mat.tiles,
+        mat.rowblk,
+        mat.colblk,
+        mat.first,
+        mat_t.tiles,
+        mat_t.rowblk,
+        mat_t.colblk,
+        mat_t.first,
+        h_p.astype(mat.tiles.dtype),
+        mat.n_row_blocks,
+        mat_t.n_row_blocks,
+        fblk,
+        jnp.dtype(mxu_dtype),
+    )
+    return out[: mat.n_rows, :f]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def _flat_core(
+    tiles, rowblk, colblk, first, tiles_t, rowblk_t, colblk_t, first_t, h, rb, rb_t, fblk, mxu_dtype
+):
+    return _bsr_flat_matmul(
+        tiles, rowblk, colblk, first, h, n_row_blocks=rb, fblk=fblk, mxu_dtype=mxu_dtype
+    )
+
+
+def _flat_fwd(tiles, rowblk, colblk, first, tiles_t, rowblk_t, colblk_t, first_t, h, rb, rb_t, fblk, mxu_dtype):
+    out = _bsr_flat_matmul(
+        tiles, rowblk, colblk, first, h, n_row_blocks=rb, fblk=fblk, mxu_dtype=mxu_dtype
+    )
+    return out, (tiles, rowblk, colblk, first, tiles_t, rowblk_t, colblk_t, first_t)
+
+
+def _flat_bwd(rb, rb_t, fblk, mxu_dtype, res, g):
+    tiles, rowblk, colblk, first, tiles_t, rowblk_t, colblk_t, first_t = res
+    # Âᵀ·G: grad rows follow the transpose pattern; pad G to the transpose's
+    # column grid (= forward row grid)
+    g_p = g.astype(tiles_t.dtype)
+    dh = _bsr_flat_matmul(
+        tiles_t, rowblk_t, colblk_t, first_t, g_p, n_row_blocks=rb_t, fblk=fblk, mxu_dtype=mxu_dtype
+    )
+    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return (
+        jnp.zeros_like(tiles),
+        f0(rowblk),
+        f0(colblk),
+        f0(first),
+        jnp.zeros_like(tiles_t),
+        f0(rowblk_t),
+        f0(colblk_t),
+        f0(first_t),
+        dh.astype(g.dtype),
+    )
+
+
+_flat_core.defvjp(_flat_fwd, _flat_bwd)
 
 
 def spmm_bsr(

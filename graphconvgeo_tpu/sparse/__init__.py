@@ -1,4 +1,5 @@
 from graphconvgeo_tpu.sparse.formats import (  # noqa: F401
+    BsrFlat,
     BsrMatrix,
     EllMatrix,
     SparseGraph,

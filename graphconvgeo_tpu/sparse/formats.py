@@ -214,6 +214,107 @@ class BsrMatrix:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class BsrFlat:
+    """Flat-tile block-sparse matrix — one grid step per MATERIALIZED tile.
+
+    :class:`BsrMatrix` pads every row block's tile list to the max count
+    (``k_max``), so its kernel grid is ``row_blocks × k_max`` and skewed tile
+    counts waste whole grid steps on the reserved zero tile (measured ~3× on
+    projection-process mention graphs, where crossover cliques give a few row
+    blocks tens of tiles while the median has one). Here tiles are stored in
+    row-major order and the kernel grid is simply ``(F-blocks, n_tiles)``:
+
+    tiles:   [n_tiles, B, B] dense tile data, sorted by (row block, col block);
+             row blocks with no edges carry one all-zero tile so every output
+             block is still written.
+    rowblk:  [n_tiles] int32 — output row-block id per tile (non-decreasing).
+    colblk:  [n_tiles] int32 — h column-block id per tile.
+    first:   [n_tiles] int32 — 1 where a new row block starts (accumulator
+             reset flag for the kernel).
+    """
+
+    tiles: jax.Array
+    rowblk: jax.Array
+    colblk: jax.Array
+    first: jax.Array
+    n_rows: int = dataclasses.field(metadata=dict(static=True))
+    n_cols: int = dataclasses.field(metadata=dict(static=True))
+    block: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_tiles(self) -> int:
+        return self.tiles.shape[0]
+
+    @property
+    def n_row_blocks(self) -> int:
+        return _round_up(max(self.n_rows, 1), self.block) // self.block
+
+    @property
+    def n_rows_padded(self) -> int:
+        return self.n_row_blocks * self.block
+
+    @property
+    def n_cols_padded(self) -> int:
+        return _round_up(self.n_cols, self.block)
+
+    @staticmethod
+    def from_scipy(
+        mat: sp.spmatrix, *, block: int = 256, dtype=jnp.float32, max_tiles: int = 65536
+    ) -> "BsrFlat":
+        coo = sp.coo_matrix(mat)
+        n_rows, n_cols = coo.shape
+        rb = _round_up(max(n_rows, 1), block) // block
+        cb = _round_up(max(n_cols, 1), block) // block
+        key = (coo.row // block).astype(np.int64) * cb + (coo.col // block)
+        order = np.argsort(key, kind="stable")
+        key_s = key[order]
+        uniq = np.unique(key_s)
+        # every row block must own >= 1 tile (the kernel zero-initializes an
+        # output block only when visiting its first tile)
+        have = np.zeros(rb, dtype=bool)
+        have[(uniq // cb).astype(np.int64)] = True
+        filler = np.flatnonzero(~have).astype(np.int64) * cb  # zero tile at col 0
+        all_keys = np.sort(np.concatenate([uniq, filler]))
+        n_tiles = len(all_keys)
+        if n_tiles > max_tiles:
+            raise ValueError(
+                f"BsrFlat would materialize {n_tiles} dense {block}x{block} "
+                "tiles — pattern too scattered; use 'hybrid' with a higher "
+                "min_tile_nnz or the 'bell' backend"
+            )
+        tiles = np.zeros((n_tiles, block, block), dtype=np.float32)
+        tile_of_edge = np.searchsorted(all_keys, key_s)
+        np.add.at(
+            tiles,
+            (tile_of_edge, coo.row[order] % block, coo.col[order] % block),
+            coo.data[order],
+        )
+        rowblk = (all_keys // cb).astype(np.int32)
+        colblk = (all_keys % cb).astype(np.int32)
+        first = np.ones(n_tiles, dtype=np.int32)
+        first[1:] = (rowblk[1:] != rowblk[:-1]).astype(np.int32)
+        return BsrFlat(
+            tiles=jnp.asarray(tiles, dtype=dtype),
+            rowblk=jnp.asarray(rowblk),
+            colblk=jnp.asarray(colblk),
+            first=jnp.asarray(first),
+            n_rows=n_rows,
+            n_cols=n_cols,
+            block=block,
+        )
+
+    def density_stats(self) -> dict:
+        vals = np.asarray(self.tiles)
+        fill = float((vals != 0).sum()) / max(self.n_tiles * self.block**2, 1)
+        return {
+            "n_tiles": self.n_tiles,
+            "tile_fill": fill,
+            "padded_shape": (self.n_rows_padded, self.n_cols_padded),
+        }
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class BucketedEll:
     """Degree-bucketed ELL — the TPU-friendly fix for power-law degree skew.
 
@@ -524,12 +625,12 @@ class SparseGraph:
         return self._bell_t
 
     def hybrid(self, *, block: int = 256, min_tile_nnz: int = 96) -> tuple:
-        """(BsrMatrix dense-tile part | None, residual | None) where the
+        """(BsrFlat dense-tile part | None, residual | None) where the
         residual is a :class:`CachedBell` when its column skew justifies the
         hot-column cache, else a plain :class:`BucketedEll`."""
         if self._hybrid is None:
             dense, resid = split_dense_tiles(self.csr, block=block, min_tile_nnz=min_tile_nnz)
-            bsr = BsrMatrix.from_scipy(dense, block=block) if dense.nnz else None
+            bsr = BsrFlat.from_scipy(dense, block=block) if dense.nnz else None
             r = None
             if resid.nnz:
                 r = CachedBell.from_scipy(resid)
@@ -545,7 +646,7 @@ class SparseGraph:
             dense, resid = split_dense_tiles(
                 self.csr.T.tocsr(), block=block, min_tile_nnz=min_tile_nnz
             )
-            bsr = BsrMatrix.from_scipy(dense, block=block) if dense.nnz else None
+            bsr = BsrFlat.from_scipy(dense, block=block) if dense.nnz else None
             r = None
             if resid.nnz:
                 r = CachedBell.from_scipy(resid)

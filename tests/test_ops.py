@@ -286,3 +286,37 @@ def test_cached_bell_declines_uniform(rng):
 
     m = random_csr(rng, 40000, 40000, 2)
     assert CachedBell.from_scipy(m, max_hot=1024, min_fraction=0.25) is None
+
+
+def test_spmm_bsr_flat_matches_scipy(rng):
+    """Flat-tile BSR: skewed tile counts per row block + empty row blocks
+    (rows 128..255 have no edges) — the k_max-free grid must still write
+    every output block."""
+    import scipy.sparse as sp
+
+    from graphconvgeo_tpu.ops.spmm_pallas import spmm_bsr_flat
+    from graphconvgeo_tpu.sparse.formats import BsrFlat
+
+    n, c = 500, 400
+    # block row 0: many tiles; block row 1: none; rest: one-ish
+    nd = 3000
+    dr = rng.integers(0, 128, nd)
+    dc = rng.integers(0, c, nd)
+    extra_r = rng.integers(256, n, 500)
+    extra_c = rng.integers(0, 128, 500)
+    m = sp.coo_matrix(
+        (np.ones(nd + 500, np.float32), (np.r_[dr, extra_r], np.r_[dc, extra_c])),
+        shape=(n, c),
+    ).tocsr()
+    m.sum_duplicates()
+    mat = BsrFlat.from_scipy(m, block=128)
+    mat_t = BsrFlat.from_scipy(m.T.tocsr(), block=128)
+    h = rng.normal(size=(c, 40)).astype(np.float32)
+    got = spmm_bsr_flat(mat, mat_t, jnp.asarray(h))
+    np.testing.assert_allclose(np.asarray(got), m @ h, rtol=1e-4, atol=1e-4)
+    # rows 128..255 must be exactly zero (empty row block got initialized)
+    assert np.allclose(np.asarray(got)[128:256], 0.0)
+    # backward: dh = m^T w via the transpose operand
+    w = jnp.asarray(rng.normal(size=(n, 40)).astype(np.float32))
+    dh = jax.grad(lambda h: jnp.sum(spmm_bsr_flat(mat, mat_t, h) * w))(jnp.asarray(h))
+    np.testing.assert_allclose(np.asarray(dh), m.T @ np.asarray(w), rtol=1e-4, atol=1e-4)
