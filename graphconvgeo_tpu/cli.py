@@ -60,6 +60,12 @@ def parse_args(argv=None):
     p.add_argument("--patience", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--backend", default="auto", help="spmm backend: auto|bell|ell|bsr|hybrid")
+    p.add_argument("--gather-dtype", default=None, choices=[None, "bfloat16", "float32"],
+                   help="cast dtype for SpMM row gathers (bfloat16 halves gather "
+                        "table bytes; accumulation stays float32)")
+    p.add_argument("--input-cache", action="store_true",
+                   help="hot-column cache for the BoW input layer (worth it only "
+                        "for very large vocabularies; see GCNConfig.input_hot_cache)")
     p.add_argument("--label-fraction", type=float, default=1.0)
     p.add_argument("--tune", type=int, default=0, metavar="N", help="random search over N configs")
     p.add_argument("--checkpoint-dir", default=None)
@@ -138,6 +144,8 @@ def run_one(args, ds, *, dropout=None, l2=None, hidden=None, lr=None, quiet=None
             dropout=args.dropout if dropout is None else dropout,
             l2=args.l2 if l2 is None else l2,
             spmm_backend=args.backend,
+            gather_dtype=args.gather_dtype,
+            input_hot_cache=args.input_cache,
         )
         model = HighwayGCN(cfg, x_graph, adj_graph)
     tcfg = TrainConfig(

@@ -143,3 +143,54 @@ def test_remat_matches_no_remat(rng):
     g2 = jax.grad(lambda p: model_r.loss(p, y, mask, train=False))(params)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_cached_input_layer_matches_oracle_and_grads(rng):
+    """Zipf-skewed vocab triggers the input hot-column cache; eval forward
+    must match the dense oracle and the train-mode (dropped) operator must
+    have a consistent custom VJP across the hot/cold split."""
+    n, v, hot_v = 120, 20000, 64
+    rows = np.repeat(np.arange(n), 12)
+    zipf = rng.random(n * 12) < 0.7
+    cols = np.where(zipf, rng.integers(0, hot_v, n * 12), rng.integers(0, v, n * 12))
+    x = sp.coo_matrix(
+        (np.abs(rng.normal(size=n * 12)).astype(np.float32), (rows, cols)), shape=(n, v)
+    ).tocsr()
+    x.sum_duplicates()
+    adj = random_csr(rng, n, n, 3, symmetric=True)
+    a_hat = normalize_adjacency(adj)
+    cfg = GCNConfig(
+        n_features=v, n_classes=5, hidden=(16, 16), highway=True,
+        dropout=0.4, activation="tanh", input_hot_cache=True,
+    )
+    model = HighwayGCN(cfg, SparseGraph(csr=x), SparseGraph(csr=a_hat, symmetric=True))
+    from graphconvgeo_tpu.sparse.formats import CachedBell
+
+    assert isinstance(model.arrays["x"], CachedBell)  # the cache actually engaged
+    params = model.init(jax.random.key(1))
+    got = model.hidden_states(params, train=False)
+    want = numpy_forward(jax.tree.map(np.asarray, params), x, a_hat, cfg)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), w, rtol=2e-4, atol=2e-4)
+
+    # train-mode finite-difference check through both cache parts
+    y = jnp.asarray(rng.integers(0, 5, n), dtype=jnp.int32)
+    mask = jnp.asarray(np.ones(n, np.float32))
+    k = jax.random.key(7)
+
+    def loss_w(w):
+        p = {**params, "input": {**params["input"], "w": w}}
+        return model.loss(p, y, mask, rng=k, train=True)
+
+    w0 = params["input"]["w"]
+    g = jax.grad(loss_w)(w0)
+    eps = 1e-3
+    hot_ids = np.asarray(model.arrays["x"].hot_ids)
+    probe = [(int(hot_ids[0]), 3), (int(hot_ids[-1]), 7)]  # hot rows
+    cold_rows = np.setdiff1d(np.unique(x.indices), hot_ids)
+    if len(cold_rows):
+        probe.append((int(cold_rows[0]), 1))  # a cold row
+    for i, j in probe:
+        dw = jnp.zeros_like(w0).at[i, j].set(eps)
+        fd = (loss_w(w0 + dw) - loss_w(w0 - dw)) / (2 * eps)
+        np.testing.assert_allclose(float(g[i, j]), float(fd), rtol=5e-2, atol=1e-4)
