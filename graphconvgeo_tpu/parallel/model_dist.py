@@ -110,9 +110,11 @@ class DistHighwayGCN:
             self.data["send_idx"] = jax.device_put(jnp.asarray(hx.send_idx), shard3)
             if hx.bsr_tiles is not None:
                 shard4 = NamedSharding(mesh, P(GRAPH_AXIS, None, None, None))
+                shard2 = NamedSharding(mesh, P(GRAPH_AXIS, None))
                 self.data["bsr_tiles"] = jax.device_put(jnp.asarray(hx.bsr_tiles), shard4)
-                self.data["bsr_tidx"] = jax.device_put(jnp.asarray(hx.bsr_tidx), shard3)
-                self.data["bsr_tcol"] = jax.device_put(jnp.asarray(hx.bsr_tcol), shard3)
+                self.data["bsr_rowblk"] = jax.device_put(jnp.asarray(hx.bsr_rowblk), shard2)
+                self.data["bsr_colblk"] = jax.device_put(jnp.asarray(hx.bsr_colblk), shard2)
+                self.data["bsr_first"] = jax.device_put(jnp.asarray(hx.bsr_first), shard2)
         else:
             a_op, at_op = part.a_operands(dist_format)
             self.data["a"] = put(a_op)
@@ -164,15 +166,15 @@ class DistHighwayGCN:
             if self.halo.bsr_tiles is not None:
                 block = self.halo.block
 
-                def body(h, al, alt, ar, art, sidx, tiles, tidx, tcol):
+                def body(h, al, alt, ar, art, sidx, tiles, rblk, cblk, first):
                     return local_spmm_halo_bsr(
                         h, device_slice(al), device_slice(alt), device_slice(ar),
-                        device_slice(art), sidx[0], tiles[0], tidx[0], tcol[0],
-                        block=block,
+                        device_slice(art), sidx[0], tiles[0], rblk[0], cblk[0],
+                        first[0], block=block,
                     )
 
                 args = (*ops, data["send_idx"], data["bsr_tiles"],
-                        data["bsr_tidx"], data["bsr_tcol"])
+                        data["bsr_rowblk"], data["bsr_colblk"], data["bsr_first"])
                 # check_vma=False: pallas interpret mode (CPU tests) emits
                 # dynamic_slices mixing varying/unvarying values that the vma
                 # checker rejects; numerical parity is covered by tests

@@ -286,11 +286,13 @@ class HaloExchange:
     remote_blocks: list  # csr [rpd, n_halo]
     rpd: int
     # Optional MXU fast path for the local square blocks (community-reordered
-    # graphs put most local edges in dense tiles): per-device BSR arrays
-    # padded to common shapes. When set, local_blocks hold ONLY the residual.
-    bsr_tiles: np.ndarray | None = None  # [D, Tmax+1, B, B]
-    bsr_tidx: np.ndarray | None = None  # [D, rbl, Km]
-    bsr_tcol: np.ndarray | None = None  # [D, rbl, Km]
+    # graphs put most local edges in dense tiles): per-device flat-tile BSR
+    # arrays (see :class:`~graphconvgeo_tpu.sparse.formats.BsrFlat`) padded to
+    # a common tile count. When set, local_blocks hold ONLY the residual.
+    bsr_tiles: np.ndarray | None = None  # [D, Tmax, B, B]
+    bsr_rowblk: np.ndarray | None = None  # [D, Tmax]
+    bsr_colblk: np.ndarray | None = None  # [D, Tmax]
+    bsr_first: np.ndarray | None = None  # [D, Tmax]
     block: int = 0
     _ops: dict = dataclasses.field(default_factory=dict, repr=False)
 
@@ -369,13 +371,13 @@ def build_halo(
             sp.coo_matrix((vals[rm], (rows_flat[rm], rcols)), shape=(rpd, n_halo)).tocsr()
         )
 
-    bsr_tiles = bsr_tidx = bsr_tcol = None
+    bsr_tiles = bsr_rowblk = bsr_colblk = bsr_first = None
     block = 0
     if local_backend == "bsr" and rpd % bsr_block == 0:
         # split each local square block into dense MXU tiles + sparse residual;
         # the local block of a symmetric Â is symmetric, so one BSR operand
         # serves forward and backward
-        from graphconvgeo_tpu.sparse.formats import BsrMatrix, split_dense_tiles
+        from graphconvgeo_tpu.sparse.formats import BsrFlat, split_dense_tiles
 
         dense_parts, resid_parts = [], []
         for b in local_blocks:
@@ -384,17 +386,21 @@ def build_halo(
             resid_parts.append(resid)
         if any(d.nnz for d in dense_parts):
             block = bsr_block
-            bsrs = [BsrMatrix.from_scipy(d, block=bsr_block) for d in dense_parts]
-            t_max = max(b.tiles.shape[0] for b in bsrs)
-            k_m = max(b.k_max for b in bsrs)
+            bsrs = [BsrFlat.from_scipy(d, block=bsr_block) for d in dense_parts]
+            t_max = max(b.n_tiles for b in bsrs)
             rbl = rpd // bsr_block
             bsr_tiles = np.zeros((d_n, t_max, bsr_block, bsr_block), np.float32)
-            bsr_tidx = np.zeros((d_n, rbl, k_m), np.int32)
-            bsr_tcol = np.zeros((d_n, rbl, k_m), np.int32)
+            # padding tiles: all-zero, appended at the last row block with
+            # first=0 — harmless accumulations into an already-open block
+            bsr_rowblk = np.full((d_n, t_max), rbl - 1, np.int32)
+            bsr_colblk = np.zeros((d_n, t_max), np.int32)
+            bsr_first = np.zeros((d_n, t_max), np.int32)
             for d, b in enumerate(bsrs):
-                bsr_tiles[d, : b.tiles.shape[0]] = np.asarray(b.tiles)
-                bsr_tidx[d, :, : b.k_max] = np.asarray(b.tile_idx)
-                bsr_tcol[d, :, : b.k_max] = np.asarray(b.tile_col)
+                nt = b.n_tiles
+                bsr_tiles[d, :nt] = np.asarray(b.tiles)
+                bsr_rowblk[d, :nt] = np.asarray(b.rowblk)
+                bsr_colblk[d, :nt] = np.asarray(b.colblk)
+                bsr_first[d, :nt] = np.asarray(b.first)
             local_blocks = resid_parts  # local operands hold only the residual
 
     return HaloExchange(
@@ -404,8 +410,9 @@ def build_halo(
         remote_blocks=remote_blocks,
         rpd=rpd,
         bsr_tiles=bsr_tiles,
-        bsr_tidx=bsr_tidx,
-        bsr_tcol=bsr_tcol,
+        bsr_rowblk=bsr_rowblk,
+        bsr_colblk=bsr_colblk,
+        bsr_first=bsr_first,
         block=block,
     )
 

@@ -115,27 +115,28 @@ def local_spmm_halo_bsr(
     h_local,
     al_op, alt_op, ar_op, art_op,
     send_idx,
-    bsr_tiles, bsr_tidx, bsr_tcol,
+    bsr_tiles, bsr_rowblk, bsr_colblk, bsr_first,
     *,
     block: int,
     axis: str = GRAPH_AXIS,
 ):
     """Halo body with the MXU fast path: the dense tiles of the local square
-    block run through the Pallas BSR kernel (the local block of a symmetric Â
-    is symmetric, so one operand serves forward and backward); al_op carries
-    only the residual local edges. Still one all-to-all, still overlapped.
+    block run through the flat-tile Pallas BSR kernel (the local block of a
+    symmetric Â is symmetric, so one operand serves forward and backward);
+    al_op carries only the residual local edges. Still one all-to-all, still
+    overlapped.
     """
-    from graphconvgeo_tpu.ops.spmm_pallas import spmm_bsr
-    from graphconvgeo_tpu.sparse.formats import BsrMatrix
+    from graphconvgeo_tpu.ops.spmm_pallas import spmm_bsr_flat
+    from graphconvgeo_tpu.sparse.formats import BsrFlat
 
     send = jnp.take(h_local, send_idx, axis=0)
     recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=True)
     rpd = h_local.shape[0]
-    mat = BsrMatrix(
-        tiles=bsr_tiles, tile_idx=bsr_tidx, tile_col=bsr_tcol,
+    mat = BsrFlat(
+        tiles=bsr_tiles, rowblk=bsr_rowblk, colblk=bsr_colblk, first=bsr_first,
         n_rows=rpd, n_cols=rpd, block=block,
     )
-    out_local = spmm_bsr(mat, mat, h_local)
+    out_local = spmm_bsr_flat(mat, mat, h_local)
     out_local = out_local + _spmm_op_core(al_op, alt_op, h_local)
     halo = recv.reshape(-1, h_local.shape[1])
     return out_local + _spmm_op_core(ar_op, art_op, halo)
