@@ -100,7 +100,7 @@ class StackedBell:
 
     @staticmethod
     def from_blocks(
-        blocks, *, min_k: int = 2, growth: int = 2, row_align: int = 8
+        blocks, *, min_k: int = 1, growth: int = 2, row_align: int = 8
     ) -> "StackedBell":
         blocks = [b.tocsr() for b in blocks]
         for b in blocks:

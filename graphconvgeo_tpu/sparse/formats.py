@@ -346,7 +346,7 @@ class BucketedEll:
     def from_scipy(
         mat: sp.spmatrix,
         *,
-        min_k: int = 2,
+        min_k: int = 1,
         growth: int = 2,
         dtype=jnp.float32,
     ) -> "BucketedEll":
