@@ -99,19 +99,16 @@ class StackedBell:
         return sum(int(np.prod(i.shape[1:])) for i in self.indices) * self.indices[0].shape[0]
 
     @staticmethod
-    def from_blocks(
-        blocks, *, min_k: int = 1, growth: int = 2, row_align: int = 8
-    ) -> "StackedBell":
+    def from_blocks(blocks, *, row_align: int = 8) -> "StackedBell":
+        from graphconvgeo_tpu.sparse.formats import bucket_widths
+
         blocks = [b.tocsr() for b in blocks]
         for b in blocks:
             b.sort_indices()
         n_rows = blocks[0].shape[0]
         degs = [np.diff(b.indptr) for b in blocks]
         gmax = max((int(d.max()) if d.size and d.max() else 1) for d in degs)
-        widths = [max(min_k, 1)]
-        while widths[-1] < gmax:
-            widths.append(widths[-1] * growth)
-        widths = widths[::-1]  # largest first (rows sorted by degree desc)
+        widths = bucket_widths(gmax, np.concatenate(degs))  # cost-pruned ladder
         n_b = len(widths)
         d_n = len(blocks)
         orders, cuts = [], []

@@ -39,6 +39,24 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def bucket_widths(max_deg: int, deg: Optional[np.ndarray] = None) -> list:
+    """Descending degree-bucket width ladder: powers of two down to 1.
+
+    Measured alternatives (bench residual, PERF.md 2026-08-18): a finer
+    ladder with exact small widths (1,2,3,4,5,6,8,…) cuts padded slots 18%
+    but runs 20% SLOWER — each additional bucket op costs ~1.8 ms per SpMM
+    application (≈110k slots at the 16 ns/slot gather rate), so geometric
+    spacing is the right density. Width 1 matters: degree-0/1 rows dominate
+    mention-graph residuals and previously burned two slots each (344 vs
+    289 M edges/s). ``deg`` is accepted for future cost-model use.
+    """
+    max_deg = max(int(max_deg), 1)
+    widths = [1]
+    while widths[-1] < max_deg:
+        widths.append(widths[-1] * 2)
+    return widths[::-1]
+
+
 def normalize_adjacency(adj: sp.spmatrix, *, add_self_loops: bool = True) -> sp.csr_matrix:
     """Symmetric GCN normalization Â = D^-1/2 (A + I) D^-1/2.
 
@@ -346,8 +364,6 @@ class BucketedEll:
     def from_scipy(
         mat: sp.spmatrix,
         *,
-        min_k: int = 1,
-        growth: int = 2,
         dtype=jnp.float32,
     ) -> "BucketedEll":
         csr = sp.csr_matrix(mat)
@@ -356,11 +372,8 @@ class BucketedEll:
         deg = np.diff(csr.indptr)
         perm = np.argsort(-deg, kind="stable").astype(np.int32)
         deg_sorted = deg[perm]
-        # bucket widths: min_k, min_k*growth, ... ≥ max degree (descending rows)
-        widths = [max(min_k, 1)]
-        while widths[-1] < (int(deg.max()) if n_rows and deg.max() else 1):
-            widths.append(widths[-1] * growth)
-        widths = widths[::-1]  # largest bucket first (rows sorted descending)
+        # descending width ladder ≥ max degree (rows sorted descending)
+        widths = bucket_widths(int(deg.max()) if n_rows and deg.max() else 1, deg)
         indices, values, row_ids = [], [], []
         start = 0
         for b, k in enumerate(widths):
@@ -386,8 +399,8 @@ class BucketedEll:
             row_ids.append(jnp.asarray(rows.astype(np.int32)))
             start = end
         if not indices:  # empty matrix
-            indices = [jnp.zeros((max(n_rows, 1), min_k), jnp.int32)]
-            values = [jnp.zeros((max(n_rows, 1), min_k), dtype)]
+            indices = [jnp.zeros((max(n_rows, 1), 1), jnp.int32)]
+            values = [jnp.zeros((max(n_rows, 1), 1), dtype)]
             row_ids = [jnp.zeros((max(n_rows, 1),), jnp.int32)]
         inv_perm = np.empty(n_rows, dtype=np.int32)
         inv_perm[perm] = np.arange(n_rows, dtype=np.int32)
