@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from graphconvgeo_tpu.models.gcn import l2_penalty, sparse_input_layer
 from graphconvgeo_tpu.ops.attention import gat_layer
 from graphconvgeo_tpu.ops.dropout import dropout
-from graphconvgeo_tpu.sparse.formats import AttentionEll, SparseGraph
+from graphconvgeo_tpu.sparse.formats import BucketedAttention, SparseGraph
 
 _ACTIVATIONS = {
     "elu": jax.nn.elu,
@@ -113,8 +113,10 @@ class GraphAttentionNet:
             "x": x.bell(),
             "x_t": x.bell_t(),
             # attention uses the adjacency PATTERN only (scores replace Â's
-            # values); self-loops are already present in the normalized csr
-            "att": AttentionEll.from_scipy(adj.csr),
+            # values); self-loops are already present in the normalized csr.
+            # Degree-bucketed layout: plain ELL pads every row to the max
+            # degree, infeasible on power-law mention graphs (hub users).
+            "att": BucketedAttention.from_scipy(adj.csr),
         }
 
     def init(self, key: jax.Array) -> dict:

@@ -21,8 +21,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from graphconvgeo_tpu.ops.spmm import _spmm_ell_train_core
-from graphconvgeo_tpu.sparse.formats import AttentionEll
+import numpy as np
+
+from graphconvgeo_tpu.ops.spmm import _ell_matvec, _spmm_ell_train_core
+from graphconvgeo_tpu.sparse.formats import AttentionEll, BucketedAttention
 
 
 def edge_softmax(scores: jax.Array, valid: jax.Array) -> jax.Array:
@@ -53,8 +55,142 @@ def attention_spmm(att: AttentionEll, alpha: jax.Array, h: jax.Array) -> jax.Arr
     return out[: att.indices.shape[0]]
 
 
+def _ell_matvec_heads(indices: jax.Array, values: jax.Array, h: jax.Array) -> jax.Array:
+    """Multi-head ELL matvec: ONE row-gather pass shared by all heads.
+
+    indices [n, K]; values [n, K, H]; h [M, H·f].
+    out[i, h, :] = Σ_k values[i, k, h] · h[indices[i, k], h·f:(h+1)·f].
+    The gather is the expensive part (PERF.md row-gather wall) — batching
+    heads here is H× fewer gathered bytes than a per-head loop.
+    """
+    n, k, H = values.shape
+    f = h.shape[1] // H
+    chunk = min(max(8, 4096 // max(n, 1)), k)
+    if k % chunk:
+        pad = chunk - k % chunk
+        indices = jnp.pad(indices, ((0, 0), (0, pad)))
+        values = jnp.pad(values, ((0, 0), (0, pad), (0, 0)))
+        k += pad
+    idx_steps = indices.reshape(n, k // chunk, chunk).transpose(1, 0, 2)
+    val_steps = values.reshape(n, k // chunk, chunk, H).transpose(1, 0, 2, 3)
+
+    def one(idx, val):
+        g = h[idx].reshape(n, idx.shape[1], H, f)
+        return jnp.einsum("nch,nchf->nhf", val, g.astype(val.dtype))
+
+    init = one(idx_steps[0], val_steps[0])
+    if idx_steps.shape[0] == 1:
+        return init.reshape(n, H * f)
+    out, _ = jax.lax.scan(
+        lambda acc, iv: (acc + one(*iv), None), init, (idx_steps[1:], val_steps[1:])
+    )
+    return out.reshape(n, H * f)
+
+
+@jax.custom_vjp
+def _attn_bucketed_spmm(att: BucketedAttention, alphas: tuple, h: jax.Array) -> jax.Array:
+    """Multi-head attention aggregation over the bucketed pattern.
+
+    alphas: per-bucket [n_b, K_b, H]; h: [M, H·f]. Returns [n_rows, H·f]
+    (head-concatenated). Differentiable in both alphas (multi-head SDDMM per
+    bucket) and h (transpose-bucket gathers, never a scatter-add)."""
+    return _attn_bucketed_fwd(att, alphas, h)[0]
+
+
+def _attn_bucketed_fwd(att, alphas, h):
+    outs = [_ell_matvec_heads(idx, a, h) for idx, a in zip(att.indices, alphas)]
+    out = jnp.take(jnp.concatenate(outs, axis=0), att.inv_perm, axis=0)
+    return out, (att, alphas, h)
+
+
+def _attn_bucketed_bwd(res, g):
+    att, alphas, h = res
+    H = alphas[0].shape[-1]
+    f = h.shape[1] // H
+    g_sorted = jnp.take(g, att.perm, axis=0)
+    h_heads = h.reshape(h.shape[0], H, f)
+    # dL/dalpha[b][i,k,h] = <g[row_ids[b][i], h·f:], h[indices[b][i,k], h·f:]>
+    dalphas, start = [], 0
+    for idx, valid, a in zip(att.indices, att.valid, alphas):
+        n_b, k_b = idx.shape
+        g_b = jax.lax.dynamic_slice_in_dim(g_sorted, start, n_b, 0)
+        g_b = g_b.reshape(n_b, H, f).astype(a.dtype)
+        nbr = h_heads[idx].astype(a.dtype)  # [n_b, K_b, H, f]
+        dalphas.append(jnp.einsum("nhf,nkhf->nkh", g_b, nbr) * valid[:, :, None])
+        start += n_b
+    # dL/dh = Aᵀ(alpha)·G via the transpose buckets; alpha values arrive by
+    # one flat slot gather (perm_t), cotangent rows restore via inv_perm_c
+    alpha_flat = jnp.concatenate([a.reshape(-1, H) for a in alphas], axis=0)
+    dh_parts = []
+    for idx_t, valid_t, pt in zip(att.indices_t, att.valid_t, att.perm_t):
+        a_t = alpha_flat[pt.reshape(-1)].reshape(*pt.shape, H) * valid_t[:, :, None]
+        dh_parts.append(_ell_matvec_heads(idx_t, a_t, g))
+    dh_sorted = jnp.concatenate(dh_parts, axis=0)
+    dh = jnp.take(dh_sorted, att.inv_perm_c, axis=0).astype(h.dtype)
+    if dh.shape[0] != h.shape[0]:  # pattern columns may undercover h's rows
+        dh = jnp.zeros_like(h).at[: dh.shape[0]].set(dh)
+    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+    def zero_att(a):
+        return BucketedAttention(
+            indices=tuple(f0(i) for i in a.indices),
+            valid=tuple(v * 0.0 for v in a.valid),
+            row_ids=tuple(f0(r) for r in a.row_ids),
+            perm=f0(a.perm),
+            inv_perm=f0(a.inv_perm),
+            indices_t=tuple(f0(i) for i in a.indices_t),
+            valid_t=tuple(v * 0.0 for v in a.valid_t),
+            perm_t=tuple(f0(p) for p in a.perm_t),
+            inv_perm_c=f0(a.inv_perm_c),
+            n_cols=a.n_cols,
+        )
+
+    return (zero_att(att), tuple(dalphas), dh)
+
+
+_attn_bucketed_spmm.defvjp(_attn_bucketed_fwd, _attn_bucketed_bwd)
+
+
+def gat_attention_bucketed(
+    att: BucketedAttention,
+    hw: jax.Array,
+    a_src: jax.Array,
+    a_dst: jax.Array,
+    *,
+    negative_slope: float = 0.2,
+    attn_dropout: float = 0.0,
+    rng: jax.Array | None = None,
+) -> jax.Array:
+    """Multi-head attention over a degree-bucketed pattern: scores, softmax
+    and aggregation all run per bucket (softmax is row-local), so hub rows
+    cost their true degree instead of inflating every row's slot count."""
+    heads, f = a_src.shape
+    hw_heads = hw.reshape(hw.shape[0], heads, f)
+    s = jnp.einsum("nhf,hf->nh", hw_heads[: att.n_rows], a_src)
+    d = jnp.einsum("nhf,hf->nh", hw_heads, a_dst)
+    s_sorted = jnp.take(s, att.perm, axis=0)
+    if attn_dropout > 0.0 and rng is None:
+        raise ValueError("rng required when attn_dropout > 0")
+    alphas, start = [], 0
+    for bi, (idx, valid) in enumerate(zip(att.indices, att.valid)):
+        n_b = idx.shape[0]
+        s_b = jax.lax.dynamic_slice_in_dim(s_sorted, start, n_b, 0)
+        scores = s_b[:, None, :] + d[idx]  # [n_b, K_b, heads]
+        scores = jnp.where(scores >= 0, scores, negative_slope * scores)
+        alpha = edge_softmax(scores, valid[:, :, None])
+        if attn_dropout > 0.0:
+            keep = jax.random.bernoulli(
+                jax.random.fold_in(rng, bi), 1.0 - attn_dropout, alpha.shape
+            )
+            alpha = jnp.where(keep, alpha / (1.0 - attn_dropout), 0.0)
+        alphas.append(alpha)
+        start += n_b
+    # heads are batched inside the aggregation — one gather pass serves all
+    return _attn_bucketed_spmm(att, tuple(alphas), hw)
+
+
 def gat_attention(
-    att: AttentionEll,
+    att,
     hw: jax.Array,
     a_src: jax.Array,
     a_dst: jax.Array,
@@ -69,8 +205,15 @@ def gat_attention(
     (M ≥ att.n_rows; in the distributed setting rows [n_local, M) are the
     received halo). Destination scores ``s`` use the first ``att.n_rows``
     rows; neighbor scores ``d`` and the aggregation read all of hw.
-    Returns [att.n_rows, heads·f] (pre-bias, pre-activation).
+    Returns [att.n_rows, heads·f] (pre-bias, pre-activation). Dispatches to
+    :func:`gat_attention_bucketed` for :class:`BucketedAttention` operands
+    (the scale-robust layout for power-law degree distributions).
     """
+    if isinstance(att, BucketedAttention):
+        return gat_attention_bucketed(
+            att, hw, a_src, a_dst,
+            negative_slope=negative_slope, attn_dropout=attn_dropout, rng=rng,
+        )
     heads, f = a_src.shape
     hw_heads = hw.reshape(hw.shape[0], heads, f)
     s = jnp.einsum("nhf,hf->nh", hw_heads[: att.n_rows], a_src)

@@ -558,6 +558,142 @@ class AttentionEll:
         )
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BucketedAttention:
+    """Degree-bucketed edge-pattern operand for attention layers.
+
+    :class:`AttentionEll` pads every row to the max degree, which is
+    infeasible on power-law mention graphs (a single hub row inflates N·K by
+    orders of magnitude). Here the rows are degree-sorted and split into
+    geometric-width buckets exactly like :class:`BucketedEll`; the edge
+    softmax is row-local, so it runs independently per bucket.
+
+    Forward layout (rows bucketed by out-degree, descending):
+      ``indices``/``valid``: per-bucket [n_b, K_b] column ids + {0,1} mask;
+      ``row_ids``: per-bucket [n_b] global out-row ids;
+      ``perm``/``inv_perm``: [n_rows] sort permutation / restore order.
+    Transpose layout (for the input cotangent Aᵀ·G without a scatter-add;
+    its rows are the forward COLUMNS, bucketed by in-degree):
+      ``indices_t``/``valid_t``: per-bucket [n_tb, K_tb] forward-row ids;
+      ``perm_t``: per-bucket [n_tb, K_tb] int32 — each transpose slot's flat
+      position in the CONCATENATED forward alpha (bucket offsets included),
+      so the transposed values are one cheap gather;
+      ``inv_perm_c``: [n_cols] restore order for the cotangent rows.
+    """
+
+    indices: tuple
+    valid: tuple
+    row_ids: tuple
+    perm: jax.Array
+    inv_perm: jax.Array
+    indices_t: tuple
+    valid_t: tuple
+    perm_t: tuple
+    inv_perm_c: jax.Array
+    n_cols: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_rows(self) -> int:
+        return self.perm.shape[0]
+
+    @property
+    def padded_slots(self) -> int:
+        return sum(int(i.shape[0] * i.shape[1]) for i in self.indices)
+
+    @staticmethod
+    def _bucketize(csr: sp.csr_matrix, carry_data: bool = False):
+        """Degree-bucketed ELL arrays of a pattern. Returns (per-bucket
+        [idx, mask, rows, dat], perm, inv_perm). With ``carry_data``, the
+        csr's data (a per-edge int payload shifted by +1, e.g. flat forward
+        positions) lands in ``dat`` at each edge's slot, minus the shift."""
+        n_rows = csr.shape[0]
+        deg = np.diff(csr.indptr)
+        perm = np.argsort(-deg, kind="stable").astype(np.int32)
+        deg_sorted = deg[perm]
+        widths = bucket_widths(int(deg.max()) if n_rows and deg.max() else 1)
+        buckets = []
+        start = 0
+        for b, k in enumerate(widths):
+            lower = widths[b + 1] if b + 1 < len(widths) else 0
+            end = start + int(np.searchsorted(-deg_sorted[start:], -lower))
+            if b + 1 == len(widths):
+                end = n_rows
+            if end == start:
+                continue
+            rows = perm[start:end]
+            block = csr[rows]
+            bi = np.zeros((end - start, k), dtype=np.int32)
+            bm = np.zeros((end - start, k), dtype=np.float32)
+            bd = np.zeros((end - start, k), dtype=np.int64)
+            bdeg = np.diff(block.indptr)
+            if block.nnz:
+                rr = np.repeat(np.arange(end - start), bdeg)
+                ss = np.arange(block.nnz) - np.repeat(block.indptr[:-1], bdeg)
+                bi[rr, ss] = block.indices
+                bm[rr, ss] = 1.0
+                if carry_data:
+                    bd[rr, ss] = block.data.astype(np.int64) - 1
+            buckets.append((bi, bm, rows.astype(np.int32), bd))
+            start = end
+        if not buckets:
+            buckets = [
+                (
+                    np.zeros((max(n_rows, 1), 1), np.int32),
+                    np.zeros((max(n_rows, 1), 1), np.float32),
+                    np.arange(max(n_rows, 1), dtype=np.int32),
+                    np.zeros((max(n_rows, 1), 1), np.int64),
+                )
+            ]
+        inv_perm = np.empty(n_rows, dtype=np.int32)
+        inv_perm[perm] = np.arange(n_rows, dtype=np.int32)
+        return buckets, perm, inv_perm
+
+    @staticmethod
+    def from_scipy(mat: sp.spmatrix) -> "BucketedAttention":
+        csr = sp.csr_matrix(mat)
+        csr.sort_indices()
+        fwd, perm, inv_perm = BucketedAttention._bucketize(csr)
+        # flat position of every edge in the concatenated forward layout
+        pos_csr = csr.copy()
+        pos_csr.data = np.zeros(csr.nnz, dtype=np.float64)
+        off = 0
+        # recompute per-bucket positions: edge at bucket-local (i, k) sits at
+        # off_b + i*K_b + k of the concatenated alpha
+        deg_full = np.diff(csr.indptr)
+        for bi, bm, rows, _ in fwd:
+            n_b, k_b = bi.shape
+            lens = deg_full[rows]
+            nnz_b = int(lens.sum())
+            if nnz_b:
+                rr = np.repeat(np.arange(n_b), lens)
+                local = np.arange(nnz_b) - np.repeat(np.cumsum(lens) - lens, lens)
+                flat = off + rr.astype(np.int64) * k_b + local
+                # scatter back into csr.data order for these rows
+                edge_ids = np.repeat(csr.indptr[rows].astype(np.int64), lens) + local
+                pos_csr.data[edge_ids] = flat.astype(np.float64)
+            off += n_b * k_b
+        # transpose carries each edge's forward position (shift by +1 so
+        # explicit zeros survive the sparse transpose)
+        csr_t = sp.csr_matrix(
+            (pos_csr.data + 1.0, csr.indices, csr.indptr), shape=csr.shape
+        ).T.tocsr()
+        csr_t.sort_indices()
+        tr, _, inv_perm_c = BucketedAttention._bucketize(csr_t, carry_data=True)
+        return BucketedAttention(
+            indices=tuple(jnp.asarray(b[0]) for b in fwd),
+            valid=tuple(jnp.asarray(b[1]) for b in fwd),
+            row_ids=tuple(jnp.asarray(b[2]) for b in fwd),
+            perm=jnp.asarray(perm),
+            inv_perm=jnp.asarray(inv_perm),
+            indices_t=tuple(jnp.asarray(b[0]) for b in tr),
+            valid_t=tuple(jnp.asarray(b[1]) for b in tr),
+            perm_t=tuple(jnp.asarray(b[3].astype(np.int32)) for b in tr),
+            inv_perm_c=jnp.asarray(inv_perm_c),
+            n_cols=csr.shape[1],
+        )
+
+
 def split_dense_tiles(
     csr: sp.csr_matrix, *, block: int = 128, min_tile_nnz: int = 96
 ) -> tuple:

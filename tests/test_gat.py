@@ -218,3 +218,63 @@ def test_gat_trains_on_synthetic(tmp_path):
     )
     assert metrics["acc_at_161"] > 0.7, metrics
     assert metrics["median_km"] < 161, metrics
+
+
+# ---------- bucketed attention layout (scale-robust GAT) --------------------
+
+
+def test_bucketed_attention_matches_ell_path(rng):
+    """Same graph, same params: the degree-bucketed layout must reproduce the
+    plain AttentionEll attention exactly (forward AND input gradient)."""
+    from graphconvgeo_tpu.ops.attention import gat_attention
+    from graphconvgeo_tpu.sparse.formats import BucketedAttention
+
+    n, heads, f = 40, 2, 6
+    # skewed: one hub row with ~n/2 neighbors on top of a sparse base
+    a = random_csr(rng, n, n, 3, empty_rows=True)
+    hub_cols = rng.choice(n, n // 2, replace=False)
+    a = a.tolil()
+    a[0, hub_cols] = 1.0
+    a = a.tocsr()
+    a.data[:] = 1.0
+    att_e = AttentionEll.from_scipy(a)
+    att_b = BucketedAttention.from_scipy(a)
+    # bucketed slots must beat max-degree ELL padding on this skew
+    assert att_b.padded_slots < att_e.indices.size
+    hw = jnp.asarray(rng.normal(size=(n, heads * f)).astype(np.float32))
+    a_src = jnp.asarray(rng.normal(size=(heads, f)).astype(np.float32))
+    a_dst = jnp.asarray(rng.normal(size=(heads, f)).astype(np.float32))
+
+    def out_e(hw_):
+        return gat_attention(att_e, hw_, a_src, a_dst)
+
+    def out_b(hw_):
+        return gat_attention(att_b, hw_, a_src, a_dst)
+
+    np.testing.assert_allclose(np.asarray(out_b(hw)), np.asarray(out_e(hw)), rtol=2e-5, atol=2e-5)
+    w = jnp.asarray(rng.normal(size=(n, heads * f)).astype(np.float32))
+    g_e = jax.grad(lambda x: jnp.sum(out_e(x) * w))(hw)
+    g_b = jax.grad(lambda x: jnp.sum(out_b(x) * w))(hw)
+    np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_e), rtol=2e-4, atol=2e-4)
+
+
+def test_bucketed_attention_grad_check(rng):
+    """Finite-difference check through the bucketed custom VJP (both the
+    alpha/SDDMM and the transpose-gather dh paths)."""
+    from jax.test_util import check_grads
+
+    from graphconvgeo_tpu.ops.attention import gat_attention_bucketed
+    from graphconvgeo_tpu.sparse.formats import BucketedAttention
+
+    n, heads, f = 18, 2, 4
+    a = random_csr(rng, n, n, 3, empty_rows=True)
+    a.data[:] = 1.0
+    att = BucketedAttention.from_scipy(a)
+    hw = jnp.asarray(rng.normal(size=(n, heads * f)).astype(np.float32))
+    a_src = jnp.asarray(rng.normal(size=(heads, f)).astype(np.float32) * 0.3)
+    a_dst = jnp.asarray(rng.normal(size=(heads, f)).astype(np.float32) * 0.3)
+
+    def loss(hw_, a_src_, a_dst_):
+        return jnp.sum(gat_attention_bucketed(att, hw_, a_src_, a_dst_) ** 2)
+
+    check_grads(loss, (hw, a_src, a_dst), order=1, modes=["rev"], rtol=2e-2, atol=1e-3)
