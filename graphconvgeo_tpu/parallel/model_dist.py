@@ -43,6 +43,7 @@ from graphconvgeo_tpu.parallel.spmm_dist import (
     local_spmm_allgather,
     local_spmm_halo,
     local_spmm_halo_bsr,
+    local_spmm_halo_ring,
 )
 
 
@@ -65,10 +66,16 @@ class DistHighwayGCN:
         halo: str = "auto",
         local_backend: str = "auto",
         dist_format: str = "bell",
+        halo_mode: str = "alltoall",
     ):
         """halo: 'auto' | 'on' | 'off'. 'on' exchanges only boundary rows via
         all-to-all (partition.build_halo); 'off' all-gathers every feature
         row. 'auto' picks halo when it moves less data.
+
+        halo_mode: 'alltoall' (one collective, then one remote SpMM) |
+        'ring' (D−1 neighbor ppermutes with interleaved per-peer partial
+        SpMMs — the ring-attention-style overlap; see
+        ``spmm_dist.local_spmm_halo_ring``).
 
         local_backend: 'auto' | 'bsr' | 'bell' — 'bsr' runs each device's
         local dense tiles through the Pallas MXU kernel (needs
@@ -81,6 +88,7 @@ class DistHighwayGCN:
         self.part = part
         self.mesh = mesh
         self.dist_format = dist_format
+        self.halo_mode = halo_mode
         shard3 = NamedSharding(mesh, P(GRAPH_AXIS, None, None))
         shard1 = NamedSharding(mesh, P(GRAPH_AXIS))
 
@@ -95,8 +103,14 @@ class DistHighwayGCN:
         self.halo = None
         use_halo = halo in ("on", "auto")
         if use_halo:
+            if halo_mode == "ring" and local_backend == "bsr":
+                raise ValueError("halo_mode='ring' composes with local_backend='bell' only")
             if local_backend == "auto":
-                local_backend = "bsr" if part.rows_per_device % 256 == 0 else "bell"
+                local_backend = (
+                    "bsr"
+                    if part.rows_per_device % 256 == 0 and halo_mode != "ring"
+                    else "bell"
+                )
             hx = build_halo(part, local_backend=local_backend)
             if halo == "auto" and hx.halo_fraction >= 1.0:
                 use_halo = False  # boundary as big as the graph — gather wins
@@ -105,6 +119,9 @@ class DistHighwayGCN:
         if self.halo is not None:
             for k, op in hx.operands(dist_format).items():
                 self.data[k] = put(op)
+            if halo_mode == "ring":
+                for k, op in hx.ring_operands(dist_format).items():
+                    self.data[k] = put(op)
             # send_idx [src, dst, slot] sharded over src: each device holds
             # the [D_dst, h_max] table of its own rows to ship per peer
             self.data["send_idx"] = jax.device_put(jnp.asarray(hx.send_idx), shard3)
@@ -163,7 +180,7 @@ class DistHighwayGCN:
         if self.halo is not None:
             op_keys = ("al", "alt", "ar", "art")
             ops = tuple(data[k] for k in op_keys)
-            if self.halo.bsr_tiles is not None:
+            if self.halo.bsr_tiles is not None and self.halo_mode != "ring":
                 block = self.halo.block
 
                 def body(h, al, alt, ar, art, sidx, tiles, rblk, cblk, first):
@@ -184,6 +201,24 @@ class DistHighwayGCN:
                     in_specs=(P(GRAPH_AXIS, None),) + tuple(_op_specs(a) for a in args),
                     out_specs=P(GRAPH_AXIS, None),
                     check_vma=False,
+                )(hw, *args)
+
+            if self.halo_mode == "ring":
+                d_n = self.part.n_devices
+
+                def body(h, al, alt, arp, artp, sidx):
+                    return local_spmm_halo_ring(
+                        h, device_slice(al), device_slice(alt), device_slice(arp),
+                        device_slice(artp), sidx[0], n_devices=d_n,
+                    )
+
+                args = (data["al"], data["alt"], data["arp"], data["artp"],
+                        data["send_idx"])
+                return shard_map(
+                    body,
+                    mesh=self.mesh,
+                    in_specs=(P(GRAPH_AXIS, None),) + tuple(_op_specs(a) for a in args),
+                    out_specs=P(GRAPH_AXIS, None),
                 )(hw, *args)
 
             def body(h, al, alt, ar, art, sidx):

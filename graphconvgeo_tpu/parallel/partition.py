@@ -304,6 +304,33 @@ class HaloExchange:
             }
         return self._ops[fmt]
 
+    def ring_operands(self, fmt: str = "bell") -> dict:
+        """{'arp', 'artp'} PER-SOURCE-PEER remote operands for the ring halo
+        (leaves [D, D_src, …]): device d's remote block is split by which
+        peer owns the columns, so each ring step multiplies only the block
+        of the peer whose rows just arrived. Column segment s of the
+        all-to-all layout ([s·h_max, (s+1)·h_max)) IS peer s's rows, so the
+        split is a column slice."""
+        key = ("ring", fmt)
+        if key not in self._ops:
+            d_n = self.send_idx.shape[0]
+            per, per_t = [], []
+            for d in range(d_n):
+                rb = self.remote_blocks[d].tocsc()
+                for s in range(d_n):
+                    blk = rb[:, s * self.h_max : (s + 1) * self.h_max].tocsr()
+                    per.append(blk)
+                    per_t.append(blk.T.tocsr())
+
+            def stack2(blocks):
+                op = stack_operand(blocks, fmt)
+                return jax.tree.map(
+                    lambda a: np.asarray(a).reshape(d_n, d_n, *np.shape(a)[1:]), op
+                )
+
+            self._ops[key] = {"arp": stack2(per), "artp": stack2(per_t)}
+        return self._ops[key]
+
     @property
     def halo_fraction(self) -> float:
         """Halo rows exchanged / rows all_gather would move (v1 baseline)."""

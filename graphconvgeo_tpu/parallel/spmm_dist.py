@@ -111,6 +111,51 @@ def local_spmm_halo(
     return out_local + out_remote
 
 
+def local_spmm_halo_ring(
+    h_local,
+    al_op, alt_op, arp_op, artp_op,
+    send_idx,
+    *,
+    n_devices: int,
+    axis: str = GRAPH_AXIS,
+):
+    """Per-device body with a RING boundary exchange — the GNN analog of
+    ring attention's compute/communication overlap (SURVEY §7 hard part #2).
+
+    Instead of one all-to-all followed by one remote SpMM over the whole
+    halo, the exchange is unrolled into D−1 ``ppermute`` steps: step s ships
+    each device's rows for peer (d+s) a shift of s around the ring, and the
+    partial SpMM against the JUST-ARRIVED peer's operand block runs while
+    the next step's permute is in flight (the permutes form an independent
+    chain, so XLA's async-collective scheduler overlaps them with the
+    per-step compute). On a mesh whose ring rides ICI neighbors, every step
+    is a neighbor exchange of h_max rows — no bisection-bandwidth all-to-all.
+
+    arp_op/artp_op: per-source-peer remote operands, leaves [D_src, …]
+    (``HaloExchange.ring_operands``). Backward is the transpose program:
+    reversed permutes, transpose partial SpMMs, scatter-add onto h_local.
+    """
+    out = _spmm_op_core(al_op, alt_op, h_local)
+    if n_devices == 1:
+        return out
+    d_idx = jax.lax.axis_index(axis)
+
+    def peer_op(op, s):
+        return jax.tree.map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, s, 0, keepdims=False), op
+        )
+
+    for s in range(1, n_devices):
+        dst = jax.lax.rem(d_idx + s, n_devices)
+        rows = jax.lax.dynamic_index_in_dim(send_idx, dst, 0, keepdims=False)
+        x = jnp.take(h_local, rows, axis=0)  # [h_max, F] for peer d+s
+        perm = [(i, (i + s) % n_devices) for i in range(n_devices)]
+        recv = jax.lax.ppermute(x, axis, perm)  # arrives from peer d−s
+        src = jax.lax.rem(d_idx - s + n_devices, n_devices)
+        out = out + _spmm_op_core(peer_op(arp_op, src), peer_op(artp_op, src), recv)
+    return out
+
+
 def local_spmm_halo_bsr(
     h_local,
     al_op, alt_op, ar_op, art_op,

@@ -320,3 +320,28 @@ def test_dist_gat_train_step_learns(rng, mesh):
         params, opt_state, loss = step(params, opt_state, sk)
         losses.append(float(loss))
     assert losses[-1] < losses[0] and np.isfinite(losses).all()
+
+
+def test_ring_halo_matches_single(rng, mesh):
+    """Ring (ppermute-chain) halo: forward logits AND parameter gradients
+    must match the single-chip model exactly — same contract as the
+    all-to-all halo, different collective schedule."""
+    a_hat, x, y, mask, cfg = _mk_problem(rng, n=112)
+    n = a_hat.shape[0]
+    part = partition_rows(a_hat, x, y, mask, 8)
+    single = HighwayGCN(cfg, SparseGraph(csr=x), SparseGraph(csr=a_hat, symmetric=True))
+    params = single.init(jax.random.key(6))
+    logits_single = np.asarray(single.apply(params, train=False))
+    loss_s, grads_s = jax.value_and_grad(
+        lambda p: single.loss(p, jnp.asarray(y), jnp.asarray(mask), train=False)
+    )(params)
+
+    dist = DistHighwayGCN(cfg, part, mesh, halo="on", halo_mode="ring")
+    assert dist.halo is not None and "arp" in dist.data
+    dparams = jax.device_put(params, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+    logits = np.asarray(jax.jit(lambda p: dist.apply(p, train=False))(dparams))
+    np.testing.assert_allclose(logits[:n], logits_single, rtol=2e-4, atol=2e-5)
+    loss_d, grads_d = jax.jit(jax.value_and_grad(lambda p: dist.loss(p, train=False)))(dparams)
+    np.testing.assert_allclose(float(loss_d), float(loss_s), rtol=1e-5)
+    for gs, gd in zip(jax.tree.leaves(grads_s), jax.tree.leaves(grads_d)):
+        np.testing.assert_allclose(np.asarray(gd), np.asarray(gs), rtol=5e-4, atol=1e-5)
