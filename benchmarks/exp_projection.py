@@ -23,7 +23,7 @@ g = SparseGraph(csr=a_hat, symmetric=True)
 fmt, fmt_t = device_operands(g, "hybrid")
 bsr_p, resid = fmt
 if bsr_p is not None:
-    n_tiles = bsr_p.tiles.shape[0] - 1
+    n_tiles = bsr_p.tiles.shape[0]  # BsrFlat: no reserved zero tile
     print("bsr tiles:", n_tiles, "fill:", bsr_p.density_stats()["tile_fill"], flush=True)
 print("residual type:", type(resid).__name__, flush=True)
 if isinstance(resid, CachedBell):

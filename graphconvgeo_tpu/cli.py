@@ -133,6 +133,8 @@ def run_one(args, ds, *, dropout=None, l2=None, hidden=None, lr=None, quiet=None
             dropout=args.dropout if dropout is None else dropout,
             attn_dropout=args.attn_dropout,
             l2=args.l2 if l2 is None else l2,
+            gather_dtype=args.gather_dtype,
+            input_hot_cache=args.input_cache,
         )
         model = GraphAttentionNet(cfg, x_graph, adj_graph)
     else:

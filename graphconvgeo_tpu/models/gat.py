@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from graphconvgeo_tpu.models.gcn import l2_penalty, sparse_input_layer
 from graphconvgeo_tpu.ops.attention import gat_layer
 from graphconvgeo_tpu.ops.dropout import dropout
-from graphconvgeo_tpu.sparse.formats import BucketedAttention, SparseGraph
+from graphconvgeo_tpu.sparse.formats import BucketedAttention, CachedBell, SparseGraph
 
 _ACTIVATIONS = {
     "elu": jax.nn.elu,
@@ -56,6 +56,9 @@ class GATConfig:
     dtype: str = "float32"
     gather_dtype: Optional[str] = None
     remat: bool = False  # rematerialize each attention layer in the backward
+    # opt-in hot-column cache for the BoW input layer (see
+    # GCNConfig.input_hot_cache for the measured guidance — shared layer)
+    input_hot_cache: bool = False
 
     def __post_init__(self):
         for h in self.hidden:
@@ -109,9 +112,10 @@ class GraphAttentionNet:
         self.x = x
         self.adj = adj
         self._dtype = jnp.dtype(cfg.dtype)
+        x_cached = CachedBell.from_scipy(x.csr) if cfg.input_hot_cache else None
         self.arrays = {
-            "x": x.bell(),
-            "x_t": x.bell_t(),
+            "x": x_cached if x_cached is not None else x.bell(),
+            "x_t": None if x_cached is not None else x.bell_t(),
             # attention uses the adjacency PATTERN only (scores replace Â's
             # values); self-loops are already present in the normalized csr.
             # Degree-bucketed layout: plain ELL pads every row to the max

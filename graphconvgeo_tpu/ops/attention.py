@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 import numpy as np
 
-from graphconvgeo_tpu.ops.spmm import _ell_matvec, _spmm_ell_train_core
+from graphconvgeo_tpu.ops.spmm import _spmm_ell_train_core
 from graphconvgeo_tpu.sparse.formats import AttentionEll, BucketedAttention
 
 

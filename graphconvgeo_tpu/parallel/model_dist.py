@@ -102,6 +102,8 @@ class DistHighwayGCN:
         }
         self.halo = None
         use_halo = halo in ("on", "auto")
+        if halo_mode not in ("alltoall", "ring"):
+            raise ValueError(f"halo_mode must be 'alltoall' or 'ring', got {halo_mode!r}")
         if use_halo:
             if halo_mode == "ring" and local_backend == "bsr":
                 raise ValueError("halo_mode='ring' composes with local_backend='bell' only")
@@ -117,7 +119,10 @@ class DistHighwayGCN:
             else:
                 self.halo = hx
         if self.halo is not None:
-            for k, op in hx.operands(dist_format).items():
+            # ring mode replaces the monolithic remote operands (ar/art) with
+            # the per-peer ones — don't build or device_put what it never reads
+            keys = ("al", "alt") if halo_mode == "ring" else ("al", "alt", "ar", "art")
+            for k, op in hx.operands(dist_format, keys=keys).items():
                 self.data[k] = put(op)
             if halo_mode == "ring":
                 for k, op in hx.ring_operands(dist_format).items():
@@ -178,9 +183,26 @@ class DistHighwayGCN:
 
     def _conv(self, hw, data):
         if self.halo is not None:
+            if self.halo_mode == "ring":
+                d_n = self.part.n_devices
+
+                def body(h, al, alt, arp, artp, sidx):
+                    return local_spmm_halo_ring(
+                        h, device_slice(al), device_slice(alt), device_slice(arp),
+                        device_slice(artp), sidx[0], n_devices=d_n,
+                    )
+
+                args = (data["al"], data["alt"], data["arp"], data["artp"],
+                        data["send_idx"])
+                return shard_map(
+                    body,
+                    mesh=self.mesh,
+                    in_specs=(P(GRAPH_AXIS, None),) + tuple(_op_specs(a) for a in args),
+                    out_specs=P(GRAPH_AXIS, None),
+                )(hw, *args)
             op_keys = ("al", "alt", "ar", "art")
             ops = tuple(data[k] for k in op_keys)
-            if self.halo.bsr_tiles is not None and self.halo_mode != "ring":
+            if self.halo.bsr_tiles is not None:
                 block = self.halo.block
 
                 def body(h, al, alt, ar, art, sidx, tiles, rblk, cblk, first):
@@ -201,24 +223,6 @@ class DistHighwayGCN:
                     in_specs=(P(GRAPH_AXIS, None),) + tuple(_op_specs(a) for a in args),
                     out_specs=P(GRAPH_AXIS, None),
                     check_vma=False,
-                )(hw, *args)
-
-            if self.halo_mode == "ring":
-                d_n = self.part.n_devices
-
-                def body(h, al, alt, arp, artp, sidx):
-                    return local_spmm_halo_ring(
-                        h, device_slice(al), device_slice(alt), device_slice(arp),
-                        device_slice(artp), sidx[0], n_devices=d_n,
-                    )
-
-                args = (data["al"], data["alt"], data["arp"], data["artp"],
-                        data["send_idx"])
-                return shard_map(
-                    body,
-                    mesh=self.mesh,
-                    in_specs=(P(GRAPH_AXIS, None),) + tuple(_op_specs(a) for a in args),
-                    out_specs=P(GRAPH_AXIS, None),
                 )(hw, *args)
 
             def body(h, al, alt, ar, art, sidx):

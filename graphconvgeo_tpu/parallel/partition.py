@@ -108,7 +108,7 @@ class StackedBell:
         n_rows = blocks[0].shape[0]
         degs = [np.diff(b.indptr) for b in blocks]
         gmax = max((int(d.max()) if d.size and d.max() else 1) for d in degs)
-        widths = bucket_widths(gmax, np.concatenate(degs))  # cost-pruned ladder
+        widths = bucket_widths(gmax)  # shared descending ladder (formats.py)
         n_b = len(widths)
         d_n = len(blocks)
         orders, cuts = [], []
@@ -293,16 +293,20 @@ class HaloExchange:
     block: int = 0
     _ops: dict = dataclasses.field(default_factory=dict, repr=False)
 
-    def operands(self, fmt: str = "bell") -> dict:
-        """{'al', 'alt', 'ar', 'art'} device operands (built on first use)."""
-        if fmt not in self._ops:
-            self._ops[fmt] = {
-                "al": stack_operand(self.local_blocks, fmt),
-                "alt": stack_operand([b.T.tocsr() for b in self.local_blocks], fmt),
-                "ar": stack_operand(self.remote_blocks, fmt),
-                "art": stack_operand([b.T.tocsr() for b in self.remote_blocks], fmt),
-            }
-        return self._ops[fmt]
+    def operands(self, fmt: str = "bell", keys=("al", "alt", "ar", "art")) -> dict:
+        """Device operands, built lazily PER KEY (ring mode never needs the
+        monolithic remote pair 'ar'/'art' — see :meth:`ring_operands`)."""
+        blocks = {
+            "al": lambda: self.local_blocks,
+            "alt": lambda: [b.T.tocsr() for b in self.local_blocks],
+            "ar": lambda: self.remote_blocks,
+            "art": lambda: [b.T.tocsr() for b in self.remote_blocks],
+        }
+        built = self._ops.setdefault(fmt, {})
+        for k in keys:
+            if k not in built:
+                built[k] = stack_operand(blocks[k](), fmt)
+        return {k: built[k] for k in keys}
 
     def ring_operands(self, fmt: str = "bell") -> dict:
         """{'arp', 'artp'} PER-SOURCE-PEER remote operands for the ring halo

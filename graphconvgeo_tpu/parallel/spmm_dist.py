@@ -126,10 +126,13 @@ def local_spmm_halo_ring(
     halo, the exchange is unrolled into D−1 ``ppermute`` steps: step s ships
     each device's rows for peer (d+s) a shift of s around the ring, and the
     partial SpMM against the JUST-ARRIVED peer's operand block runs while
-    the next step's permute is in flight (the permutes form an independent
-    chain, so XLA's async-collective scheduler overlaps them with the
-    per-step compute). On a mesh whose ring rides ICI neighbors, every step
-    is a neighbor exchange of h_max rows — no bisection-bandwidth all-to-all.
+    the next step's permute is in flight (the permutes are mutually
+    independent, so XLA's async-collective scheduler can overlap them with
+    the per-step compute). Total link traffic is the same as the all-to-all
+    — a shift-by-s permute is an s-hop transfer, and all-to-all volume is
+    bisection-limited on any ring — so the win is the SCHEDULE: D−1 small
+    pipelined transfers hiding behind compute instead of one monolithic
+    collective the whole remote product must wait on.
 
     arp_op/artp_op: per-source-peer remote operands, leaves [D_src, …]
     (``HaloExchange.ring_operands``). Backward is the transpose program:

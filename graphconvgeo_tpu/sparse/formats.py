@@ -39,16 +39,16 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def bucket_widths(max_deg: int, deg: Optional[np.ndarray] = None) -> list:
+def bucket_widths(max_deg: int) -> list:
     """Descending degree-bucket width ladder: powers of two down to 1.
 
-    Measured alternatives (bench residual, PERF.md 2026-08-18): a finer
-    ladder with exact small widths (1,2,3,4,5,6,8,…) cuts padded slots 18%
-    but runs 20% SLOWER — each additional bucket op costs ~1.8 ms per SpMM
-    application (≈110k slots at the 16 ns/slot gather rate), so geometric
-    spacing is the right density. Width 1 matters: degree-0/1 rows dominate
-    mention-graph residuals and previously burned two slots each (344 vs
-    289 M edges/s). ``deg`` is accepted for future cost-model use.
+    Measured alternatives (bench residual, PERF.md 2026-08-18 follow-up): a
+    finer ladder with exact small widths (1,2,3,4,5,6,8,…) cuts padded slots
+    18% but runs ~10% SLOWER — each additional bucket op costs ~1.8 ms per
+    SpMM application (≈110k slots at the 16 ns/slot gather rate), so
+    geometric spacing is the right density. Width 1 matters: degree-0/1 rows
+    dominate mention-graph residuals and previously burned two slots each
+    (stable bench 289 → 299 M edges/s).
     """
     max_deg = max(int(max_deg), 1)
     widths = [1]
@@ -373,7 +373,7 @@ class BucketedEll:
         perm = np.argsort(-deg, kind="stable").astype(np.int32)
         deg_sorted = deg[perm]
         # descending width ladder ≥ max degree (rows sorted descending)
-        widths = bucket_widths(int(deg.max()) if n_rows and deg.max() else 1, deg)
+        widths = bucket_widths(int(deg.max()) if n_rows and deg.max() else 1)
         indices, values, row_ids = [], [], []
         start = 0
         for b, k in enumerate(widths):
@@ -604,16 +604,20 @@ class BucketedAttention:
     @staticmethod
     def _bucketize(csr: sp.csr_matrix, carry_data: bool = False):
         """Degree-bucketed ELL arrays of a pattern. Returns (per-bucket
-        [idx, mask, rows, dat], perm, inv_perm). With ``carry_data``, the
-        csr's data (a per-edge int payload shifted by +1, e.g. flat forward
-        positions) lands in ``dat`` at each edge's slot, minus the shift."""
+        [idx, mask, rows, dat], perm, inv_perm, pos) where ``pos`` maps each
+        csr edge (in csr data order) to its flat slot position in the
+        concatenated per-bucket layout — what the transpose needs to gather
+        forward values. With ``carry_data``, the csr's data (a per-edge int
+        payload shifted by +1 so explicit zeros survive a sparse transpose)
+        lands in ``dat`` at each edge's slot, minus the shift."""
         n_rows = csr.shape[0]
         deg = np.diff(csr.indptr)
         perm = np.argsort(-deg, kind="stable").astype(np.int32)
         deg_sorted = deg[perm]
         widths = bucket_widths(int(deg.max()) if n_rows and deg.max() else 1)
         buckets = []
-        start = 0
+        pos = np.zeros(csr.nnz, dtype=np.int64)
+        start, off = 0, 0
         for b, k in enumerate(widths):
             lower = widths[b + 1] if b + 1 < len(widths) else 0
             end = start + int(np.searchsorted(-deg_sorted[start:], -lower))
@@ -634,8 +638,11 @@ class BucketedAttention:
                 bm[rr, ss] = 1.0
                 if carry_data:
                     bd[rr, ss] = block.data.astype(np.int64) - 1
+                edge_ids = np.repeat(csr.indptr[rows].astype(np.int64), bdeg) + ss
+                pos[edge_ids] = off + rr.astype(np.int64) * k + ss
             buckets.append((bi, bm, rows.astype(np.int32), bd))
             start = end
+            off += bi.shape[0] * k
         if not buckets:
             buckets = [
                 (
@@ -647,39 +654,20 @@ class BucketedAttention:
             ]
         inv_perm = np.empty(n_rows, dtype=np.int32)
         inv_perm[perm] = np.arange(n_rows, dtype=np.int32)
-        return buckets, perm, inv_perm
+        return buckets, perm, inv_perm, pos
 
     @staticmethod
     def from_scipy(mat: sp.spmatrix) -> "BucketedAttention":
         csr = sp.csr_matrix(mat)
         csr.sort_indices()
-        fwd, perm, inv_perm = BucketedAttention._bucketize(csr)
-        # flat position of every edge in the concatenated forward layout
-        pos_csr = csr.copy()
-        pos_csr.data = np.zeros(csr.nnz, dtype=np.float64)
-        off = 0
-        # recompute per-bucket positions: edge at bucket-local (i, k) sits at
-        # off_b + i*K_b + k of the concatenated alpha
-        deg_full = np.diff(csr.indptr)
-        for bi, bm, rows, _ in fwd:
-            n_b, k_b = bi.shape
-            lens = deg_full[rows]
-            nnz_b = int(lens.sum())
-            if nnz_b:
-                rr = np.repeat(np.arange(n_b), lens)
-                local = np.arange(nnz_b) - np.repeat(np.cumsum(lens) - lens, lens)
-                flat = off + rr.astype(np.int64) * k_b + local
-                # scatter back into csr.data order for these rows
-                edge_ids = np.repeat(csr.indptr[rows].astype(np.int64), lens) + local
-                pos_csr.data[edge_ids] = flat.astype(np.float64)
-            off += n_b * k_b
-        # transpose carries each edge's forward position (shift by +1 so
+        fwd, perm, inv_perm, pos = BucketedAttention._bucketize(csr)
+        # transpose carries each edge's forward flat position (shift by +1 so
         # explicit zeros survive the sparse transpose)
         csr_t = sp.csr_matrix(
-            (pos_csr.data + 1.0, csr.indices, csr.indptr), shape=csr.shape
+            (pos.astype(np.float64) + 1.0, csr.indices, csr.indptr), shape=csr.shape
         ).T.tocsr()
         csr_t.sort_indices()
-        tr, _, inv_perm_c = BucketedAttention._bucketize(csr_t, carry_data=True)
+        tr, _, inv_perm_c, _ = BucketedAttention._bucketize(csr_t, carry_data=True)
         return BucketedAttention(
             indices=tuple(jnp.asarray(b[0]) for b in fwd),
             valid=tuple(jnp.asarray(b[1]) for b in fwd),
