@@ -60,6 +60,10 @@ def parse_args(argv=None):
     p.add_argument("--patience", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--backend", default="auto", help="spmm backend: auto|bell|ell|bsr|hybrid")
+    p.add_argument("--adjacency", choices=("materialized", "factorized"), default="materialized",
+                   help="factorized keeps Â as B'B'ᵀ + corrections over the "
+                        "user×hub mention incidence — device cost ∝ #mentions "
+                        "instead of #projected-edges (GCN only)")
     p.add_argument("--gather-dtype", default=None, choices=[None, "bfloat16", "float32"],
                    help="cast dtype for SpMM row gathers (bfloat16 halves gather "
                         "table bytes; accumulation stays float32)")
@@ -123,7 +127,10 @@ def run_one(args, ds, *, dropout=None, l2=None, hidden=None, lr=None, quiet=None
     from graphconvgeo_tpu.train.trainer import TrainConfig, Trainer
 
     x_graph = SparseGraph(csr=ds.x)
-    adj_graph = SparseGraph(csr=ds.adj, symmetric=True)
+    if args.adjacency == "factorized" and args.model == "gcn":
+        adj_graph = ds.factorized_adjacency()
+    else:
+        adj_graph = SparseGraph(csr=ds.adj, symmetric=True)
     if args.model == "gat":
         cfg = GATConfig(
             n_features=ds.x.shape[1],

@@ -37,14 +37,22 @@ def extract_mentions(text: str) -> list:
     return [m[1:].lower() for m in MENTION_RE.findall(text)]
 
 
-def build_mention_adjacency(
+def mention_structure(
     users: Sequence[str],
     texts: Iterable[str],
     *,
     celebrity_threshold: int = 5,
     include_direct_mentions: bool = True,
-) -> sp.csr_matrix:
-    """Symmetric unweighted adjacency over ``users`` (in the given order)."""
+) -> tuple:
+    """The bipartite mention structure BEFORE projection.
+
+    Returns ``(groups, direct_src, direct_dst)`` — the shared-neighbor groups
+    (hub → dataset-user ids, celebrities removed) and the direct user→user
+    mention edges. ``build_mention_adjacency`` materializes the projection of
+    this structure; :class:`~graphconvgeo_tpu.sparse.factorized.
+    FactorizedAdjacency` consumes it directly, skipping materialization on
+    the device entirely.
+    """
     n = len(users)
     uid = {u: i for i, u in enumerate(users)}
 
@@ -84,6 +92,28 @@ def build_mention_adjacency(
     for c, nbrs in user_neighbors.items():
         if len(nbrs) >= 2:
             groups[("u", c)] = sorted(nbrs)
+    return (
+        groups,
+        np.asarray(direct_src, np.int64),
+        np.asarray(direct_dst, np.int64),
+    )
+
+
+def build_mention_adjacency(
+    users: Sequence[str],
+    texts: Iterable[str],
+    *,
+    celebrity_threshold: int = 5,
+    include_direct_mentions: bool = True,
+) -> sp.csr_matrix:
+    """Symmetric unweighted adjacency over ``users`` (in the given order)."""
+    n = len(users)
+    groups, direct_src, direct_dst = mention_structure(
+        users,
+        texts,
+        celebrity_threshold=celebrity_threshold,
+        include_direct_mentions=include_direct_mentions,
+    )
 
     # projection: clique over users sharing a mention-graph neighbor
     try:
@@ -93,8 +123,8 @@ def build_mention_adjacency(
     except Exception:
         proj_src, proj_dst = _project_py(groups)
 
-    src = np.concatenate([np.asarray(direct_src, np.int64), proj_src])
-    dst = np.concatenate([np.asarray(direct_dst, np.int64), proj_dst])
+    src = np.concatenate([direct_src, proj_src])
+    dst = np.concatenate([direct_dst, proj_dst])
     data = np.ones(src.shape[0], dtype=np.float32)
     a = sp.coo_matrix((data, (src, dst)), shape=(n, n)).tocsr()
     a = a + a.T  # symmetrize

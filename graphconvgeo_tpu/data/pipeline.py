@@ -19,12 +19,13 @@ import numpy as np
 import scipy.sparse as sp
 
 from graphconvgeo_tpu.data.features import TfidfConfig, build_features
-from graphconvgeo_tpu.data.graph import build_mention_adjacency
+from graphconvgeo_tpu.data.graph import mention_structure
 from graphconvgeo_tpu.data.kdtree import KDTreeDiscretizer
 from graphconvgeo_tpu.data.loader import RawDataset, load_dumps
+from graphconvgeo_tpu.sparse.factorized import materialize_projection
 from graphconvgeo_tpu.sparse.formats import normalize_adjacency
 
-CACHE_VERSION = 1
+CACHE_VERSION = 2
 
 
 @dataclasses.dataclass
@@ -62,6 +63,13 @@ class Dataset:
     lon: np.ndarray
     class_lat_median: np.ndarray
     class_lon_median: np.ndarray
+    # the pre-projection mention structure (ragged groups flattened to
+    # offsets/members + direct-mention edges) — lets consumers build the
+    # FACTORIZED adjacency operator instead of the materialized Â
+    groups_offsets: Optional[np.ndarray] = None  # [n_groups + 1] int64
+    groups_members: Optional[np.ndarray] = None  # [sum sizes] int64
+    direct_src: Optional[np.ndarray] = None  # [n_direct] int64
+    direct_dst: Optional[np.ndarray] = None
 
     @property
     def n_nodes(self) -> int:
@@ -71,16 +79,39 @@ class Dataset:
     def n_classes(self) -> int:
         return len(self.class_lat_median)
 
+    def factorized_adjacency(self):
+        """Â as a :class:`FactorizedAdjacency` (device cost ∝ #mentions, not
+        #projected-edges). Requires the mention structure (present for
+        pipeline-preprocessed datasets; None for hand-built ones)."""
+        from graphconvgeo_tpu.sparse.factorized import FactorizedAdjacency
+
+        if self.groups_offsets is None or len(self.groups_offsets) == 0:
+            raise ValueError("dataset lacks the mention structure; re-preprocess")
+        off, mem = self.groups_offsets, self.groups_members
+        groups = {g: mem[off[g] : off[g + 1]] for g in range(len(off) - 1)}
+        return FactorizedAdjacency.from_groups(
+            groups, self.n_nodes, direct=(self.direct_src, self.direct_dst)
+        )
+
 
 def preprocess_raw(raw: RawDataset, cfg: PreprocessConfig) -> Dataset:
     users = raw.all_users
     texts = raw.all_text
     (tr0, tr1), (dv0, dv1), (te0, te1) = raw.splits_ranges
 
-    adj_raw = build_mention_adjacency(
+    groups, direct_src, direct_dst = mention_structure(
         list(users), list(texts), celebrity_threshold=cfg.celebrity_threshold
     )
+    adj_raw = materialize_projection(
+        groups, len(users), direct=(direct_src, direct_dst)
+    )
     adj = normalize_adjacency(adj_raw)
+    member_lists = [np.asarray(sorted(m), dtype=np.int64) for m in groups.values()]
+    groups_offsets = np.zeros(len(member_lists) + 1, dtype=np.int64)
+    np.cumsum([len(m) for m in member_lists], out=groups_offsets[1:])
+    groups_members = (
+        np.concatenate(member_lists) if member_lists else np.zeros(0, np.int64)
+    )
 
     x, _ = build_features(
         raw.train.text,
@@ -108,12 +139,21 @@ def preprocess_raw(raw: RawDataset, cfg: PreprocessConfig) -> Dataset:
         lon=lon,
         class_lat_median=disc.class_lat_median,
         class_lon_median=disc.class_lon_median,
+        groups_offsets=groups_offsets,
+        groups_members=groups_members,
+        direct_src=direct_src,
+        direct_dst=direct_dst,
     )
 
 
 def _save_dataset(path: str, ds: Dataset) -> None:
+    z64 = np.zeros(0, np.int64)
     np.savez_compressed(
         path,
+        groups_offsets=z64 if ds.groups_offsets is None else ds.groups_offsets,
+        groups_members=z64 if ds.groups_members is None else ds.groups_members,
+        direct_src=z64 if ds.direct_src is None else ds.direct_src,
+        direct_dst=z64 if ds.direct_dst is None else ds.direct_dst,
         x_data=ds.x.data,
         x_indices=ds.x.indices,
         x_indptr=ds.x.indptr,
@@ -148,6 +188,10 @@ def _load_dataset(path: str) -> Dataset:
         lon=z["lon"],
         class_lat_median=z["class_lat_median"],
         class_lon_median=z["class_lon_median"],
+        groups_offsets=z["groups_offsets"] if "groups_offsets" in z else None,
+        groups_members=z["groups_members"] if "groups_members" in z else None,
+        direct_src=z["direct_src"] if "direct_src" in z else None,
+        direct_dst=z["direct_dst"] if "direct_dst" in z else None,
     )
 
 

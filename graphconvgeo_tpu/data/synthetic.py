@@ -127,7 +127,8 @@ def random_mention_projection_graph(
     hubs_per_user: int = 2,
     crossover_prob: float = 0.05,
     seed: int = 0,
-) -> sp.csr_matrix:
+    return_structure: bool = False,
+):
     """Synthetic graph built THE WAY the reference builds its graph
     (``data.py :: efficient_collaboration_weighted_projected_graph2``): users
     mention external hub accounts, and the projected graph connects every
@@ -166,6 +167,8 @@ def random_mention_projection_graph(
     a.setdiag(0)
     a.eliminate_zeros()
     a.sort_indices()
+    if return_structure:
+        return a, {g: m for g, m in enumerate(groups) if len(m) >= 2}
     return a
 
 

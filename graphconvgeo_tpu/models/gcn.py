@@ -214,9 +214,16 @@ class HighwayGCN:
         else:
             self.arrays = {"x": x.bell(), "x_t": x.bell_t()}
         if adj is not None:
-            fmt, fmt_t = device_operands(adj, cfg.spmm_backend)
-            self.arrays["adj"] = fmt
-            self.arrays["adj_t"] = fmt_t
+            from graphconvgeo_tpu.sparse.factorized import FactorizedAdjacency
+
+            if isinstance(adj, FactorizedAdjacency):
+                # factored projection operator (symmetric — self-transposed)
+                self.arrays["adj"] = adj
+                self.arrays["adj_t"] = adj
+            else:
+                fmt, fmt_t = device_operands(adj, cfg.spmm_backend)
+                self.arrays["adj"] = fmt
+                self.arrays["adj_t"] = fmt_t
 
     # ---- parameters -----------------------------------------------------
     def init(self, key: jax.Array) -> dict:

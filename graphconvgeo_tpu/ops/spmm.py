@@ -247,6 +247,10 @@ def spmm_cached_bell(cb: CachedBell, h: jax.Array, *, gather_dtype=None) -> jax.
 
 def spmm_operands(fmt, fmt_t, h: jax.Array, *, n_rows: int, gather_dtype=None) -> jax.Array:
     """SpMM against device-format pytrees (format-dispatched)."""
+    from graphconvgeo_tpu.sparse.factorized import FactorizedAdjacency, spmm_factorized
+
+    if isinstance(fmt, FactorizedAdjacency):
+        return spmm_factorized(fmt, h, gather_dtype=gather_dtype)[:n_rows]
     if isinstance(fmt, CachedBell):
         return spmm_cached_bell(fmt, h, gather_dtype=gather_dtype)[:n_rows]
     if isinstance(fmt, BucketedEll):

@@ -36,6 +36,9 @@ from graphconvgeo_tpu.sparse.formats import BsrFlat, BsrMatrix, _round_up
 
 
 def _kernel(tidx_ref, tcol_ref, tiles_ref, h_ref, o_ref, *, mxu_dtype):
+    # HIGHEST keeps true-f32 MXU accuracy (3-pass); the kernel is DMA-bound
+    # on v5e so this is wall-clock-free — DEFAULT would round inputs to bf16
+    # (measured 2e-3 relative error, which breaks the reference parity bar)
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -48,6 +51,7 @@ def _kernel(tidx_ref, tcol_ref, tiles_ref, h_ref, o_ref, *, mxu_dtype):
         tiles_ref[0].astype(mxu_dtype),
         h_ref[:].astype(mxu_dtype),
         preferred_element_type=o_ref.dtype,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -163,6 +167,7 @@ def _flat_kernel(first_ref, rowblk_ref, colblk_ref, tile_ref, h_ref, o_ref, *, m
         tile_ref[0].astype(mxu_dtype),
         h_ref[:].astype(mxu_dtype),
         preferred_element_type=o_ref.dtype,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

@@ -1,0 +1,326 @@
+"""Factorized projection adjacency — SpMM without materializing the cliques.
+
+The reference builds its graph by PROJECTION (``data.py ::
+efficient_collaboration_weighted_projected_graph2``): every pair of users
+sharing a mention-graph neighbor ("hub") is connected, so the adjacency is a
+union of cliques plus direct-mention edges. Materializing that union squares
+the hub audiences — Twitter-World's ~1.4M users produce ~100M+ edges, and the
+SpMM pays one feature-row gather per edge.
+
+TPU-first observation: the projection is ``A = binarize(offdiag(B·Bᵀ) + Dir)``
+for the user×hub incidence ``B`` (nnz(B) = Σ|audience| ≈ #mentions, tens of
+times smaller than nnz(A)). Keeping the operator factorized makes the GCN
+propagation two *tiny* SpMMs plus sparse corrections — exact, not an
+approximation:
+
+    Â = D^-1/2 (A + I) D^-1/2                      (reference normalization)
+      = B'·B'ᵀ + R' + diag((1 − mᵢ)/dᵢ)
+
+with  B' = D^-1/2 B            (scaled incidence)
+      mᵢ = Σ_g B[i,g]          (groups containing i — removes B·Bᵀ's diagonal)
+      C  = (offdiag(B·Bᵀ) + Dir) − A ≥ 0           (multiplicity overcounts)
+      R' = D^-1/2 (Dir − C) D^-1/2                 (small symmetric residual)
+
+Device mapping (the part that makes this fast on TPU, not just smaller):
+hub audiences are community-local, so after community reordering B' is
+block-diagonal-ish — its dense 128×128 tiles run on the MXU via the existing
+flat-tile BSR kernel, and R' (pairs sharing ≥2 hubs live inside communities
+too) tiles the same way. What doesn't tile is TRIMMED: the compact residual
+operand only materializes rows/columns that have entries, so a 2%-crossover
+correction costs ~2% — not a full-length bucketed op with an [N, F] restore
+gather (measured 5.5 ms each at 262k×512, PERF.md).
+
+The backward needs no extra machinery: the factor SpMMs are the existing
+custom-VJP ops, and the composed operator is symmetric, so dH = Â·G falls out
+of the chain rule.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from graphconvgeo_tpu.sparse.formats import (
+    BsrFlat,
+    BucketedEll,
+    split_dense_tiles,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TrimmedBell:
+    """A sparse operand restricted to its nonzero rows and columns.
+
+    ``bell`` is the compact [kr, kc] pattern; ``rows``/``cols`` map compact
+    positions back to the full row/column spaces. Application gathers the kc
+    needed input rows, runs the compact bucketed SpMM, and scatter-adds kr
+    output rows — every step ∝ the trimmed size, never the full axis.
+    """
+
+    rows: jax.Array  # [kr] int32 global output row ids
+    cols: jax.Array  # [kc] int32 global input row ids
+    bell: BucketedEll  # [kr, kc]
+    bell_t: BucketedEll  # [kc, kr]
+
+    @staticmethod
+    def from_scipy(csr: sp.csr_matrix, *, dtype=jnp.float32) -> "TrimmedBell | None":
+        csr = sp.csr_matrix(csr)
+        csr.eliminate_zeros()
+        if csr.nnz == 0:
+            return None
+        rows = np.flatnonzero(np.diff(csr.indptr)).astype(np.int64)
+        cols = np.unique(csr.indices).astype(np.int64)
+        compact = csr[rows][:, cols].tocsr()
+        return TrimmedBell(
+            rows=jnp.asarray(rows.astype(np.int32)),
+            cols=jnp.asarray(cols.astype(np.int32)),
+            bell=BucketedEll.from_scipy(compact, dtype=dtype),
+            bell_t=BucketedEll.from_scipy(compact.T.tocsr(), dtype=dtype),
+        )
+
+    @property
+    def transpose(self) -> "TrimmedBell":
+        return TrimmedBell(rows=self.cols, cols=self.rows, bell=self.bell_t, bell_t=self.bell)
+
+
+def _apply_factor(
+    tiles: Optional[BsrFlat],
+    tiles_t: Optional[BsrFlat],
+    rest: Optional[TrimmedBell],
+    h: jax.Array,
+    *,
+    n_out: int,
+    gather_dtype=None,
+) -> jax.Array:
+    """(tiles + rest)·h for one factor; ``tiles_t`` drives the BSR backward."""
+    from graphconvgeo_tpu.ops.spmm import spmm_bell
+    from graphconvgeo_tpu.ops.spmm_pallas import spmm_bsr_flat
+
+    out = None
+    if tiles is not None:
+        out = spmm_bsr_flat(tiles, tiles_t, h)[:n_out]
+    if rest is not None:
+        kr = rest.rows.shape[0]
+        sub = spmm_bell(
+            rest.bell, rest.bell_t, jnp.take(h, rest.cols, axis=0), gather_dtype=gather_dtype
+        )[:kr]
+        if out is None:
+            out = jnp.zeros((n_out, h.shape[1]), sub.dtype).at[rest.rows].add(sub)
+        else:
+            out = out.at[rest.rows].add(sub.astype(out.dtype))
+    if out is None:
+        out = jnp.zeros((n_out, h.shape[1]), h.dtype)
+    return out
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FactorizedAdjacency:
+    """Device operand for Â over a projection-built graph, in factored form.
+
+    Each factor is a (dense-tile BsrFlat | None, TrimmedBell | None) hybrid;
+    the splits of B' and B'ᵀ (and R' with itself) are transpose-consistent so
+    each forward operand doubles as the other's backward operand.
+    """
+
+    b_tiles: Optional[BsrFlat]  # dense tiles of B'  [N, G]
+    bt_tiles: Optional[BsrFlat]  # dense tiles of B'ᵀ [G, N]
+    b_rest: Optional[TrimmedBell]
+    bt_rest: Optional[TrimmedBell]
+    r_tiles: Optional[BsrFlat]  # dense tiles of R'  [N, N] (symmetric)
+    r_rest: Optional[TrimmedBell]
+    diag: jax.Array  # [N] float32 — (1 − mᵢ)/dᵢ elementwise term
+    n_rows: int = dataclasses.field(metadata=dict(static=True))
+    n_groups: int = dataclasses.field(metadata=dict(static=True))
+
+    @staticmethod
+    def from_groups(
+        groups: dict,
+        n: int,
+        *,
+        direct: tuple | None = None,
+        dtype=jnp.float32,
+        block: int = 128,
+        min_tile_nnz: int = 48,
+    ) -> "FactorizedAdjacency":
+        """Build from the mention structure (``data/graph.py ::
+        mention_structure``'s ``groups`` dict hub → member ids, plus optional
+        (src, dst) direct-mention edge arrays). Exact parity with
+        materializing the projection and calling :func:`normalize_adjacency`
+        — tested allclose.
+
+        Hubs are ordered by their audience's median position, so when users
+        arrive community-contiguous (``sparse/reorder.py``) the incidence is
+        near block-diagonal and most of its mass lands in MXU tiles.
+        """
+        member_lists = [np.unique(np.asarray(list(m), dtype=np.int64)) for m in groups.values()]
+        member_lists = [m for m in member_lists if len(m) >= 2]
+        g_count = len(member_lists)
+
+        # incidence B (size-1 groups create no edges and cancel against the
+        # diag(M) term, so they are dropped before anything is counted)
+        if g_count:
+            # hub order: audience median position — aligns the hub axis with
+            # a community-contiguous user order
+            med = np.asarray([float(np.median(m)) for m in member_lists])
+            hub_order = np.argsort(med, kind="stable")
+            member_lists = [member_lists[g] for g in hub_order]
+            b_rows = np.concatenate(member_lists)
+            b_cols = np.repeat(
+                np.arange(g_count, dtype=np.int64), [len(m) for m in member_lists]
+            )
+        else:
+            b_rows = np.zeros(0, dtype=np.int64)
+            b_cols = np.zeros(0, dtype=np.int64)
+        m_count = np.bincount(b_rows, minlength=n).astype(np.int64)
+
+        # pair multiplicities M_off: one entry per unordered pair per group
+        p_src, p_dst = _group_pairs(member_lists, n)
+        if direct is not None and len(direct[0]):
+            d_src = np.asarray(direct[0], dtype=np.int64)
+            d_dst = np.asarray(direct[1], dtype=np.int64)
+            keep = d_src != d_dst
+            d_src, d_dst = d_src[keep], d_dst[keep]
+            # dedup + canonical orientation; Dir is binary
+            lo, hi = np.minimum(d_src, d_dst), np.maximum(d_src, d_dst)
+            pairs = np.unique(lo.astype(np.int64) * n + hi)
+            dir_lo, dir_hi = pairs // n, pairs % n
+        else:
+            dir_lo = dir_hi = np.zeros(0, dtype=np.int64)
+
+        e_src = np.concatenate([p_src, dir_lo])
+        e_dst = np.concatenate([p_dst, dir_hi])
+        # E = M_off + Dir with counts (upper triangle); A = binarize(E)
+        e_upper = sp.coo_matrix(
+            (np.ones(len(e_src), np.float64), (np.minimum(e_src, e_dst), np.maximum(e_src, e_dst))),
+            shape=(n, n),
+        ).tocsr()
+        e_upper.sum_duplicates()
+        a_upper = e_upper.copy()
+        a_upper.data[:] = 1.0
+        deg = np.asarray(a_upper.sum(axis=0)).ravel() + np.asarray(a_upper.sum(axis=1)).ravel()
+        d = deg + 1.0  # rowsum of A + I
+        s = 1.0 / np.sqrt(d)
+
+        # R = Dir − C = Dir − (E − A) ; build upper-triangle values then mirror
+        r_upper = a_upper - e_upper  # = −C  (≤ 0 entries)
+        if len(dir_lo):
+            r_upper = r_upper + sp.coo_matrix(
+                (np.ones(len(dir_lo), np.float64), (dir_lo, dir_hi)), shape=(n, n)
+            ).tocsr()
+        r_upper.eliminate_zeros()
+        r_sym = r_upper + r_upper.T
+        # scale: R' = S R S
+        r_sym = sp.diags(s) @ r_sym @ sp.diags(s)
+        r_csr = sp.csr_matrix(r_sym, dtype=np.float32)
+        r_csr.sort_indices()
+
+        b_scaled = sp.coo_matrix(
+            (s[b_rows].astype(np.float32), (b_rows, b_cols)), shape=(n, max(g_count, 1))
+        ).tocsr()
+        b_scaled.sort_indices()
+
+        # transpose-consistent hybrid splits (square blocks: tile (r, c) of M
+        # and tile (c, r) of Mᵀ have identical nnz, so the split commutes with
+        # transposition and each side's tiles back the other side's VJP)
+        def hybrid_split(csr):
+            dense, resid = split_dense_tiles(csr, block=block, min_tile_nnz=min_tile_nnz)
+            tiles = BsrFlat.from_scipy(dense, block=block, dtype=dtype) if dense.nnz else None
+            rest = TrimmedBell.from_scipy(resid, dtype=dtype)
+            return tiles, rest
+
+        b_tiles, b_rest = hybrid_split(b_scaled)
+        bt_tiles, bt_rest = hybrid_split(b_scaled.T.tocsr())
+        r_tiles, r_rest = hybrid_split(r_csr)
+
+        diag = ((1.0 - m_count) / d).astype(np.float32)
+        return FactorizedAdjacency(
+            b_tiles=b_tiles,
+            bt_tiles=bt_tiles,
+            b_rest=b_rest,
+            bt_rest=bt_rest,
+            r_tiles=r_tiles,
+            r_rest=r_rest,
+            diag=jnp.asarray(diag),
+            n_rows=n,
+            n_groups=max(g_count, 1),
+        )
+
+    @property
+    def nnz_factored(self) -> int:
+        """Device-side work: padded bell slots + dense-tile cells."""
+        total = 0
+        for rest in (self.b_rest, self.bt_rest, self.r_rest):
+            if rest is not None:
+                total += rest.bell.padded_slots
+        for tiles in (self.b_tiles, self.bt_tiles, self.r_tiles):
+            if tiles is not None:
+                total += int(tiles.n_tiles) * tiles.block**2
+        return total
+
+
+def _group_pairs(member_lists: list, n: int):
+    """All unordered pairs per group, duplicates across groups preserved
+    (they ARE the multiplicities). Native clique expansion when available."""
+    if not member_lists:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    try:
+        from graphconvgeo_tpu.native import project_cliques
+
+        return project_cliques(dict(enumerate(member_lists)), n)
+    except Exception:
+        srcs, dsts = [], []
+        for m in member_lists:
+            iu = np.triu_indices(len(m), 1)
+            srcs.append(m[iu[0]])
+            dsts.append(m[iu[1]])
+        return np.concatenate(srcs), np.concatenate(dsts)
+
+
+def materialize_projection(
+    groups: dict, n: int, *, direct: tuple | None = None
+) -> sp.csr_matrix:
+    """The unfactored adjacency A (binary, symmetric, no self-loops) — the
+    exact matrix ``data/graph.py :: build_mention_adjacency`` produces from
+    the same structure. Used by parity tests and by consumers that need the
+    materialized graph anyway (partitioning, eval plots)."""
+    member_lists = [np.unique(np.asarray(list(m), dtype=np.int64)) for m in groups.values()]
+    member_lists = [m for m in member_lists if len(m) >= 2]
+    src, dst = _group_pairs(member_lists, n)
+    if direct is not None and len(direct[0]):
+        src = np.concatenate([src, np.asarray(direct[0], dtype=np.int64)])
+        dst = np.concatenate([dst, np.asarray(direct[1], dtype=np.int64)])
+    a = sp.coo_matrix((np.ones(len(src), np.float32), (src, dst)), shape=(n, n)).tocsr()
+    a = a + a.T
+    a.data[:] = 1.0
+    a.setdiag(0)
+    a.eliminate_zeros()
+    a.sort_indices()
+    return a.astype(np.float32)
+
+
+def spmm_factorized(
+    fa: FactorizedAdjacency, h: jax.Array, *, gather_dtype=None
+) -> jax.Array:
+    """Â·h in factored form: B'(B'ᵀh) + R'h + diag⊙h.
+
+    Differentiable in h through the factor ops' custom VJPs; the composed
+    operator is symmetric so the cotangent is the same operator applied to g.
+    """
+    y = _apply_factor(
+        fa.bt_tiles, fa.b_tiles, fa.bt_rest, h, n_out=fa.n_groups, gather_dtype=gather_dtype
+    )
+    out = _apply_factor(
+        fa.b_tiles, fa.bt_tiles, fa.b_rest, y, n_out=fa.n_rows, gather_dtype=gather_dtype
+    )
+    if fa.r_tiles is not None or fa.r_rest is not None:
+        out = out + _apply_factor(
+            fa.r_tiles, fa.r_tiles, fa.r_rest, h, n_out=fa.n_rows, gather_dtype=gather_dtype
+        )
+    return out + fa.diag[:, None] * h[: fa.n_rows]

@@ -78,6 +78,64 @@ def labelprop_reordering(adj: sp.spmatrix, *, iters: int = 10) -> Reordering:
     return Reordering(perm=perm, inv=inv)
 
 
+def _grouped_mode(group_ids, labels, n_groups, *, default=None):
+    """Majority label per group, vectorized (ties → smallest label).
+
+    group_ids/labels: parallel int64 arrays (one entry per incidence);
+    groups with no entries get ``default[g]`` (or g itself if None)."""
+    out = np.arange(n_groups, dtype=np.int64) if default is None else default.copy()
+    if len(group_ids) == 0:
+        return out
+    # count (group, label) pairs, then pick per group the (count DESC,
+    # label ASC) winner via one lexsort over the unique pairs
+    pairs, counts = np.unique(
+        np.stack([group_ids, labels], axis=1), axis=0, return_counts=True
+    )
+    order = np.lexsort((pairs[:, 1], -counts, pairs[:, 0]))
+    pairs_s = pairs[order]
+    first = np.ones(len(pairs_s), dtype=bool)
+    first[1:] = pairs_s[1:, 0] != pairs_s[:-1, 0]
+    out[pairs_s[first, 0]] = pairs_s[first, 1]
+    return out
+
+
+def bipartite_reordering(groups: dict, n: int, *, iters: int = 10) -> Reordering:
+    """Community-contiguous USER ordering computed from the mention structure
+    alone — no projected adjacency needed (the point of the factorized path:
+    the projection is never materialized). Label propagation runs on the
+    user∪hub bipartite graph (nnz = 2·Σ|audience|, tens of times smaller than
+    the projection); users sharing hubs converge to one label and become
+    contiguous, which makes the scaled incidence B' near block-diagonal."""
+    member_lists = [np.asarray(list(m), dtype=np.int64) for m in groups.values()]
+    member_lists = [m for m in member_lists if len(m) >= 2]
+    g_count = len(member_lists)
+    if g_count == 0:
+        ident = np.arange(n, dtype=np.int64)
+        return Reordering(perm=ident, inv=ident.copy())
+    users = np.concatenate(member_lists)
+    hubs = np.repeat(np.arange(g_count, dtype=np.int64), [len(m) for m in member_lists])
+
+    # two-PHASE majority propagation (hub labels from members, then user
+    # labels from hubs): synchronous one-phase LP oscillates on bipartite
+    # graphs, so the phases alternate instead
+    user_labels = np.arange(n, dtype=np.int64)
+    for _ in range(iters):
+        hub_labels = _grouped_mode(hubs, user_labels[users], g_count)
+        new_user = _grouped_mode(users, hub_labels[hubs], n, default=user_labels)
+        if np.array_equal(new_user, user_labels):
+            break
+        user_labels = new_user
+    # users in no group have no incidence rows — sink them to the end so they
+    # never split a community's tile span
+    touched = np.zeros(n, dtype=bool)
+    touched[users] = True
+    sort_key = np.where(touched, user_labels, n + np.arange(n, dtype=np.int64))
+    perm = np.argsort(sort_key, kind="stable").astype(np.int64)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(n)
+    return Reordering(perm=perm, inv=inv)
+
+
 def best_reordering(
     adj: sp.spmatrix,
     *,

@@ -1,0 +1,190 @@
+"""Factorized projection adjacency: exact parity with the materialized Â.
+
+The factored operator (sparse/factorized.py) must reproduce
+``normalize_adjacency(materialize_projection(groups, direct))`` bit-for-bit
+up to float32 rounding — including overlapping cliques (multiplicity > 1),
+direct edges coinciding with clique edges, size-1 groups, and isolated nodes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from graphconvgeo_tpu.sparse.factorized import (
+    FactorizedAdjacency,
+    materialize_projection,
+    spmm_factorized,
+)
+from graphconvgeo_tpu.sparse.formats import SparseGraph, normalize_adjacency
+
+
+def random_structure(rng, n, n_groups, *, max_size=8, n_direct=12):
+    groups = {}
+    for g in range(n_groups):
+        size = int(rng.integers(1, max_size + 1))
+        groups[f"hub{g}"] = rng.choice(n, size=size, replace=False).tolist()
+    src = rng.integers(0, n, n_direct)
+    dst = rng.integers(0, n, n_direct)
+    return groups, (src, dst)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("with_direct", [False, True])
+def test_factorized_matches_materialized(rng, seed, with_direct):
+    r = np.random.default_rng(seed)
+    n = 60
+    groups, direct = random_structure(r, n, 25)
+    direct = direct if with_direct else None
+
+    a = materialize_projection(groups, n, direct=direct)
+    a_hat = normalize_adjacency(a)
+    fa = FactorizedAdjacency.from_groups(groups, n, direct=direct)
+
+    h = jnp.asarray(r.normal(size=(n, 16)).astype(np.float32))
+    want = jnp.asarray(a_hat.toarray()) @ h
+    got = spmm_factorized(fa, h)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
+
+
+def test_factorized_heavy_overlap(rng):
+    # every pair shares several hubs — the correction term C dominates
+    n = 20
+    groups = {g: list(range(n)) for g in range(4)}  # 4 identical full groups
+    a = materialize_projection(groups, n)
+    assert a.nnz == n * (n - 1)
+    fa = FactorizedAdjacency.from_groups(groups, n)
+    h = jnp.asarray(np.random.default_rng(0).normal(size=(n, 8)).astype(np.float32))
+    want = jnp.asarray(normalize_adjacency(a).toarray()) @ h
+    np.testing.assert_allclose(np.asarray(spmm_factorized(fa, h)), np.asarray(want), rtol=2e-5, atol=2e-6)
+
+
+def test_factorized_gradients_match(rng):
+    r = np.random.default_rng(3)
+    n = 40
+    groups, direct = random_structure(r, n, 15)
+    a_hat = normalize_adjacency(materialize_projection(groups, n, direct=direct))
+    fa = FactorizedAdjacency.from_groups(groups, n, direct=direct)
+    dense = jnp.asarray(a_hat.toarray())
+
+    h = jnp.asarray(r.normal(size=(n, 8)).astype(np.float32))
+    f_fact = lambda x: jnp.sum(jnp.tanh(spmm_factorized(fa, x)) ** 2)
+    f_dense = lambda x: jnp.sum(jnp.tanh(dense @ x) ** 2)
+    g_fact = jax.grad(f_fact)(h)
+    g_dense = jax.grad(f_dense)(h)
+    np.testing.assert_allclose(np.asarray(g_fact), np.asarray(g_dense), rtol=2e-4, atol=2e-5)
+
+
+def test_materialize_matches_graph_builder():
+    # same structure through data/graph.py's full builder (regex path) and
+    # through materialize_projection must agree
+    from graphconvgeo_tpu.data.graph import build_mention_adjacency
+
+    users = [f"u{i}" for i in range(6)]
+    texts = [
+        "@hub_a hello @u1",
+        "@hub_a yo",
+        "@hub_b @u1",
+        "@hub_b @hub_a",
+        "nothing",
+        "@u0 hi",
+    ]
+    a_ref = build_mention_adjacency(users, texts, celebrity_threshold=5)
+    # reconstruct the structure by hand: hub_a={0,1,3}, hub_b={2,3},
+    # direct mentions: 0->1, 2->1, 5->0; user-neighborhood groups of the
+    # direct mention graph: u1's neighbors {0, 2} form a shared-neighbor group
+    # and u0's mention-graph neighborhood {1, 5} (0->1 plus 5->0)
+    groups = {"hub_a": [0, 1, 3], "hub_b": [2, 3], ("u", 1): [0, 2], ("u", 0): [1, 5]}
+    direct = (np.array([0, 2, 5]), np.array([1, 1, 0]))
+    a_fact = materialize_projection(groups, 6, direct=direct)
+    assert (a_ref != a_fact).nnz == 0
+
+
+def test_model_forward_with_factorized_operand(rng):
+    from graphconvgeo_tpu.models.gcn import GCNConfig, HighwayGCN
+
+    r = np.random.default_rng(7)
+    n = 50
+    groups, direct = random_structure(r, n, 20)
+    a = materialize_projection(groups, n, direct=direct)
+    a_hat = normalize_adjacency(a)
+    fa = FactorizedAdjacency.from_groups(groups, n, direct=direct)
+
+    x = sp.random(n, 30, density=0.2, format="csr", dtype=np.float32, random_state=5)
+    cfg = GCNConfig(n_features=30, n_classes=4, hidden=(16, 16), dropout=0.0)
+    xg = SparseGraph(csr=x)
+    m_mat = HighwayGCN(cfg, xg, SparseGraph(csr=a_hat, symmetric=True))
+    m_fact = HighwayGCN(cfg, xg, fa)
+    params = m_mat.init(jax.random.key(0))
+    out_mat = m_mat.apply(params, train=False)
+    out_fact = m_fact.apply(params, train=False)
+    np.testing.assert_allclose(np.asarray(out_fact), np.asarray(out_mat), rtol=2e-4, atol=2e-5)
+
+
+def test_isolated_nodes_and_empty_groups():
+    n = 10
+    groups = {"a": [0], "b": [], "c": [2, 3]}
+    a = materialize_projection(groups, n)
+    fa = FactorizedAdjacency.from_groups(groups, n)
+    h = jnp.asarray(np.random.default_rng(1).normal(size=(n, 4)).astype(np.float32))
+    want = jnp.asarray(normalize_adjacency(a).toarray()) @ h
+    np.testing.assert_allclose(np.asarray(spmm_factorized(fa, h)), np.asarray(want), rtol=2e-5, atol=2e-6)
+
+
+def test_factorized_dense_tile_path(rng):
+    # big cliques in a contiguous id range force the BsrFlat factor path
+    # (min_tile_nnz threshold crossed); verify forward + grad still match
+    r = np.random.default_rng(11)
+    n = 256
+    groups = {f"big{c}": list(range(c * 64, c * 64 + 40)) for c in range(4)}
+    groups.update({f"x{g}": r.choice(n, size=3, replace=False).tolist() for g in range(20)})
+    fa = FactorizedAdjacency.from_groups(groups, n, block=64, min_tile_nnz=16)
+    assert fa.bt_tiles is not None or fa.b_tiles is not None  # tile path exercised
+    a_hat = normalize_adjacency(materialize_projection(groups, n))
+    dense = jnp.asarray(a_hat.toarray())
+    h = jnp.asarray(r.normal(size=(n, 8)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(spmm_factorized(fa, h)), np.asarray(dense @ h), rtol=2e-4, atol=2e-5
+    )
+    g_fact = jax.grad(lambda x: jnp.sum(jnp.sin(spmm_factorized(fa, x))))(h)
+    g_dense = jax.grad(lambda x: jnp.sum(jnp.sin(dense @ x)))(h)
+    np.testing.assert_allclose(np.asarray(g_fact), np.asarray(g_dense), rtol=2e-4, atol=2e-5)
+
+
+def test_bipartite_reordering_tiles_incidence():
+    from graphconvgeo_tpu.data.synthetic import random_mention_projection_graph
+    from graphconvgeo_tpu.sparse.reorder import bipartite_reordering
+
+    # shuffled projection-process structure: the reordering must move most of
+    # the incidence mass into dense factor tiles (the whole point — without it
+    # B' is uniformly scattered and nothing tiles)
+    n = 8192
+    _, groups = random_mention_projection_graph(n, 64, seed=3, return_structure=True)
+    perm = np.random.default_rng(5).permutation(n)
+    inv = np.empty(n, dtype=np.int64)
+    inv[perm] = np.arange(n)
+    groups = {g: inv[np.asarray(m)].tolist() for g, m in groups.items()}
+
+    def tiled_fraction(gs):
+        fa = FactorizedAdjacency.from_groups(gs, n, block=128, min_tile_nnz=48)
+        tiles = 0
+        for t in (fa.b_tiles,):
+            if t is not None:
+                tiles += int((np.asarray(t.tiles) != 0).sum())
+        rest = fa.b_rest.bell.padded_slots if fa.b_rest is not None else 0
+        return tiles / max(tiles + rest, 1)
+
+    before = tiled_fraction(groups)
+    ro = bipartite_reordering(groups, n)
+    groups_ro = {g: ro.to_new(np.asarray(m)).tolist() for g, m in groups.items()}
+    after = tiled_fraction(groups_ro)
+    assert after > max(0.6, before + 0.3), (before, after)
+
+
+def test_no_groups_at_all():
+    n = 5
+    fa = FactorizedAdjacency.from_groups({}, n)
+    h = jnp.ones((n, 3), jnp.float32)
+    # Â = I when A is empty (self-loops only, degree 1)
+    np.testing.assert_allclose(np.asarray(spmm_factorized(fa, h)), np.ones((n, 3)), rtol=1e-6)
