@@ -35,9 +35,9 @@ adj = ro.permute_graph(adj)
 t0 = time.time()
 fa = FactorizedAdjacency.from_groups(groups, N)
 ntiles = {k: (getattr(fa, k).n_tiles if getattr(fa, k) is not None else 0)
-          for k in ("b_tiles", "bt_tiles", "r_tiles")}
+          for k in ("bt_tiles", "b_tiles", "r_tiles")}
 rest = {k: (getattr(fa, k).bell.padded_slots if getattr(fa, k) is not None else 0)
-        for k in ("b_rest", "bt_rest", "r_rest")}
+        for k in ("bt_rest", "b_rest", "r_rest")}
 print(f"factorized build {time.time()-t0:.1f}s  work={fa.nnz_factored} "
       f"tiles={ntiles} rest_slots={rest} (materialized nnz {adj.nnz})", flush=True)
 
@@ -51,8 +51,17 @@ err = np.abs(got - want).max() / max(np.abs(want).max(), 1e-9)
 print("max rel err vs materialized:", err, flush=True)
 assert err < 1e-4
 
+import jax
+
 for gd in (None, jnp.bfloat16):
     step = lambda x, f, gd=gd: spmm_factorized(f, x, gather_dtype=gd) * 0.25 + 0.01
     dt = device_seconds_per_iter(step, h, fa, iters_lo=2, iters_hi=12, trials=2)
     print(f"factorized gather={gd}: {dt*1e3:.3f} ms  {adj.nnz/dt/1e6:.1f} M edges/s "
           f"(materialized-edge rate)", flush=True)
+
+# fwd+bwd (training-relevant): symmetric whole-op VJP = 2 forward applies
+gstep = lambda x, f: jax.grad(
+    lambda z: jnp.sum(spmm_factorized(f, z, gather_dtype=jnp.bfloat16) ** 2)
+)(x) * 0.25 + 0.01 * x
+dt = device_seconds_per_iter(gstep, h, fa, iters_lo=2, iters_hi=8, trials=2)
+print(f"factorized fwd+bwd: {dt*1e3:.3f} ms", flush=True)

@@ -1,0 +1,51 @@
+"""Per-term timing of the factorized operator (where do the 27 ms go?)."""
+import numpy as np
+import jax.numpy as jnp
+
+from graphconvgeo_tpu.data.synthetic import random_mention_projection_graph
+from graphconvgeo_tpu.sparse.factorized import FactorizedAdjacency, _apply_factor
+from graphconvgeo_tpu.sparse.reorder import bipartite_reordering
+from graphconvgeo_tpu.utils.timing import device_seconds_per_iter
+
+N, N_COMM, FEAT = 262_144, 1024, 512
+GD = jnp.bfloat16
+
+adj, groups = random_mention_projection_graph(N, N_COMM, seed=7, return_structure=True)
+perm = np.random.default_rng(1).permutation(N)
+inv = np.empty(N, dtype=np.int64)
+inv[perm] = np.arange(N)
+groups = {g: inv[np.asarray(m)] for g, m in groups.items()}
+ro = bipartite_reordering(groups, N)
+groups = {g: ro.to_new(np.asarray(m)) for g, m in groups.items()}
+fa = FactorizedAdjacency.from_groups(groups, N)
+
+h = jnp.asarray(np.random.default_rng(0).normal(size=(N, FEAT)).astype(np.float32))
+y0 = jnp.asarray(np.random.default_rng(2).normal(size=(fa.n_groups, FEAT)).astype(np.float32))
+
+
+def tm(name, fn, x, *ops):
+    dt = device_seconds_per_iter(fn, x, *ops, iters_lo=2, iters_hi=12, trials=2)
+    print(f"{name:34s} {dt*1e3:8.3f} ms", flush=True)
+    return dt
+
+
+# each step must return an x-shaped iterate; sum(out)*0 + x keeps the chain
+tm("bt (B'ᵀh): tiles+rest", lambda x, f: _apply_factor(
+    f.bt_tiles, f.b_tiles, f.bt_rest, x, n_out=f.n_groups, gather_dtype=GD
+).sum(0, keepdims=True) * 0.0 + x, h, fa)
+tm("bt tiles only", lambda x, f: _apply_factor(
+    f.bt_tiles, f.b_tiles, None, x, n_out=f.n_groups, gather_dtype=GD
+).sum(0, keepdims=True) * 0.0 + x, h, fa)
+tm("b (B'y): tiles+rest", lambda y, f: _apply_factor(
+    f.b_tiles, f.bt_tiles, f.b_rest, y, n_out=f.n_rows, gather_dtype=GD
+).sum(0, keepdims=True) * 0.0 + y, y0, fa)
+tm("b tiles only", lambda y, f: _apply_factor(
+    f.b_tiles, f.bt_tiles, None, y, n_out=f.n_rows, gather_dtype=GD
+).sum(0, keepdims=True) * 0.0 + y, y0, fa)
+tm("r (R'h): tiles+rest", lambda x, f: _apply_factor(
+    f.r_tiles, f.r_tiles, f.r_rest, x, n_out=f.n_rows, gather_dtype=GD
+) * 0.25 + 0.01, h, fa)
+tm("r tiles only", lambda x, f: _apply_factor(
+    f.r_tiles, f.r_tiles, None, x, n_out=f.n_rows, gather_dtype=GD
+) * 0.25 + 0.01, h, fa)
+tm("diag only", lambda x, f: f.diag[:, None] * x * 0.25 + 0.01, h, fa)

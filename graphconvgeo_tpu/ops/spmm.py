@@ -169,6 +169,8 @@ def _bell_matvec(bell: BucketedEll, h: jax.Array) -> jax.Array:
     h = jnp.asarray(h)
     outs = [_ell_matvec(i, v, h) for i, v in zip(bell.indices, bell.values)]
     out_sorted = jnp.concatenate(outs, axis=0)
+    if bell.natural:  # rows were bucket-grouped in place — no restore gather
+        return out_sorted
     return jnp.take(out_sorted, bell.inv_perm, axis=0)
 
 
@@ -195,6 +197,7 @@ def _spmm_bell_bwd(res, g):
             perm=f0(b.perm),
             inv_perm=f0(b.inv_perm),
             n_cols=b.n_cols,
+            natural=b.natural,
         )
 
     return (zeros_like_bell(bell), zeros_like_bell(bell_t), dh)

@@ -38,6 +38,7 @@ of the chain rule.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -55,18 +56,17 @@ from graphconvgeo_tpu.sparse.formats import (
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class TrimmedBell:
-    """A sparse operand restricted to its nonzero rows and columns.
+    """A sparse operand restricted to its nonzero ROWS.
 
-    ``bell`` is the compact [kr, kc] pattern; ``rows``/``cols`` map compact
-    positions back to the full row/column spaces. Application gathers the kc
-    needed input rows, runs the compact bucketed SpMM, and scatter-adds kr
-    output rows — every step ∝ the trimmed size, never the full axis.
+    ``bell`` is the [kr, n_cols] pattern over only the rows that have
+    entries; ``rows`` maps compact output positions back to the full row
+    space (sorted, unique — the scatter-add can say so). Columns stay global:
+    trimming them would add a gather pass without speeding anything up — a
+    freshly-sliced table gathers at the big-table rate regardless (PERF.md).
     """
 
-    rows: jax.Array  # [kr] int32 global output row ids
-    cols: jax.Array  # [kc] int32 global input row ids
-    bell: BucketedEll  # [kr, kc]
-    bell_t: BucketedEll  # [kc, kr]
+    rows: jax.Array  # [kr] int32 global output row ids (sorted, unique)
+    bell: BucketedEll  # [kr, n_cols]
 
     @staticmethod
     def from_scipy(csr: sp.csr_matrix, *, dtype=jnp.float32) -> "TrimmedBell | None":
@@ -75,45 +75,45 @@ class TrimmedBell:
         if csr.nnz == 0:
             return None
         rows = np.flatnonzero(np.diff(csr.indptr)).astype(np.int64)
-        cols = np.unique(csr.indices).astype(np.int64)
-        compact = csr[rows][:, cols].tocsr()
         return TrimmedBell(
             rows=jnp.asarray(rows.astype(np.int32)),
-            cols=jnp.asarray(cols.astype(np.int32)),
-            bell=BucketedEll.from_scipy(compact, dtype=dtype),
-            bell_t=BucketedEll.from_scipy(compact.T.tocsr(), dtype=dtype),
+            bell=BucketedEll.from_scipy(csr[rows].tocsr(), dtype=dtype),
         )
 
-    @property
-    def transpose(self) -> "TrimmedBell":
-        return TrimmedBell(rows=self.cols, cols=self.rows, bell=self.bell_t, bell_t=self.bell)
+
+def _bell_raw(bell: BucketedEll, h: jax.Array, gather_dtype) -> jax.Array:
+    """Raw bucketed matvec with the gather-dtype cast (no VJP wrapping —
+    the factorized operator differentiates as a whole, see below)."""
+    from graphconvgeo_tpu.ops.spmm import _bell_matvec
+
+    if gather_dtype is not None and jnp.dtype(gather_dtype) != h.dtype:
+        return _bell_matvec(bell, h.astype(gather_dtype)).astype(h.dtype)
+    return _bell_matvec(bell, h)
 
 
 def _apply_factor(
     tiles: Optional[BsrFlat],
-    tiles_t: Optional[BsrFlat],
     rest: Optional[TrimmedBell],
     h: jax.Array,
     *,
     n_out: int,
     gather_dtype=None,
 ) -> jax.Array:
-    """(tiles + rest)·h for one factor; ``tiles_t`` drives the BSR backward."""
-    from graphconvgeo_tpu.ops.spmm import spmm_bell
+    """(tiles + rest)·h for one factor — raw (differentiated at the operator
+    level, not per op)."""
     from graphconvgeo_tpu.ops.spmm_pallas import spmm_bsr_flat
 
     out = None
     if tiles is not None:
-        out = spmm_bsr_flat(tiles, tiles_t, h)[:n_out]
+        out = spmm_bsr_flat(tiles, tiles, h)[:n_out]
     if rest is not None:
         kr = rest.rows.shape[0]
-        sub = spmm_bell(
-            rest.bell, rest.bell_t, jnp.take(h, rest.cols, axis=0), gather_dtype=gather_dtype
-        )[:kr]
+        sub = _bell_raw(rest.bell, h, gather_dtype)[:kr]
         if out is None:
-            out = jnp.zeros((n_out, h.shape[1]), sub.dtype).at[rest.rows].add(sub)
-        else:
-            out = out.at[rest.rows].add(sub.astype(out.dtype))
+            out = jnp.zeros((n_out, h.shape[1]), sub.dtype)
+        out = out.at[rest.rows].add(
+            sub.astype(out.dtype), indices_are_sorted=True, unique_indices=True
+        )
     if out is None:
         out = jnp.zeros((n_out, h.shape[1]), h.dtype)
     return out
@@ -124,15 +124,16 @@ def _apply_factor(
 class FactorizedAdjacency:
     """Device operand for Â over a projection-built graph, in factored form.
 
-    Each factor is a (dense-tile BsrFlat | None, TrimmedBell | None) hybrid;
-    the splits of B' and B'ᵀ (and R' with itself) are transpose-consistent so
-    each forward operand doubles as the other's backward operand.
+    Every factor is (dense MXU tiles + row-trimmed bucketed rest). A pure
+    small-table bell for B' was measured SLOWER (31 vs 27 ms at bench scale):
+    the [G, F] hub-partial table sits just past the ~16k-row gather cliff, so
+    its gathers run at the big-table rate and lose to the tile path.
     """
 
-    b_tiles: Optional[BsrFlat]  # dense tiles of B'  [N, G]
     bt_tiles: Optional[BsrFlat]  # dense tiles of B'ᵀ [G, N]
-    b_rest: Optional[TrimmedBell]
     bt_rest: Optional[TrimmedBell]
+    b_tiles: Optional[BsrFlat]  # dense tiles of B'  [N, G]
+    b_rest: Optional[TrimmedBell]
     r_tiles: Optional[BsrFlat]  # dense tiles of R'  [N, N] (symmetric)
     r_rest: Optional[TrimmedBell]
     diag: jax.Array  # [N] float32 — (1 − mᵢ)/dᵢ elementwise term
@@ -159,92 +160,23 @@ class FactorizedAdjacency:
         arrive community-contiguous (``sparse/reorder.py``) the incidence is
         near block-diagonal and most of its mass lands in MXU tiles.
         """
-        member_lists = [np.unique(np.asarray(list(m), dtype=np.int64)) for m in groups.values()]
-        member_lists = [m for m in member_lists if len(m) >= 2]
-        g_count = len(member_lists)
+        b_scaled, r_csr, diag, g_count = host_factors(groups, n, direct=direct)
 
-        # incidence B (size-1 groups create no edges and cancel against the
-        # diag(M) term, so they are dropped before anything is counted)
-        if g_count:
-            # hub order: audience median position — aligns the hub axis with
-            # a community-contiguous user order
-            med = np.asarray([float(np.median(m)) for m in member_lists])
-            hub_order = np.argsort(med, kind="stable")
-            member_lists = [member_lists[g] for g in hub_order]
-            b_rows = np.concatenate(member_lists)
-            b_cols = np.repeat(
-                np.arange(g_count, dtype=np.int64), [len(m) for m in member_lists]
-            )
-        else:
-            b_rows = np.zeros(0, dtype=np.int64)
-            b_cols = np.zeros(0, dtype=np.int64)
-        m_count = np.bincount(b_rows, minlength=n).astype(np.int64)
-
-        # pair multiplicities M_off: one entry per unordered pair per group
-        p_src, p_dst = _group_pairs(member_lists, n)
-        if direct is not None and len(direct[0]):
-            d_src = np.asarray(direct[0], dtype=np.int64)
-            d_dst = np.asarray(direct[1], dtype=np.int64)
-            keep = d_src != d_dst
-            d_src, d_dst = d_src[keep], d_dst[keep]
-            # dedup + canonical orientation; Dir is binary
-            lo, hi = np.minimum(d_src, d_dst), np.maximum(d_src, d_dst)
-            pairs = np.unique(lo.astype(np.int64) * n + hi)
-            dir_lo, dir_hi = pairs // n, pairs % n
-        else:
-            dir_lo = dir_hi = np.zeros(0, dtype=np.int64)
-
-        e_src = np.concatenate([p_src, dir_lo])
-        e_dst = np.concatenate([p_dst, dir_hi])
-        # E = M_off + Dir with counts (upper triangle); A = binarize(E)
-        e_upper = sp.coo_matrix(
-            (np.ones(len(e_src), np.float64), (np.minimum(e_src, e_dst), np.maximum(e_src, e_dst))),
-            shape=(n, n),
-        ).tocsr()
-        e_upper.sum_duplicates()
-        a_upper = e_upper.copy()
-        a_upper.data[:] = 1.0
-        deg = np.asarray(a_upper.sum(axis=0)).ravel() + np.asarray(a_upper.sum(axis=1)).ravel()
-        d = deg + 1.0  # rowsum of A + I
-        s = 1.0 / np.sqrt(d)
-
-        # R = Dir − C = Dir − (E − A) ; build upper-triangle values then mirror
-        r_upper = a_upper - e_upper  # = −C  (≤ 0 entries)
-        if len(dir_lo):
-            r_upper = r_upper + sp.coo_matrix(
-                (np.ones(len(dir_lo), np.float64), (dir_lo, dir_hi)), shape=(n, n)
-            ).tocsr()
-        r_upper.eliminate_zeros()
-        r_sym = r_upper + r_upper.T
-        # scale: R' = S R S
-        r_sym = sp.diags(s) @ r_sym @ sp.diags(s)
-        r_csr = sp.csr_matrix(r_sym, dtype=np.float32)
-        r_csr.sort_indices()
-
-        b_scaled = sp.coo_matrix(
-            (s[b_rows].astype(np.float32), (b_rows, b_cols)), shape=(n, max(g_count, 1))
-        ).tocsr()
-        b_scaled.sort_indices()
-
-        # transpose-consistent hybrid splits (square blocks: tile (r, c) of M
-        # and tile (c, r) of Mᵀ have identical nnz, so the split commutes with
-        # transposition and each side's tiles back the other side's VJP)
         def hybrid_split(csr):
             dense, resid = split_dense_tiles(csr, block=block, min_tile_nnz=min_tile_nnz)
             tiles = BsrFlat.from_scipy(dense, block=block, dtype=dtype) if dense.nnz else None
             rest = TrimmedBell.from_scipy(resid, dtype=dtype)
             return tiles, rest
 
-        b_tiles, b_rest = hybrid_split(b_scaled)
         bt_tiles, bt_rest = hybrid_split(b_scaled.T.tocsr())
+        b_tiles, b_rest = hybrid_split(b_scaled)
         r_tiles, r_rest = hybrid_split(r_csr)
 
-        diag = ((1.0 - m_count) / d).astype(np.float32)
         return FactorizedAdjacency(
-            b_tiles=b_tiles,
             bt_tiles=bt_tiles,
-            b_rest=b_rest,
             bt_rest=bt_rest,
+            b_tiles=b_tiles,
+            b_rest=b_rest,
             r_tiles=r_tiles,
             r_rest=r_rest,
             diag=jnp.asarray(diag),
@@ -256,13 +188,93 @@ class FactorizedAdjacency:
     def nnz_factored(self) -> int:
         """Device-side work: padded bell slots + dense-tile cells."""
         total = 0
-        for rest in (self.b_rest, self.bt_rest, self.r_rest):
+        for rest in (self.bt_rest, self.b_rest, self.r_rest):
             if rest is not None:
                 total += rest.bell.padded_slots
-        for tiles in (self.b_tiles, self.bt_tiles, self.r_tiles):
+        for tiles in (self.bt_tiles, self.b_tiles, self.r_tiles):
             if tiles is not None:
                 total += int(tiles.n_tiles) * tiles.block**2
         return total
+
+
+def host_factors(groups: dict, n: int, *, direct: tuple | None = None):
+    """The exact host-side factors of Â over a mention structure.
+
+    Returns ``(b_scaled, r_csr, diag, g_count)``: the scaled incidence
+    B' = D^-1/2·B as [n, g_count] csr (hubs ordered by audience median
+    position), the symmetric correction R' = D^-1/2(Dir − C)D^-1/2, the
+    elementwise term (1 − mᵢ)/dᵢ, and the surviving group count. Shared by
+    the single-chip operand builder and the distributed partitioner.
+    """
+    member_lists = [np.unique(np.asarray(list(m), dtype=np.int64)) for m in groups.values()]
+    member_lists = [m for m in member_lists if len(m) >= 2]
+    g_count = len(member_lists)
+
+    # incidence B (size-1 groups create no edges and cancel against the
+    # diag(M) term, so they are dropped before anything is counted)
+    if g_count:
+        # hub order: audience median position — aligns the hub axis with
+        # a community-contiguous user order
+        med = np.asarray([float(np.median(m)) for m in member_lists])
+        hub_order = np.argsort(med, kind="stable")
+        member_lists = [member_lists[g] for g in hub_order]
+        b_rows = np.concatenate(member_lists)
+        b_cols = np.repeat(
+            np.arange(g_count, dtype=np.int64), [len(m) for m in member_lists]
+        )
+    else:
+        b_rows = np.zeros(0, dtype=np.int64)
+        b_cols = np.zeros(0, dtype=np.int64)
+    m_count = np.bincount(b_rows, minlength=n).astype(np.int64)
+
+    # pair multiplicities M_off: one entry per unordered pair per group
+    p_src, p_dst = _group_pairs(member_lists, n)
+    if direct is not None and len(direct[0]):
+        d_src = np.asarray(direct[0], dtype=np.int64)
+        d_dst = np.asarray(direct[1], dtype=np.int64)
+        keep = d_src != d_dst
+        d_src, d_dst = d_src[keep], d_dst[keep]
+        # dedup + canonical orientation; Dir is binary
+        lo, hi = np.minimum(d_src, d_dst), np.maximum(d_src, d_dst)
+        pairs = np.unique(lo.astype(np.int64) * n + hi)
+        dir_lo, dir_hi = pairs // n, pairs % n
+    else:
+        dir_lo = dir_hi = np.zeros(0, dtype=np.int64)
+
+    e_src = np.concatenate([p_src, dir_lo])
+    e_dst = np.concatenate([p_dst, dir_hi])
+    # E = M_off + Dir with counts (upper triangle); A = binarize(E)
+    e_upper = sp.coo_matrix(
+        (np.ones(len(e_src), np.float64), (np.minimum(e_src, e_dst), np.maximum(e_src, e_dst))),
+        shape=(n, n),
+    ).tocsr()
+    e_upper.sum_duplicates()
+    a_upper = e_upper.copy()
+    a_upper.data[:] = 1.0
+    deg = np.asarray(a_upper.sum(axis=0)).ravel() + np.asarray(a_upper.sum(axis=1)).ravel()
+    d = deg + 1.0  # rowsum of A + I
+    s = 1.0 / np.sqrt(d)
+
+    # R = Dir − C = Dir − (E − A) ; build upper-triangle values then mirror
+    r_upper = a_upper - e_upper  # = −C  (≤ 0 entries)
+    if len(dir_lo):
+        r_upper = r_upper + sp.coo_matrix(
+            (np.ones(len(dir_lo), np.float64), (dir_lo, dir_hi)), shape=(n, n)
+        ).tocsr()
+    r_upper.eliminate_zeros()
+    r_sym = r_upper + r_upper.T
+    # scale: R' = S R S
+    r_sym = sp.diags(s) @ r_sym @ sp.diags(s)
+    r_csr = sp.csr_matrix(r_sym, dtype=np.float32)
+    r_csr.sort_indices()
+
+    b_scaled = sp.coo_matrix(
+        (s[b_rows].astype(np.float32), (b_rows, b_cols)), shape=(n, max(g_count, 1))
+    ).tocsr()
+    b_scaled.sort_indices()
+
+    diag = ((1.0 - m_count) / d).astype(np.float32)
+    return b_scaled, r_csr, diag, g_count
 
 
 def _group_pairs(member_lists: list, n: int):
@@ -305,22 +317,58 @@ def materialize_projection(
     return a.astype(np.float32)
 
 
+def _raw_apply(fa: FactorizedAdjacency, h: jax.Array, gather_dtype) -> jax.Array:
+    """Â·h in factored form: B'(B'ᵀh) + R'h + diag⊙h (no VJP wrapping)."""
+    y = _apply_factor(
+        fa.bt_tiles, fa.bt_rest, h, n_out=fa.n_groups, gather_dtype=gather_dtype
+    )
+    out = _apply_factor(
+        fa.b_tiles, fa.b_rest, y, n_out=fa.n_rows, gather_dtype=gather_dtype
+    )
+    if fa.r_tiles is not None or fa.r_rest is not None:
+        out = out + _apply_factor(
+            fa.r_tiles, fa.r_rest, h, n_out=fa.n_rows, gather_dtype=gather_dtype
+        )
+    return out + fa.diag[:, None] * h[: fa.n_rows]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _factorized_core(fa, h, gather_dtype):
+    return _raw_apply(fa, h, gather_dtype)
+
+
+def _factorized_fwd(fa, h, gather_dtype):
+    # zero-size dtype marker so bwd casts dh back to the primal h dtype
+    return _raw_apply(fa, h, gather_dtype), (fa, jnp.zeros((0,), h.dtype), h.shape[0])
+
+
+def _factorized_bwd(gather_dtype, res, g):
+    fa, marker, n_in = res
+    # the composed operator is SYMMETRIC (Â = Âᵀ), so the input cotangent is
+    # the same factored apply on g — the backward reuses every forward layout
+    # choice (tiles for big-table sides, bell for the small-table side)
+    dh = _raw_apply(fa, g.astype(marker.dtype), gather_dtype).astype(marker.dtype)
+    if n_in != dh.shape[0]:  # h may carry extra (padding) rows — zero cotangent
+        dh = jnp.zeros((n_in, dh.shape[1]), dh.dtype).at[: dh.shape[0]].set(dh)
+    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    zeros_fa = jax.tree.map(
+        lambda leaf: f0(leaf) if jnp.issubdtype(leaf.dtype, jnp.integer) else leaf * 0.0,
+        fa,
+    )
+    return (zeros_fa, dh)
+
+
+_factorized_core.defvjp(_factorized_fwd, _factorized_bwd)
+
+
 def spmm_factorized(
     fa: FactorizedAdjacency, h: jax.Array, *, gather_dtype=None
 ) -> jax.Array:
     """Â·h in factored form: B'(B'ᵀh) + R'h + diag⊙h.
 
-    Differentiable in h through the factor ops' custom VJPs; the composed
-    operator is symmetric so the cotangent is the same operator applied to g.
+    One custom VJP covers the WHOLE composition: Â is symmetric, so the
+    backward is the identical factored apply on the cotangent — no per-op
+    transpose operands, restores, or scatter-adds beyond the forward's own.
     """
-    y = _apply_factor(
-        fa.bt_tiles, fa.b_tiles, fa.bt_rest, h, n_out=fa.n_groups, gather_dtype=gather_dtype
-    )
-    out = _apply_factor(
-        fa.b_tiles, fa.bt_tiles, fa.b_rest, y, n_out=fa.n_rows, gather_dtype=gather_dtype
-    )
-    if fa.r_tiles is not None or fa.r_rest is not None:
-        out = out + _apply_factor(
-            fa.r_tiles, fa.r_tiles, fa.r_rest, h, n_out=fa.n_rows, gather_dtype=gather_dtype
-        )
-    return out + fa.diag[:, None] * h[: fa.n_rows]
+    gd = None if gather_dtype is None else jnp.dtype(gather_dtype)
+    return _factorized_core(fa, h, gd)

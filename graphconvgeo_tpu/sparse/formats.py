@@ -351,6 +351,10 @@ class BucketedEll:
     perm: jax.Array  # [n_rows] int32
     inv_perm: jax.Array  # [n_rows] int32
     n_cols: int = dataclasses.field(metadata=dict(static=True))
+    # True when the rows were ALREADY grouped by descending bucket width, so
+    # perm is the identity and the restore gather (a measured 5.5 ms take at
+    # 262k×512, PERF.md) can be skipped entirely
+    natural: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     @property
     def n_rows(self) -> int:
@@ -370,16 +374,28 @@ class BucketedEll:
         csr.sort_indices()
         n_rows, n_cols = csr.shape
         deg = np.diff(csr.indptr)
-        perm = np.argsort(-deg, kind="stable").astype(np.int32)
-        deg_sorted = deg[perm]
-        # descending width ladder ≥ max degree (rows sorted descending)
         widths = bucket_widths(int(deg.max()) if n_rows and deg.max() else 1)
+        # natural-order fast path: when rows already arrive grouped by
+        # descending bucket width (e.g. a degree-major node ordering), the
+        # per-bucket outputs concatenate back in original order — no sort
+        # permutation and no restore gather
+        kneed = np.power(2.0, np.ceil(np.log2(np.maximum(deg, 1)))).astype(np.int64)
+        natural = n_rows == 0 or bool(np.all(np.diff(kneed) <= 0))
+        if natural:
+            perm = np.arange(n_rows, dtype=np.int32)
+            deg_sorted = deg
+        else:
+            perm = np.argsort(-deg, kind="stable").astype(np.int32)
+            deg_sorted = deg[perm]
         indices, values, row_ids = [], [], []
         start = 0
         for b, k in enumerate(widths):
             lower = widths[b + 1] if b + 1 < len(widths) else 0
-            # rows with lower < deg <= k  (descending order ⇒ contiguous)
-            end = start + int(np.searchsorted(-deg_sorted[start:], -lower))
+            # rows with lower < deg <= k  (bucket-grouped ⇒ contiguous)
+            if natural:
+                end = start + int(np.sum(kneed[start:] == k))
+            else:
+                end = start + int(np.searchsorted(-deg_sorted[start:], -lower))
             if b + 1 == len(widths):
                 end = n_rows  # last bucket takes everything left (incl. deg 0)
             if end == start:
@@ -411,6 +427,7 @@ class BucketedEll:
             perm=jnp.asarray(perm),
             inv_perm=jnp.asarray(inv_perm),
             n_cols=n_cols,
+            natural=natural,
         )
 
 

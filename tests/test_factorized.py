@@ -140,7 +140,7 @@ def test_factorized_dense_tile_path(rng):
     groups = {f"big{c}": list(range(c * 64, c * 64 + 40)) for c in range(4)}
     groups.update({f"x{g}": r.choice(n, size=3, replace=False).tolist() for g in range(20)})
     fa = FactorizedAdjacency.from_groups(groups, n, block=64, min_tile_nnz=16)
-    assert fa.bt_tiles is not None or fa.b_tiles is not None  # tile path exercised
+    assert fa.bt_tiles is not None  # tile path exercised
     a_hat = normalize_adjacency(materialize_projection(groups, n))
     dense = jnp.asarray(a_hat.toarray())
     h = jnp.asarray(r.normal(size=(n, 8)).astype(np.float32))
@@ -169,10 +169,10 @@ def test_bipartite_reordering_tiles_incidence():
     def tiled_fraction(gs):
         fa = FactorizedAdjacency.from_groups(gs, n, block=128, min_tile_nnz=48)
         tiles = 0
-        for t in (fa.b_tiles,):
+        for t in (fa.bt_tiles,):
             if t is not None:
                 tiles += int((np.asarray(t.tiles) != 0).sum())
-        rest = fa.b_rest.bell.padded_slots if fa.b_rest is not None else 0
+        rest = fa.bt_rest.bell.padded_slots if fa.bt_rest is not None else 0
         return tiles / max(tiles + rest, 1)
 
     before = tiled_fraction(groups)
