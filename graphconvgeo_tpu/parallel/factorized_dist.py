@@ -1,0 +1,172 @@
+"""Edge-partitioned training over the FACTORIZED projection adjacency.
+
+The materialized distributed path (``model_dist.py``) must halo-exchange
+every boundary neighbor's features because Â's edges are the projected
+cliques. Factored (``sparse/factorized.py``), the clique mass B'·B'ᵀ needs
+NO per-edge halo at all:
+
+    y = B'ᵀ h  =  Σ_d (B'_d)ᵀ h_d      — per-device partial hub sums,
+                                          computed from LOCAL rows only
+    y = psum(partials)                  — ONE [G, F] all-reduce on ICI
+    z = B'_d y                          — local again (y is replicated)
+
+so the only per-edge communication left is the halo of the tiny correction
+R' (pairs sharing ≥2 hubs + direct mentions, a few % of the materialized
+edges) — which reuses the existing ``build_halo`` machinery verbatim, just
+over R' instead of Â. This is the tensor-parallel shape of the problem: the
+hub axis is the contraction axis, the all-reduce is its psum.
+
+The [G, F] all-reduce is the trade: it beats the halo when G·F is small
+against the boundary-row volume (true for mention graphs — G is the number
+of surviving shared accounts). For very large G, shard the hub axis and
+reduce-scatter instead; documented as the scale-out follow-up.
+
+Reference has no analog (single process, SURVEY.md §2 "parallelism: none").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+try:
+    from jax import shard_map  # jax >= 0.6
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from graphconvgeo_tpu.data.pipeline import Dataset
+from graphconvgeo_tpu.models.gcn import GCNConfig
+from graphconvgeo_tpu.parallel.mesh import GRAPH_AXIS
+from graphconvgeo_tpu.parallel.model_dist import DistHighwayGCN, _op_specs
+from graphconvgeo_tpu.parallel.partition import RowPartition, partition_rows, stack_operand
+from graphconvgeo_tpu.parallel.spmm_dist import _spmm_op_core, device_slice
+from graphconvgeo_tpu.sparse.factorized import host_factors
+
+
+@dataclasses.dataclass
+class FactorizedPartition:
+    """Host plan: R' row-partitioned like an adjacency, plus per-device
+    incidence blocks and the elementwise diagonal."""
+
+    part: RowPartition  # row partition of R' (+ features, labels, masks)
+    b_blocks: list  # per-device csr [rpd, G]  (B' row slices)
+    bt_blocks: list  # per-device csr [G, rpd] (their transposes)
+    diag: np.ndarray  # [n_pad] (1 − mᵢ)/dᵢ, padding rows 0
+    n_groups: int
+
+
+def partition_factorized(
+    ds: Dataset, n_devices: int, *, row_align: int = 8
+) -> FactorizedPartition:
+    """Build the distributed factorized plan from a pipeline dataset (needs
+    the mention structure — ``Dataset.groups_offsets`` et al.)."""
+    if ds.groups_offsets is None or len(ds.groups_offsets) == 0:
+        raise ValueError("dataset lacks the mention structure; re-preprocess")
+    off, mem = ds.groups_offsets, ds.groups_members
+    groups = {g: mem[off[g] : off[g + 1]] for g in range(len(off) - 1)}
+    mask = np.zeros(ds.n_nodes, dtype=np.float32)
+    mask[ds.train_idx] = 1.0
+    return partition_factorized_raw(
+        groups, ds.x, ds.y, mask, n_devices,
+        direct=(ds.direct_src, ds.direct_dst), row_align=row_align,
+    )
+
+
+def partition_factorized_raw(
+    groups: dict,
+    x: sp.csr_matrix,
+    y: np.ndarray,
+    train_mask: np.ndarray,
+    n_devices: int,
+    *,
+    direct: tuple | None = None,
+    row_align: int = 8,
+) -> FactorizedPartition:
+    n = x.shape[0]
+    b_scaled, r_csr, diag, g_count = host_factors(groups, n, direct=direct)
+    part = partition_rows(r_csr, x, y, train_mask, n_devices, row_align=row_align)
+    rpd, n_pad = part.rows_per_device, part.n_pad
+    if b_scaled.shape[0] != n_pad:
+        b_scaled = sp.vstack(
+            [b_scaled, sp.csr_matrix((n_pad - n, b_scaled.shape[1]), dtype=b_scaled.dtype)]
+        ).tocsr()
+    b_blocks = [b_scaled[d * rpd : (d + 1) * rpd].tocsr() for d in range(n_devices)]
+    bt_blocks = [b.T.tocsr() for b in b_blocks]
+    diag_pad = np.zeros(n_pad, dtype=np.float32)
+    diag_pad[:n] = diag
+    return FactorizedPartition(
+        part=part,
+        b_blocks=b_blocks,
+        bt_blocks=bt_blocks,
+        diag=diag_pad,
+        n_groups=max(g_count, 1),
+    )
+
+
+class DistFactorizedGCN(DistHighwayGCN):
+    """Distributed Highway-GCN whose convolution applies the factored Â.
+
+    The parent class is constructed over R' (its halo/all-gather machinery
+    handles the correction term); this subclass adds the incidence factor
+    with its single [G, F] psum and the diagonal term.
+    """
+
+    def __init__(
+        self,
+        cfg: GCNConfig,
+        fpart: FactorizedPartition,
+        mesh,
+        *,
+        halo: str = "auto",
+        dist_format: str = "bell",
+        halo_mode: str = "alltoall",
+    ):
+        super().__init__(
+            cfg, fpart.part, mesh,
+            halo=halo, local_backend="bell",
+            dist_format=dist_format, halo_mode=halo_mode,
+        )
+        self.n_groups = fpart.n_groups
+
+        def put(op):
+            sh = jax.tree.map(
+                lambda l: NamedSharding(mesh, P(GRAPH_AXIS, *([None] * (l.ndim - 1)))), op
+            )
+            return jax.device_put(jax.tree.map(jnp.asarray, op), sh)
+
+        self.data["b"] = put(stack_operand(fpart.b_blocks, dist_format))
+        self.data["bt"] = put(stack_operand(fpart.bt_blocks, dist_format))
+        self.data["diag"] = jax.device_put(
+            jnp.asarray(fpart.diag), NamedSharding(mesh, P(GRAPH_AXIS))
+        )
+
+    def _conv(self, hw, data):
+        # correction term R'·hw through the parent's halo / all-gather path
+        out = super()._conv(hw, data)
+
+        def body(h, b, bt):
+            # per-device partial hub sums → one all-reduce → local expand.
+            # pcast re-marks the replicated y as device-varying so the SpMM
+            # custom VJP's (varying) cotangent is legal; its transpose is the
+            # psum the replicated value's gradient needs — AD inserts it
+            partial = _spmm_op_core(device_slice(bt), device_slice(b), h)
+            y = jax.lax.pcast(jax.lax.psum(partial, GRAPH_AXIS), GRAPH_AXIS, to="varying")
+            return _spmm_op_core(device_slice(b), device_slice(bt), y)
+
+        z = shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(
+                P(GRAPH_AXIS, None),
+                _op_specs(data["b"]),
+                _op_specs(data["bt"]),
+            ),
+            out_specs=P(GRAPH_AXIS, None),
+        )(hw, data["b"], data["bt"])
+        return out + z + data["diag"][:, None] * hw

@@ -1,0 +1,107 @@
+"""Distributed FACTORIZED path on the 8-virtual-device CPU mesh: the
+incidence-psum convolution (parallel/factorized_dist.py) must reproduce the
+single-device factorized model — which itself is oracle-tested against the
+materialized Â (tests/test_factorized.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graphconvgeo_tpu.models.gcn import GCNConfig, HighwayGCN
+from graphconvgeo_tpu.parallel.factorized_dist import (
+    DistFactorizedGCN,
+    partition_factorized_raw,
+)
+from graphconvgeo_tpu.parallel.mesh import make_graph_mesh
+from graphconvgeo_tpu.sparse.factorized import FactorizedAdjacency
+from graphconvgeo_tpu.sparse.formats import SparseGraph
+from tests.conftest import random_csr
+
+
+def _mk_problem(rng, n=96, v=30, classes=5, n_groups=40):
+    groups = {}
+    for g in range(n_groups):
+        size = int(rng.integers(2, 8))
+        groups[f"hub{g}"] = rng.choice(n, size=size, replace=False).tolist()
+    direct = (rng.integers(0, n, 15), rng.integers(0, n, 15))
+    x = random_csr(rng, n, v, 6)
+    x.data = np.abs(x.data).astype(np.float32)
+    y = rng.integers(0, classes, n).astype(np.int32)
+    mask = (rng.random(n) < 0.6).astype(np.float32)
+    cfg = GCNConfig(n_features=v, n_classes=classes, hidden=(16, 16), highway=True, dropout=0.3)
+    return groups, direct, x, y, mask, cfg
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8
+    return make_graph_mesh(8)
+
+
+def _single_and_dist(rng, mesh, seed=0):
+    groups, direct, x, y, mask, cfg = _mk_problem(rng)
+    fa = FactorizedAdjacency.from_groups(groups, x.shape[0], direct=direct)
+    single = HighwayGCN(cfg, SparseGraph(csr=x), fa)
+    params = single.init(jax.random.key(seed))
+    fpart = partition_factorized_raw(groups, x, y, mask, 8, direct=direct)
+    dist = DistFactorizedGCN(cfg, fpart, mesh)
+    dparams = jax.device_put(
+        params, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    )
+    return single, params, dist, dparams, x.shape[0], y, mask
+
+
+def test_dist_factorized_forward_matches_single(rng, mesh):
+    single, params, dist, dparams, n, y, mask = _single_and_dist(rng, mesh)
+    logits_single = np.asarray(single.apply(params, train=False))
+    logits_dist = np.asarray(jax.jit(lambda p: dist.apply(p, train=False))(dparams))
+    np.testing.assert_allclose(logits_dist[:n], logits_single, rtol=2e-4, atol=2e-5)
+    assert np.isfinite(logits_dist).all()
+
+
+def test_dist_factorized_loss_and_grads_match(rng, mesh):
+    single, params, dist, dparams, n, y, mask = _single_and_dist(rng, mesh, seed=1)
+    loss_single, grads_single = jax.value_and_grad(
+        lambda p: single.loss(p, jnp.asarray(y), jnp.asarray(mask), train=False)
+    )(params)
+    loss_dist, grads_dist = jax.jit(
+        jax.value_and_grad(lambda p: dist.loss(p, train=False))
+    )(dparams)
+    np.testing.assert_allclose(float(loss_dist), float(loss_single), rtol=1e-5)
+    for gs, gd in zip(jax.tree.leaves(grads_single), jax.tree.leaves(grads_dist)):
+        np.testing.assert_allclose(np.asarray(gd), np.asarray(gs), rtol=5e-4, atol=1e-5)
+
+
+def test_dist_factorized_train_step_learns(rng, mesh):
+    _, _, dist, dparams, n, y, mask = _single_and_dist(rng, mesh, seed=2)
+    opt, step = dist.make_train_step(learning_rate=5e-2)
+    import optax
+
+    opt_state = opt.init(dparams)
+    params = dparams
+    losses = []
+    key = jax.random.key(3)
+    for i in range(6):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, sub)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_dist_factorized_single_device_mesh(rng):
+    groups, direct, x, y, mask, cfg = _mk_problem(rng, n=40, n_groups=15)
+    mesh1 = make_graph_mesh(1)
+    fpart = partition_factorized_raw(groups, x, y, mask, 1, direct=direct)
+    dist = DistFactorizedGCN(cfg, fpart, mesh1)
+    fa = FactorizedAdjacency.from_groups(groups, x.shape[0], direct=direct)
+    single = HighwayGCN(cfg, SparseGraph(csr=x), fa)
+    params = single.init(jax.random.key(4))
+    dparams = jax.device_put(
+        params, jax.sharding.NamedSharding(mesh1, jax.sharding.PartitionSpec())
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(lambda p: dist.apply(p, train=False))(dparams))[: x.shape[0]],
+        np.asarray(single.apply(params, train=False)),
+        rtol=2e-4, atol=2e-5,
+    )
