@@ -56,6 +56,10 @@ def parse_args(argv=None):
     p.add_argument("--heads", type=int, default=4, help="attention heads (--model gat)")
     p.add_argument("--attn-dropout", type=float, default=0.0,
                    help="dropout on attention coefficients (--model gat)")
+    p.add_argument("--att-backend", choices=("bucketed", "tiled"), default="bucketed",
+                   help="GAT attention operand: degree-bucketed gathers (any "
+                        "graph) or flash-style MXU tile kernels (community-"
+                        "reordered mention graphs; no attn-dropout)")
     p.add_argument("--epochs", type=int, default=500)
     p.add_argument("--patience", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
@@ -142,6 +146,7 @@ def run_one(args, ds, *, dropout=None, l2=None, hidden=None, lr=None, quiet=None
             l2=args.l2 if l2 is None else l2,
             gather_dtype=args.gather_dtype,
             input_hot_cache=args.input_cache,
+            att_backend=args.att_backend,
         )
         model = GraphAttentionNet(cfg, x_graph, adj_graph)
     else:

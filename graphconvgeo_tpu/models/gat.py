@@ -59,6 +59,10 @@ class GATConfig:
     # opt-in hot-column cache for the BoW input layer (see
     # GCNConfig.input_hot_cache for the measured guidance — shared layer)
     input_hot_cache: bool = False
+    # 'bucketed' (degree-bucketed gathers — any graph) | 'tiled' (flash-style
+    # MXU kernels over pattern tiles + bucketed rest — community-reordered
+    # mention graphs; no attn_dropout support)
+    att_backend: str = "bucketed"
 
     def __post_init__(self):
         for h in self.hidden:
@@ -68,6 +72,10 @@ class GATConfig:
                 )
         if self.activation not in _ACTIVATIONS:
             raise ValueError(f"unknown activation {self.activation!r}")
+        if self.att_backend not in ("bucketed", "tiled"):
+            raise ValueError(f"unknown att_backend {self.att_backend!r}")
+        if self.att_backend == "tiled" and self.attn_dropout > 0.0:
+            raise ValueError("att_backend='tiled' does not support attn_dropout")
 
 
 def _glorot(key, shape, dtype):
@@ -113,14 +121,20 @@ class GraphAttentionNet:
         self.adj = adj
         self._dtype = jnp.dtype(cfg.dtype)
         x_cached = CachedBell.from_scipy(x.csr) if cfg.input_hot_cache else None
+        if cfg.att_backend == "tiled":
+            from graphconvgeo_tpu.sparse.attention_tiles import TiledAttentionPattern
+
+            att = TiledAttentionPattern.from_scipy(adj.csr)
+        else:
+            # Degree-bucketed layout: plain ELL pads every row to the max
+            # degree, infeasible on power-law mention graphs (hub users).
+            att = BucketedAttention.from_scipy(adj.csr)
         self.arrays = {
             "x": x_cached if x_cached is not None else x.bell(),
             "x_t": None if x_cached is not None else x.bell_t(),
             # attention uses the adjacency PATTERN only (scores replace Â's
             # values); self-loops are already present in the normalized csr.
-            # Degree-bucketed layout: plain ELL pads every row to the max
-            # degree, infeasible on power-law mention graphs (hub users).
-            "att": BucketedAttention.from_scipy(adj.csr),
+            "att": att,
         }
 
     def init(self, key: jax.Array) -> dict:

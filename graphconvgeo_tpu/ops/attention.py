@@ -209,6 +209,18 @@ def gat_attention(
     :func:`gat_attention_bucketed` for :class:`BucketedAttention` operands
     (the scale-robust layout for power-law degree distributions).
     """
+    from graphconvgeo_tpu.sparse.attention_tiles import TiledAttentionPattern
+
+    if isinstance(att, TiledAttentionPattern):
+        from graphconvgeo_tpu.ops.attention_tiled import gat_attention_tiled
+
+        if attn_dropout > 0.0:
+            raise ValueError(
+                "attn_dropout is not supported by the tiled attention backend "
+                "(attention weights are recomputed on the fly, never "
+                "materialized); use att_backend='bucketed'"
+            )
+        return gat_attention_tiled(att, hw, a_src, a_dst, negative_slope=negative_slope)
     if isinstance(att, BucketedAttention):
         return gat_attention_bucketed(
             att, hw, a_src, a_dst,

@@ -1,0 +1,461 @@
+"""Tiled GAT attention — FlashAttention-style kernels over pattern tiles.
+
+One layer = four Pallas passes over the mask tiles (scores recomputed on the
+fly from the narrow s/d vectors — per-edge attention weights are NEVER
+materialized in HBM) plus the bucketed rest path for edges outside dense
+tiles, sharing the same shift and softmax denominators so the result is
+exact:
+
+  max pass   →  per-row score maxima m                 (narrow)
+  fwd pass   →  unnormalized aggregation + denominators (one F-wide pass)
+  bwd row    →  ds   (per-tile SDDMM ḡ·zᵀ on the MXU)
+  bwd col    →  dz, dd (transpose sweep, alphaᵀ·ḡ on the MXU)
+
+The whole layer is ONE custom VJP: the backward math
+  dα = ḡ·zᵀ;  c_i = ⟨ḡ_i, out_i⟩;  dσ = α (dα − c);  draw = dσ·σ'(raw)
+  ds_i = Σ_j draw;  dd_j = Σ_i draw;  dz_j = Σ_i α_ij ḡ_i
+needs only narrow per-row residuals (m, den) beyond the primal inputs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from graphconvgeo_tpu.sparse.attention_tiles import TiledAttentionPattern
+from graphconvgeo_tpu.sparse.formats import _round_up
+
+_NEG = -1e30
+
+
+def _leaky(x, slope):
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def _interpret():
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------- max pass
+def _max_kernel(first_ref, rblk_ref, cblk_ref, mask_ref, s_ref, d_ref, m_ref, *, heads, slope):
+    t = pl.program_id(0)
+
+    @pl.when(first_ref[t] == 1)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG)
+
+    mask = mask_ref[0].astype(jnp.float32)
+    for h in range(heads):
+        raw = s_ref[:, h][:, None] + d_ref[:, h][None, :]
+        sc = jnp.where(mask > 0, _leaky(raw, slope), _NEG)
+        m_ref[:, h] = jnp.maximum(m_ref[:, h], sc.max(axis=1))
+
+
+def _tile_max(att, s, d, *, slope):
+    b, t_n = att.block, att.n_tiles
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(t_n,),
+        in_specs=[
+            pl.BlockSpec((1, b, b), lambda t, f, r, c: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, s.shape[1]), lambda t, f, r, c: (r[t], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, d.shape[1]), lambda t, f, r, c: (c[t], 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (b, s.shape[1]), lambda t, f, r, c: (r[t], 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_max_kernel, heads=s.shape[1], slope=slope),
+        out_shape=jax.ShapeDtypeStruct(s.shape, jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(att.first, att.rowblk, att.colblk, att.mask, s, d)
+
+
+# ---------------------------------------------------------------- forward
+def _fwd_kernel(
+    first_ref, rblk_ref, cblk_ref, mask_ref, s_ref, d_ref, m_ref, z_ref, o_ref, den_ref,
+    *, heads, slope,
+):
+    t = pl.program_id(0)
+
+    @pl.when(first_ref[t] == 1)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+        den_ref[:] = jnp.zeros_like(den_ref)
+
+    mask = mask_ref[0].astype(jnp.float32)
+    for h in range(heads):
+        raw = s_ref[:, h][:, None] + d_ref[:, h][None, :]
+        e = jnp.exp(_leaky(raw, slope) - m_ref[:, h][:, None]) * mask
+        den_ref[:, h] += e.sum(axis=1)
+        o_ref[:, h, :] += jnp.dot(
+            e, z_ref[:, h, :], preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+
+def _tile_fwd(att, s, d, m, z, *, slope):
+    b, t_n = att.block, att.n_tiles
+    heads, fp = z.shape[1], z.shape[2]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(t_n,),
+        in_specs=[
+            pl.BlockSpec((1, b, b), lambda t, f, r, c: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, heads), lambda t, f, r, c: (r[t], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, heads), lambda t, f, r, c: (c[t], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, heads), lambda t, f, r, c: (r[t], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, heads, fp), lambda t, f, r, c: (c[t], 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, heads, fp), lambda t, f, r, c: (r[t], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, heads), lambda t, f, r, c: (r[t], 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, heads=heads, slope=slope),
+        out_shape=[
+            jax.ShapeDtypeStruct((s.shape[0], heads, fp), jnp.float32),
+            jax.ShapeDtypeStruct(s.shape, jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(att.first, att.rowblk, att.colblk, att.mask, s, d, m, z)
+
+
+# ---------------------------------------------------------------- bwd: ds
+def _bwd_row_kernel(
+    first_ref, rblk_ref, cblk_ref, mask_ref, s_ref, d_ref, m_ref, den_ref, c_ref,
+    z_ref, g_ref, ds_ref, *, heads, slope,
+):
+    t = pl.program_id(0)
+
+    @pl.when(first_ref[t] == 1)
+    def _():
+        ds_ref[:] = jnp.zeros_like(ds_ref)
+
+    mask = mask_ref[0].astype(jnp.float32)
+    for h in range(heads):
+        raw = s_ref[:, h][:, None] + d_ref[:, h][None, :]
+        e = jnp.exp(_leaky(raw, slope) - m_ref[:, h][:, None]) * mask
+        alpha = e / den_ref[:, h][:, None]
+        dalpha = jnp.dot(
+            g_ref[:, h, :], z_ref[:, h, :].T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        draw = alpha * (dalpha - c_ref[:, h][:, None])
+        draw = draw * jnp.where(raw >= 0, 1.0, slope)
+        ds_ref[:, h] += draw.sum(axis=1)
+
+
+def _tile_bwd_row(att, s, d, m, den, c, z, g, *, slope):
+    b, t_n = att.block, att.n_tiles
+    heads, fp = z.shape[1], z.shape[2]
+    spec_n = lambda idx: pl.BlockSpec((b, heads), idx, memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(t_n,),
+        in_specs=[
+            pl.BlockSpec((1, b, b), lambda t, f, r, c2: (t, 0, 0), memory_space=pltpu.VMEM),
+            spec_n(lambda t, f, r, c2: (r[t], 0)),
+            spec_n(lambda t, f, r, c2: (c2[t], 0)),
+            spec_n(lambda t, f, r, c2: (r[t], 0)),
+            spec_n(lambda t, f, r, c2: (r[t], 0)),
+            spec_n(lambda t, f, r, c2: (r[t], 0)),
+            pl.BlockSpec((b, heads, fp), lambda t, f, r, c2: (c2[t], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, heads, fp), lambda t, f, r, c2: (r[t], 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (b, heads), lambda t, f, r, c2: (r[t], 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_row_kernel, heads=heads, slope=slope),
+        out_shape=jax.ShapeDtypeStruct(s.shape, jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(att.first, att.rowblk, att.colblk, att.mask, s, d, m, den, c, z, g)
+
+
+# ------------------------------------------------------------ bwd: dz, dd
+def _bwd_col_kernel(
+    pt_ref, firstt_ref, rblk_ref, cblk_ref, mask_ref, s_ref, d_ref, m_ref, den_ref,
+    c_ref, z_ref, g_ref, dz_ref, dd_ref, *, heads, slope,
+):
+    t = pl.program_id(0)
+
+    @pl.when(firstt_ref[t] == 1)
+    def _():
+        dz_ref[:] = jnp.zeros_like(dz_ref)
+        dd_ref[:] = jnp.zeros_like(dd_ref)
+
+    mask = mask_ref[0].astype(jnp.float32)  # [i, j] orientation
+    for h in range(heads):
+        raw = s_ref[:, h][:, None] + d_ref[:, h][None, :]
+        e = jnp.exp(_leaky(raw, slope) - m_ref[:, h][:, None]) * mask
+        alpha = e / den_ref[:, h][:, None]
+        # dz_j = Σ_i α_ij ḡ_i
+        dz_ref[:, h, :] += jnp.dot(
+            alpha.T, g_ref[:, h, :], preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        dalpha = jnp.dot(
+            g_ref[:, h, :], z_ref[:, h, :].T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        draw = alpha * (dalpha - c_ref[:, h][:, None])
+        draw = draw * jnp.where(raw >= 0, 1.0, slope)
+        dd_ref[:, h] += draw.sum(axis=0)
+
+
+def _tile_bwd_col(att, s, d, m, den, c, z, g, *, slope):
+    b, t_n = att.block, att.n_tiles
+    heads, fp = z.shape[1], z.shape[2]
+    # step t processes tile pt[t]; row-side blocks index rblk[pt[t]],
+    # output (column-side) blocks index cblk[pt[t]] — non-decreasing
+    spec_row = lambda: pl.BlockSpec(
+        (b, heads), lambda t, p, f, r, c2: (r[p[t]], 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(t_n,),
+        in_specs=[
+            pl.BlockSpec((1, b, b), lambda t, p, f, r, c2: (p[t], 0, 0), memory_space=pltpu.VMEM),
+            spec_row(),
+            pl.BlockSpec((b, heads), lambda t, p, f, r, c2: (c2[p[t]], 0), memory_space=pltpu.VMEM),
+            spec_row(),
+            spec_row(),
+            spec_row(),
+            pl.BlockSpec(
+                (b, heads, fp), lambda t, p, f, r, c2: (c2[p[t]], 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (b, heads, fp), lambda t, p, f, r, c2: (r[p[t]], 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (b, heads, fp), lambda t, p, f, r, c2: (c2[p[t]], 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (b, heads), lambda t, p, f, r, c2: (c2[p[t]], 0), memory_space=pltpu.VMEM
+            ),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_col_kernel, heads=heads, slope=slope),
+        out_shape=[
+            jax.ShapeDtypeStruct(z.shape, jnp.float32),
+            jax.ShapeDtypeStruct(d.shape, jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(att.perm_t, att.first_t, att.rowblk, att.colblk, att.mask, s, d, m, den, c, z, g)
+
+
+# ------------------------------------------------------------- rest path
+def _rest_fwd(rest, s, d, m, z_heads, *, slope):
+    """Bucketed residual contributions (den_rest, o_rest) under the SAME
+    shift m. All raw jnp — differentiated by hand in the layer VJP."""
+    from graphconvgeo_tpu.ops.attention import _ell_matvec_heads
+
+    heads = s.shape[1]
+    n, fp = z_heads.shape[0], z_heads.shape[2]
+    s_sorted = jnp.take(s, rest.perm, axis=0)
+    m_sorted = jnp.take(m, rest.perm, axis=0)
+    dens, os_ = [], []
+    start = 0
+    z_flat = z_heads.reshape(n, heads * fp)
+    for idx, valid in zip(rest.indices, rest.valid):
+        n_b = idx.shape[0]
+        s_b = jax.lax.dynamic_slice_in_dim(s_sorted, start, n_b, 0)
+        m_b = jax.lax.dynamic_slice_in_dim(m_sorted, start, n_b, 0)
+        raw = s_b[:, None, :] + d[idx]  # [n_b, K, H]
+        e = jnp.exp(_leaky(raw, slope) - m_b[:, None, :]) * valid[:, :, None]
+        dens.append(e.sum(axis=1))
+        os_.append(_ell_matvec_heads(idx, e, z_flat))
+        start += n_b
+    den_rest = jnp.take(jnp.concatenate(dens, axis=0), rest.inv_perm, axis=0)
+    o_rest = jnp.take(jnp.concatenate(os_, axis=0), rest.inv_perm, axis=0)
+    return den_rest, o_rest.reshape(-1, heads, fp)
+
+
+def _rest_max(rest, s, d, *, slope):
+    s_sorted = jnp.take(s, rest.perm, axis=0)
+    outs, start = [], 0
+    for idx, valid in zip(rest.indices, rest.valid):
+        n_b = idx.shape[0]
+        s_b = jax.lax.dynamic_slice_in_dim(s_sorted, start, n_b, 0)
+        raw = s_b[:, None, :] + d[idx]
+        sc = jnp.where(valid[:, :, None] > 0, _leaky(raw, slope), _NEG)
+        outs.append(sc.max(axis=1))
+        start += n_b
+    return jnp.take(jnp.concatenate(outs, axis=0), rest.inv_perm, axis=0)
+
+
+def _rest_bwd(rest, s, d, m, den, c, z_heads, g_heads, *, slope):
+    """Residual-edge contributions to (ds, dd, dz)."""
+    from graphconvgeo_tpu.ops.attention import _ell_matvec_heads
+
+    heads = s.shape[1]
+    n, fp = z_heads.shape[0], z_heads.shape[2]
+    s_sorted = jnp.take(s, rest.perm, axis=0)
+    m_sorted = jnp.take(m, rest.perm, axis=0)
+    den_sorted = jnp.take(den, rest.perm, axis=0)
+    c_sorted = jnp.take(c, rest.perm, axis=0)
+    g_sorted = jnp.take(g_heads, rest.perm, axis=0)
+    alphas, draws, ds_parts = [], [], []
+    start = 0
+    for idx, valid in zip(rest.indices, rest.valid):
+        n_b = idx.shape[0]
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, n_b, 0)
+        raw = sl(s_sorted)[:, None, :] + d[idx]
+        e = jnp.exp(_leaky(raw, slope) - sl(m_sorted)[:, None, :]) * valid[:, :, None]
+        alpha = e / sl(den_sorted)[:, None, :]
+        nbr = z_heads[idx]  # [n_b, K, H, fp]
+        g_b = sl(g_sorted)
+        dalpha = jnp.einsum("nhf,nkhf->nkh", g_b, nbr)
+        draw = alpha * (dalpha - sl(c_sorted)[:, None, :])
+        draw = draw * jnp.where(raw >= 0, 1.0, slope) * valid[:, :, None]
+        alphas.append(alpha)
+        draws.append(draw)
+        ds_parts.append(draw.sum(axis=1))
+        start += n_b
+    ds = jnp.take(jnp.concatenate(ds_parts, axis=0), rest.inv_perm, axis=0)
+    # transpose layout: dz_j = Σ_i α_ij ḡ_i and dd_j = Σ_i draw_ij
+    alpha_flat = jnp.concatenate([a.reshape(-1, heads) for a in alphas], axis=0)
+    draw_flat = jnp.concatenate([w.reshape(-1, heads) for w in draws], axis=0)
+    g_flat = g_heads.reshape(n, heads * fp)
+    dz_parts, dd_parts = [], []
+    for idx_t, valid_t, pt in zip(rest.indices_t, rest.valid_t, rest.perm_t):
+        a_t = alpha_flat[pt.reshape(-1)].reshape(*pt.shape, heads) * valid_t[:, :, None]
+        w_t = draw_flat[pt.reshape(-1)].reshape(*pt.shape, heads) * valid_t[:, :, None]
+        dz_parts.append(_ell_matvec_heads(idx_t, a_t, g_flat))
+        dd_parts.append(w_t.sum(axis=1))
+    dz = jnp.take(jnp.concatenate(dz_parts, axis=0), rest.inv_perm_c, axis=0)
+    dd = jnp.take(jnp.concatenate(dd_parts, axis=0), rest.inv_perm_c, axis=0)
+    return ds, dd, dz.reshape(-1, heads, fp)
+
+
+# ---------------------------------------------------------- layer (VJP)
+def _pad_rows(a, rows):
+    if a.shape[0] == rows:
+        return a
+    pad = [(0, rows - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+    return jnp.pad(a, pad)
+
+
+def _prep(att: TiledAttentionPattern, z, a_src, a_dst):
+    heads, f = a_src.shape
+    fp = _round_up(f, 128)
+    n, m = att.n_rows, att.n_cols
+    npad = att.n_row_blocks * att.block
+    mpad = att.n_col_blocks * att.block
+    z_heads = z.reshape(z.shape[0], heads, f)
+    zp = _pad_rows(z_heads, mpad)
+    if fp != f:
+        zp = jnp.pad(zp, ((0, 0), (0, 0), (0, fp - f)))
+    s = _pad_rows(jnp.einsum("nhf,hf->nh", z_heads[:n], a_src), npad)
+    d = _pad_rows(jnp.einsum("nhf,hf->nh", z_heads, a_dst), mpad)
+    return z_heads, zp, s, d, heads, f, fp, n, npad, mpad
+
+
+def _layer_fwd_impl(att, z, a_src, a_dst, slope):
+    z_heads, zp, s, d, heads, f, fp, n, npad, mpad = _prep(att, z, a_src, a_dst)
+    # s rows are padded to the row grid, d rows to the column grid (the
+    # kernels index them by rowblk / colblk respectively)
+    m = _tile_max(att, s, d, slope=slope)
+    if att.rest is not None:
+        m = jnp.maximum(
+            m, _pad_rows(_rest_max(att.rest, s[:n], d[: z.shape[0]], slope=slope), npad)
+        )
+    m = jnp.where(m > _NEG / 2, m, 0.0)  # rows with no edges: neutral shift
+    o_un, den = _tile_fwd(att, s, d, m, zp, slope=slope)
+    if att.rest is not None:
+        den_r, o_r = _rest_fwd(att.rest, s[:n], d[: z.shape[0]], m[:n], z_heads, slope=slope)
+        den = den.at[:n].add(den_r)
+        if fp != f:
+            o_r = jnp.pad(o_r, ((0, 0), (0, 0), (0, fp - f)))
+        o_un = o_un.at[:n].add(o_r)
+    den = jnp.where(den > 0, den, 1.0)
+    out = (o_un / den[:, :, None])[:n, :, :f].reshape(n, heads * f)
+    return out, (s, d, m, den)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _tiled_gat_core(att, z, a_src, a_dst, slope):
+    return _layer_fwd_impl(att, z, a_src, a_dst, slope)[0]
+
+
+def _tiled_gat_fwd(att, z, a_src, a_dst, slope):
+    out, (s, d, m, den) = _layer_fwd_impl(att, z, a_src, a_dst, slope)
+    return out, (att, z, a_src, a_dst, out, s, d, m, den)
+
+
+def _tiled_gat_bwd(slope, res, g):
+    att, z, a_src, a_dst, out, s, d, m, den = res
+    heads, f = a_src.shape
+    fp = _round_up(f, 128)
+    n = att.n_rows
+    npad = att.n_row_blocks * att.block
+    mpad = att.n_col_blocks * att.block
+    z_heads = z.reshape(z.shape[0], heads, f)
+    zp = _pad_rows(z_heads, mpad)
+    g_heads = g.reshape(n, heads, f)
+    gp = _pad_rows(g_heads, npad)
+    if fp != f:
+        zp = jnp.pad(zp, ((0, 0), (0, 0), (0, fp - f)))
+        gp = jnp.pad(gp, ((0, 0), (0, 0), (0, fp - f)))
+    # c_i = ⟨ḡ_i, out_i⟩ per head (the softmax-vjp row term)
+    c = _pad_rows(
+        jnp.einsum("nhf,nhf->nh", g_heads, out.reshape(n, heads, f)), npad
+    )
+    ds = _tile_bwd_row(att, s, d, m, den, c, zp, gp, slope=slope)
+    dzp, dd = _tile_bwd_col(att, s, d, m, den, c, zp, gp, slope=slope)
+    if att.rest is not None:
+        ds_r, dd_r, dz_r = _rest_bwd(
+            att.rest, s[:n], d[: z_heads.shape[0]], m[:n], den[:n], c[:n],
+            z_heads, g_heads, slope=slope,
+        )
+        ds = ds.at[:n].add(ds_r)
+        dd = dd.at[: dd_r.shape[0]].add(dd_r)
+        dzp = dzp.at[: dz_r.shape[0]].add(jnp.pad(dz_r, ((0, 0), (0, 0), (0, fp - f))) if fp != f else dz_r)
+    m_rows = z_heads.shape[0]
+    dz_heads = dzp[:m_rows, :, :f]
+    ds = ds[:m_rows]  # s defined on [:n]; rows beyond n contribute 0 anyway
+    dd = dd[:m_rows]
+    # chain through s = z·a_src (rows :n) and d = z·a_dst (all rows)
+    dz_heads = dz_heads + jnp.einsum("nh,hf->nhf", dd, a_dst)
+    dz_heads = dz_heads.at[:n].add(jnp.einsum("nh,hf->nhf", ds[:n], a_src))
+    da_src = jnp.einsum("nh,nhf->hf", ds[:n], z_heads[:n])
+    da_dst = jnp.einsum("nh,nhf->hf", dd, z_heads)
+    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    zeros_att = jax.tree.map(
+        lambda leaf: f0(leaf) if jnp.issubdtype(leaf.dtype, jnp.integer) else leaf * 0.0,
+        att,
+    )
+    return (zeros_att, dz_heads.reshape(z.shape).astype(z.dtype), da_src, da_dst)
+
+
+_tiled_gat_core.defvjp(_tiled_gat_fwd, _tiled_gat_bwd)
+
+
+def gat_attention_tiled(
+    att: TiledAttentionPattern,
+    hw: jax.Array,
+    a_src: jax.Array,
+    a_dst: jax.Array,
+    *,
+    negative_slope: float = 0.2,
+) -> jax.Array:
+    """Multi-head GAT attention over a tiled pattern. Same contract as
+    :func:`graphconvgeo_tpu.ops.attention.gat_attention` (hw = H·W covering
+    the pattern's column space; returns [n_rows, heads·f])."""
+    return _tiled_gat_core(att, hw, a_src, a_dst, negative_slope)

@@ -1,0 +1,145 @@
+"""Tiled attention pattern — the FlashAttention-for-graphs operand.
+
+The bucketed attention layout (``BucketedAttention``) pays one F-wide row
+gather per edge per pass; on a community-reordered mention graph most edges
+live in dense 128×128 tiles, where the whole attention layer can run as
+dense MXU work with scores RECOMPUTED on the fly (never materialized per
+edge — the GATv1 score is ``LeakyReLU(s_i + d_j)`` with narrow [N, H] s/d
+vectors, so a tile's score block is a broadcast-add, not a gather):
+
+- forward: ONE pass over tiles accumulates the unnormalized aggregation and
+  the softmax denominators (a per-row shift from a MAX pass keeps exp
+  bounded);
+- backward: one pass in row order (dscore → ds) and one in column order
+  (dz, dd) — the FusedMM-style SDDMM ``ḡ·zᵀ`` is a per-tile MXU matmul.
+
+Edges outside dense tiles go through the bucketed machinery (``rest``) with
+the SAME shift and denominators, so the softmax is exact over the union.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from graphconvgeo_tpu.sparse.formats import BucketedAttention, _round_up, split_dense_tiles
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TiledAttentionPattern:
+    """Pattern-only block tiles + a bucketed rest, with both sweep orders.
+
+    mask:    [T, B, B] bfloat16 {0,1} — bf16 halves the per-pass mask DMA
+             and is exact for 0/1.
+    rowblk/colblk/first: [T] int32 — row-major tile order (forward + ds
+             passes accumulate output blocks at ``rowblk``).
+    perm_t/first_t: [T] int32 — column-major sweep: step t processes tile
+             ``perm_t[t]`` with roles swapped (output block = its colblk,
+             non-decreasing), for the dz/dd backward pass.
+    rest:    residual edges in the degree-bucketed layout (None if all
+             edges tiled).
+    """
+
+    mask: jax.Array
+    rowblk: jax.Array
+    colblk: jax.Array
+    first: jax.Array
+    perm_t: jax.Array
+    first_t: jax.Array
+    rest: Optional[BucketedAttention]
+    n_rows: int = dataclasses.field(metadata=dict(static=True))
+    n_cols: int = dataclasses.field(metadata=dict(static=True))
+    block: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_tiles(self) -> int:
+        return self.mask.shape[0]
+
+    @property
+    def n_row_blocks(self) -> int:
+        return _round_up(max(self.n_rows, 1), self.block) // self.block
+
+    @property
+    def n_col_blocks(self) -> int:
+        return _round_up(max(self.n_cols, 1), self.block) // self.block
+
+    @staticmethod
+    def from_scipy(
+        mat: sp.spmatrix,
+        *,
+        block: int = 128,
+        min_tile_nnz: int = 24,
+        max_tiles: int = 65536,
+    ) -> "TiledAttentionPattern":
+        """``min_tile_nnz`` trades tile-DMA amortization against rest-gather
+        cost; attention's breakeven is lower than the GCN SpMM's because
+        every rest edge pays ~4 narrow + 1 F-wide gather across fwd+bwd."""
+        csr = sp.csr_matrix(mat)
+        csr.sort_indices()
+        n_rows, n_cols = csr.shape
+        dense, resid = split_dense_tiles(csr, block=block, min_tile_nnz=min_tile_nnz)
+        rb = _round_up(max(n_rows, 1), block) // block
+        cb = _round_up(max(n_cols, 1), block) // block
+
+        coo = dense.tocoo()
+        key = (coo.row // block).astype(np.int64) * cb + (coo.col // block)
+        uniq = np.unique(key)
+        # fillers: every ROW block needs a first-flagged tile (fwd/ds output
+        # reset) and every COL block one in the transpose sweep (dz/dd reset)
+        have_r = np.zeros(rb, dtype=bool)
+        have_r[(uniq // cb).astype(np.int64)] = True
+        have_c = np.zeros(cb, dtype=bool)
+        have_c[(uniq % cb).astype(np.int64)] = True
+        fill_r = np.flatnonzero(~have_r).astype(np.int64) * cb  # (r, 0)
+        fill_c = np.flatnonzero(~have_c).astype(np.int64)  # (0, c)
+        all_keys = np.unique(np.concatenate([uniq, fill_r, fill_c]))
+        n_tiles = len(all_keys)
+        if n_tiles > max_tiles:
+            raise ValueError(
+                f"TiledAttentionPattern would materialize {n_tiles} mask tiles"
+                " — pattern too scattered; raise min_tile_nnz or use the"
+                " bucketed attention operand"
+            )
+        mask = np.zeros((n_tiles, block, block), dtype=np.float32)
+        t_of_edge = np.searchsorted(all_keys, key)
+        mask[t_of_edge, coo.row % block, coo.col % block] = 1.0
+        rowblk = (all_keys // cb).astype(np.int32)
+        colblk = (all_keys % cb).astype(np.int32)
+        first = np.ones(n_tiles, dtype=np.int32)
+        first[1:] = (rowblk[1:] != rowblk[:-1]).astype(np.int32)
+        # column-major sweep over the SAME tile array
+        perm_t = np.lexsort((rowblk, colblk)).astype(np.int32)
+        cb_sorted = colblk[perm_t]
+        first_t = np.ones(n_tiles, dtype=np.int32)
+        first_t[1:] = (cb_sorted[1:] != cb_sorted[:-1]).astype(np.int32)
+        return TiledAttentionPattern(
+            mask=jnp.asarray(mask, dtype=jnp.bfloat16),
+            rowblk=jnp.asarray(rowblk),
+            colblk=jnp.asarray(colblk),
+            first=jnp.asarray(first),
+            perm_t=jnp.asarray(perm_t),
+            first_t=jnp.asarray(first_t),
+            rest=BucketedAttention.from_scipy(resid) if resid.nnz else None,
+            n_rows=n_rows,
+            n_cols=n_cols,
+            block=block,
+        )
+
+    def stats(self) -> dict:
+        m = np.asarray(self.mask, dtype=np.float32)
+        tiled_edges = int(m.sum())
+        rest_edges = 0
+        if self.rest is not None:
+            rest_edges = int(sum(float(np.asarray(v).sum()) for v in self.rest.valid))
+        return {
+            "n_tiles": self.n_tiles,
+            "tiled_edges": tiled_edges,
+            "rest_edges": rest_edges,
+            "tile_fill": tiled_edges / max(self.n_tiles * self.block**2, 1),
+        }

@@ -1,0 +1,107 @@
+"""Tiled (flash-style) GAT attention vs the dense oracle and the trusted
+bucketed path — forward and all parameter/input gradients, on patterns that
+exercise both the tile kernels and the bucketed rest (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from graphconvgeo_tpu.ops.attention import gat_attention
+from graphconvgeo_tpu.ops.attention_tiled import gat_attention_tiled
+from graphconvgeo_tpu.sparse.attention_tiles import TiledAttentionPattern
+from graphconvgeo_tpu.sparse.formats import BucketedAttention
+
+SLOPE = 0.2
+
+
+def dense_oracle(adj_mask, z, a_src, a_dst, slope=SLOPE):
+    heads, f = a_src.shape
+    zh = z.reshape(z.shape[0], heads, f)
+    n = adj_mask.shape[0]
+    s = jnp.einsum("nhf,hf->nh", zh[:n], a_src)
+    d = jnp.einsum("nhf,hf->nh", zh, a_dst)
+    raw = s[:, None, :] + d[None, :, :]
+    sc = jnp.where(raw >= 0, raw, slope * raw)
+    sc = jnp.where(adj_mask[:, :, None] > 0, sc, -1e30)
+    alpha = jax.nn.softmax(sc, axis=1)
+    alpha = alpha * (adj_mask[:, :, None] > 0)
+    return jnp.einsum("nmh,mhf->nhf", alpha, zh).reshape(n, heads * f)
+
+
+def _mk(rng, n=80, heads=2, f=8, clique=True):
+    # a pattern with one dense block (tiles) + scattered edges (rest)
+    a = sp.random(n, n, density=0.01, format="csr", random_state=7)
+    a.data[:] = 1.0
+    if clique:
+        block = np.ones((24, 24))
+        a = a.tolil()
+        a[:24, :24] = block
+        a = a.tocsr()
+    a = a + a.T + sp.identity(n, format="csr")
+    a.data[:] = 1.0
+    a.sort_indices()
+    z = jnp.asarray(rng.normal(size=(n, heads * f)).astype(np.float32)) * 0.5
+    a_src = jnp.asarray(rng.normal(size=(heads, f)).astype(np.float32)) * 0.3
+    a_dst = jnp.asarray(rng.normal(size=(heads, f)).astype(np.float32)) * 0.3
+    return a, z, a_src, a_dst
+
+
+@pytest.mark.parametrize("min_tile_nnz", [50, 10_000])  # tiles+rest / all-rest
+def test_tiled_forward_matches_oracle(rng, min_tile_nnz):
+    a, z, a_src, a_dst = _mk(rng)
+    att = TiledAttentionPattern.from_scipy(a, block=32, min_tile_nnz=min_tile_nnz)
+    if min_tile_nnz == 50:
+        assert att.n_tiles > 0 and att.rest is not None  # both paths exercised
+    out = gat_attention_tiled(att, z, a_src, a_dst, negative_slope=SLOPE)
+    want = dense_oracle(jnp.asarray(a.toarray()), z, a_src, a_dst)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=2e-4, atol=2e-5)
+
+
+def test_tiled_matches_bucketed(rng):
+    a, z, a_src, a_dst = _mk(rng, n=60)
+    att_t = TiledAttentionPattern.from_scipy(a, block=32, min_tile_nnz=50)
+    att_b = BucketedAttention.from_scipy(a)
+    out_t = gat_attention_tiled(att_t, z, a_src, a_dst, negative_slope=SLOPE)
+    out_b = gat_attention(att_b, z, a_src, a_dst, negative_slope=SLOPE)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_b), rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("min_tile_nnz", [50, 10_000])
+def test_tiled_grads_match_oracle(rng, min_tile_nnz):
+    a, z, a_src, a_dst = _mk(rng, n=72)
+    att = TiledAttentionPattern.from_scipy(a, block=32, min_tile_nnz=min_tile_nnz)
+    dense = jnp.asarray(a.toarray())
+    tgt = jnp.asarray(np.random.default_rng(5).normal(size=(a.shape[0], z.shape[1])).astype(np.float32))
+
+    def loss_tiled(z_, asrc_, adst_):
+        o = gat_attention_tiled(att, z_, asrc_, adst_, negative_slope=SLOPE)
+        return jnp.sum((o - tgt) ** 2)
+
+    def loss_dense(z_, asrc_, adst_):
+        o = dense_oracle(dense, z_, asrc_, adst_)
+        return jnp.sum((o - tgt) ** 2)
+
+    g_t = jax.grad(loss_tiled, argnums=(0, 1, 2))(z, a_src, a_dst)
+    g_d = jax.grad(loss_dense, argnums=(0, 1, 2))(z, a_src, a_dst)
+    for gt, gd in zip(g_t, g_d):
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(gd), rtol=5e-4, atol=5e-5)
+
+
+def test_tiled_isolated_rows(rng):
+    # rows with only a self-loop and a pattern with empty row/col blocks
+    n = 70
+    a = sp.identity(n, format="csr")
+    a = a.tolil()
+    a[2, 40] = 1.0
+    a[40, 2] = 1.0
+    a = a.tocsr()
+    z = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+    a_src = jnp.asarray(rng.normal(size=(2, 4)).astype(np.float32))
+    a_dst = jnp.asarray(rng.normal(size=(2, 4)).astype(np.float32))
+    att = TiledAttentionPattern.from_scipy(a, block=32, min_tile_nnz=2)
+    out = gat_attention_tiled(att, z, a_src, a_dst, negative_slope=SLOPE)
+    want = dense_oracle(jnp.asarray(a.toarray()), z, a_src, a_dst)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=2e-4, atol=2e-5)
+    assert np.isfinite(np.asarray(out)).all()
