@@ -56,6 +56,11 @@ def parse_args(argv=None):
     p.add_argument("--heads", type=int, default=4, help="attention heads (--model gat)")
     p.add_argument("--attn-dropout", type=float, default=0.0,
                    help="dropout on attention coefficients (--model gat)")
+    p.add_argument("--reorder", choices=("auto", "off"), default="auto",
+                   help="community-reorder nodes so tile-based operands "
+                        "(hybrid SpMM, tiled attention, factorized incidence) "
+                        "catch the edge mass; a pure relabeling (labels/"
+                        "metrics unaffected)")
     p.add_argument("--att-backend", choices=("bucketed", "tiled"), default="bucketed",
                    help="GAT attention operand: degree-bucketed gathers (any "
                         "graph) or flash-style MXU tile kernels (community-"
@@ -119,7 +124,10 @@ def load_dataset(args):
         min_df=args.min_df,
         encoding=args.encoding,
     )
-    return preprocess(args.data_home, cfg, use_cache=not args.no_cache)
+    ds = preprocess(args.data_home, cfg, use_cache=not args.no_cache)
+    if args.reorder == "auto":
+        ds, _ = ds.reorder()
+    return ds
 
 
 def run_one(args, ds, *, dropout=None, l2=None, hidden=None, lr=None, quiet=None):

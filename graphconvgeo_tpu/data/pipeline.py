@@ -79,6 +79,39 @@ class Dataset:
     def n_classes(self) -> int:
         return len(self.class_lat_median)
 
+    def reorder(self):
+        """Community-reorder the whole problem: Â → PÂPᵀ, X/labels/coords
+        row-permuted, index sets and mention structure relabeled.
+
+        The reference's node order (train/dev/test concatenation,
+        ``data.py :: DataLoader.get_graph``) scatters community structure,
+        which starves every tile-based operand — the hybrid BSR SpMM, the
+        tiled attention pattern, and the factorized incidence all need edge
+        mass concentrated in diagonal 128×128 blocks (PERF.md). A pure
+        relabeling: predictions/metrics stay consistent because labels,
+        coords and index sets are permuted together. Returns
+        ``(reordered_dataset, Reordering)``.
+        """
+        from graphconvgeo_tpu.sparse.reorder import best_reordering
+
+        ro = best_reordering(self.adj)
+        remap_ids = lambda a: None if a is None else ro.to_new(a).astype(a.dtype)
+        ds = dataclasses.replace(
+            self,
+            x=self.x[ro.perm].tocsr(),
+            adj=ro.permute_graph(self.adj),
+            y=self.y[ro.perm],
+            train_idx=remap_ids(self.train_idx),
+            dev_idx=remap_ids(self.dev_idx),
+            test_idx=remap_ids(self.test_idx),
+            lat=self.lat[ro.perm],
+            lon=self.lon[ro.perm],
+            groups_members=remap_ids(self.groups_members),
+            direct_src=remap_ids(self.direct_src),
+            direct_dst=remap_ids(self.direct_dst),
+        )
+        return ds, ro
+
     def factorized_adjacency(self):
         """Â as a :class:`FactorizedAdjacency` (device cost ∝ #mentions, not
         #projected-edges). Requires the mention structure (present for

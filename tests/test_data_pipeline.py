@@ -106,3 +106,44 @@ def test_projection_via_shared_dataset_user():
     assert dense[1, 3] == 1 and dense[3, 1] == 1  # b-d via shared neighbor a
     assert dense[0, 1] == 1 and dense[0, 3] == 1  # direct mentions kept
     assert dense[2].sum() == 0  # c untouched
+
+
+def test_reorder_is_pure_relabeling(tmp_path):
+    """Dataset.reorder permutes Â/X/labels/coords/splits/mention structure
+    consistently — per-node facts are invariant under the relabeling."""
+    make_synthetic_dumps(str(tmp_path), n_users=120, n_clusters=4, seed=5)
+    cfg = PreprocessConfig(bucket_size=15, celebrity_threshold=5, min_df=2)
+    ds = preprocess(str(tmp_path), cfg)
+    rds, ro = ds.reorder()
+    n = ds.n_nodes
+    assert sorted(ro.perm.tolist()) == list(range(n))
+    # adjacency: PÂPᵀ entrywise
+    np.testing.assert_allclose(
+        rds.adj.toarray(), ds.adj.toarray()[ro.perm][:, ro.perm], atol=0
+    )
+    # per-node rows travel with the node
+    np.testing.assert_array_equal(rds.y, ds.y[ro.perm])
+    np.testing.assert_allclose(rds.x.toarray(), ds.x.toarray()[ro.perm], atol=0)
+    np.testing.assert_allclose(rds.lat, ds.lat[ro.perm], atol=0)
+    np.testing.assert_allclose(rds.lon, ds.lon[ro.perm], atol=0)
+    # index sets point at the same users (same labels/coords through the map)
+    for old_idx, new_idx in [
+        (ds.train_idx, rds.train_idx),
+        (ds.dev_idx, rds.dev_idx),
+        (ds.test_idx, rds.test_idx),
+    ]:
+        np.testing.assert_array_equal(rds.y[new_idx], ds.y[old_idx])
+        np.testing.assert_allclose(rds.lat[new_idx], ds.lat[old_idx], atol=0)
+    # class medians untouched (classes are not relabeled)
+    np.testing.assert_allclose(rds.class_lat_median, ds.class_lat_median, atol=0)
+    # mention structure relabeled: factorized operator still matches Â
+    if ds.groups_offsets is not None and len(ds.groups_offsets) > 1:
+        import jax.numpy as jnp
+
+        from graphconvgeo_tpu.sparse.factorized import spmm_factorized
+
+        fac = rds.factorized_adjacency()
+        h = np.random.default_rng(0).normal(size=(n, 8)).astype(np.float32)
+        got = np.asarray(spmm_factorized(fac, jnp.asarray(h)))
+        want = rds.adj @ h
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
