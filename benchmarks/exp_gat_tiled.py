@@ -1,7 +1,14 @@
 """Tiled (flash-style) vs bucketed GAT attention on community-structured
 graphs — the workload where the tile kernels should pay (reference graphs
 are mention projections with strong community structure; cf. PERF.md
-factorized ledger)."""
+factorized ledger).
+
+Usage: exp_gat_tiled.py [bucketed|tiled24|tiled64] — one variant per
+process (the axon relay is fragile under multi-GB device transfers; keep
+each run's operand footprint small and isolated)."""
+import sys
+import time
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -16,37 +23,43 @@ from graphconvgeo_tpu.utils.timing import device_seconds_per_iter
 N, N_COMM = 262_144, 1024
 HEADS, F = 4, 64
 
+variant = sys.argv[1] if len(sys.argv) > 1 else "bucketed"
+
+t0 = time.time()
 adj = random_mention_projection_graph(N, N_COMM, seed=7)
-print("nnz:", adj.nnz, "avg deg:", adj.nnz / N, flush=True)
+print(f"nnz: {adj.nnz}  avg deg: {adj.nnz/N:.1f}  ({time.time()-t0:.0f}s)", flush=True)
 perm = np.random.default_rng(1).permutation(N)
 adj = adj[perm][:, perm].tocsr()
 a_hat = normalize_adjacency(adj)  # adds self-loops; attention uses pattern only
 ro = best_reordering(a_hat, seed=0)
 a_hat = ro.permute_graph(a_hat)
 nnz = a_hat.nnz
+print(f"reordered ({time.time()-t0:.0f}s)", flush=True)
+
+if variant == "bucketed":
+    att = BucketedAttention.from_scipy(a_hat)
+else:
+    mtn = int(variant.removeprefix("tiled"))
+    att = TiledAttentionPattern.from_scipy(a_hat, min_tile_nnz=mtn)
+    st = att.stats()
+    print(f"tiles={st['n_tiles']} fill={st['tile_fill']:.3f} "
+          f"tiled={st['tiled_edges']} rest={st['rest_edges']}", flush=True)
+print(f"operand built ({time.time()-t0:.0f}s)", flush=True)
 
 rng = np.random.default_rng(0)
 z = jnp.asarray(rng.normal(size=(N, HEADS * F)).astype(np.float32)) * 0.1
 a_src = jnp.asarray(rng.normal(size=(HEADS, F)).astype(np.float32)) * 0.1
 a_dst = jnp.asarray(rng.normal(size=(HEADS, F)).astype(np.float32)) * 0.1
 
-operands = {"bucketed": BucketedAttention.from_scipy(a_hat)}
-for mtn in (24, 64):
-    att = TiledAttentionPattern.from_scipy(a_hat, min_tile_nnz=mtn)
-    st = att.stats()
-    print(f"tiled(min_tile_nnz={mtn}): tiles={st['n_tiles']} "
-          f"fill={st['tile_fill']:.3f} tiled={st['tiled_edges']} "
-          f"rest={st['rest_edges']}", flush=True)
-    operands[f"tiled{mtn}"] = att
+fwd = lambda x, a: gat_attention(a, x, a_src, a_dst) * 0.25 + x * 0.01
+dt = device_seconds_per_iter(fwd, z, att, iters_lo=2, iters_hi=8, trials=2)
+print(f"{variant:9s} fwd     {dt*1e3:8.2f} ms  {nnz/dt/1e6:7.1f} M edges/s", flush=True)
 
-for name, att in operands.items():
-    fwd = lambda x, a: gat_attention(a, x, a_src, a_dst) * 0.25 + x * 0.01
-    dt = device_seconds_per_iter(fwd, z, att, iters_lo=2, iters_hi=8, trials=2)
-    print(f"{name:9s} fwd     {dt*1e3:8.2f} ms  {nnz/dt/1e6:7.1f} M edges/s", flush=True)
 
-    def train(x, a):
-        g = jax.grad(lambda x_: jnp.sum(gat_attention(a, x_, a_src, a_dst) ** 2))(x)
-        return x - 1e-6 * g
+def train(x, a):
+    g = jax.grad(lambda x_: jnp.sum(gat_attention(a, x_, a_src, a_dst) ** 2))(x)
+    return x - 1e-6 * g
 
-    dt = device_seconds_per_iter(train, z, att, iters_lo=2, iters_hi=8, trials=2)
-    print(f"{name:9s} fwd+bwd {dt*1e3:8.2f} ms  {nnz/dt/1e6:7.1f} M edges/s", flush=True)
+
+dt = device_seconds_per_iter(train, z, att, iters_lo=2, iters_hi=8, trials=2)
+print(f"{variant:9s} fwd+bwd {dt*1e3:8.2f} ms  {nnz/dt/1e6:7.1f} M edges/s", flush=True)

@@ -1,0 +1,38 @@
+"""Narrow per-edge gathers (the GAT d[idx] score gather): layout shootout.
+
+The [slots, H] row-gather output is lane-padded H->128 (32x HBM at H=4,
+the OOM in the 10.5M-edge bucketed GAT). Candidates keep the gather but
+change where H lives."""
+import numpy as np
+import jax.numpy as jnp
+
+from graphconvgeo_tpu.utils.timing import device_seconds_per_iter
+
+M, N, K, H = 262_144, 500_000, 8, 4  # 4M slots
+rng = np.random.default_rng(0)
+d = jnp.asarray(rng.normal(size=(M, H)).astype(np.float32))
+idx = jnp.asarray(rng.integers(0, M, size=(N, K)).astype(np.int32))
+slots = N * K
+
+# 1. row gather [n,K,H] (the OOM layout)
+f1 = lambda x, i: x + 1e-6 * (x[i].sum(axis=(1, 2), keepdims=True) if False else jnp.zeros(()))
+def row_gather(x, i):
+    return x + 1e-9 * x[i.reshape(-1) % M].reshape(N, K, H).sum(axis=(0, 1))[None, :]
+dt = device_seconds_per_iter(row_gather, d, idx, iters_lo=2, iters_hi=8, trials=2)
+print(f"row [n,K,H]:      {dt*1e3:7.2f} ms  {slots/dt/1e6:7.1f} M slots/s", flush=True)
+
+# 2. heads-major: take(d.T, idx, axis=1) -> [H, n, K]
+d_t = jnp.asarray(np.asarray(d).T.copy())
+def col_gather(x, i):
+    return x + 1e-9 * jnp.take(x, i.reshape(-1), axis=1).sum(axis=1)[:, None]
+dt = device_seconds_per_iter(col_gather, d_t, idx, iters_lo=2, iters_hi=8, trials=2)
+print(f"take axis=1 [H,n,K]: {dt*1e3:7.2f} ms  {slots/dt/1e6:7.1f} M slots/s", flush=True)
+
+# 3. per-head 1-D gathers
+def perhead(x, i):
+    acc = 0.0
+    for h in range(H):
+        acc = acc + x[h][i.reshape(-1)].sum()
+    return x + 1e-9 * acc
+dt = device_seconds_per_iter(perhead, d_t, idx, iters_lo=2, iters_hi=8, trials=2)
+print(f"per-head 1-D x{H}:  {dt*1e3:7.2f} ms  {slots/dt/1e6:7.1f} M slots/s", flush=True)

@@ -27,17 +27,18 @@ from graphconvgeo_tpu.ops.spmm import _spmm_ell_train_core
 from graphconvgeo_tpu.sparse.formats import AttentionEll, BucketedAttention
 
 
-def edge_softmax(scores: jax.Array, valid: jax.Array) -> jax.Array:
-    """Masked softmax over the ELL slot axis (axis 1).
+def edge_softmax(scores: jax.Array, valid: jax.Array, axis: int = 1) -> jax.Array:
+    """Masked softmax over the ELL slot axis.
 
-    scores: [N, K, ...], valid: broadcastable {0,1} mask. Padding slots get
+    scores: [N, K, ...] (slot axis 1, the default) or heads-major [H, N, K]
+    (slot axis -1); valid: broadcastable {0,1} mask. Padding slots get
     probability 0; all-padding rows return all-zero rows (no NaN).
     """
     neg = jnp.asarray(-1e30, scores.dtype)
     s = jnp.where(valid > 0, scores, neg)
-    m = jax.lax.stop_gradient(jnp.max(s, axis=1, keepdims=True))
+    m = jax.lax.stop_gradient(jnp.max(s, axis=axis, keepdims=True))
     e = jnp.exp(s - m) * valid
-    denom = jnp.sum(e, axis=1, keepdims=True)
+    denom = jnp.sum(e, axis=axis, keepdims=True)
     return e / jnp.maximum(denom, jnp.asarray(1e-30, scores.dtype))
 
 
@@ -55,45 +56,123 @@ def attention_spmm(att: AttentionEll, alpha: jax.Array, h: jax.Array) -> jax.Arr
     return out[: att.indices.shape[0]]
 
 
+# one scan step's gather may materialize rows_per_block·chunk·H·f floats;
+# cap it so Twitter-scale buckets (10M+ slots) never build multi-GB HLO temps
+_STEP_FLOAT_BUDGET = 128 * 1024 * 1024
+
+
+def _ell_blocks(k: int, n: int, per_slot: int) -> tuple[int, int]:
+    """(k-chunk, rows-per-block) with chunk·rpb·per_slot ≤ the step budget."""
+    chunk = min(max(8, 4096 // max(n, 1)), k)
+    chunk = max(1, min(chunk, _STEP_FLOAT_BUDGET // max(per_slot, 1)))
+    rpb = max(1, _STEP_FLOAT_BUDGET // max(chunk * per_slot, 1))
+    return chunk, min(rpb, n)
+
+
 def _ell_matvec_heads(indices: jax.Array, values: jax.Array, h: jax.Array) -> jax.Array:
     """Multi-head ELL matvec: ONE row-gather pass shared by all heads.
 
-    indices [n, K]; values [n, K, H]; h [M, H·f].
-    out[i, h, :] = Σ_k values[i, k, h] · h[indices[i, k], h·f:(h+1)·f].
+    indices [n, K]; values [H, n, K] — heads-major, so per-edge tensors keep
+    K in the lane dim instead of padding H up to the 128-lane tile (32×
+    HBM inflation at H=4, the Twitter-scale OOM); h [M, H·f].
+    out[i, h, :] = Σ_k values[h, i, k] · h[indices[i, k], h·f:(h+1)·f].
     The gather is the expensive part (PERF.md row-gather wall) — batching
-    heads here is H× fewer gathered bytes than a per-head loop.
+    heads is H× fewer gathered rows than a per-head loop; the k axis and
+    the row axis are both scan-blocked to bound a step's gather.
     """
-    n, k, H = values.shape
+    H, n, k = values.shape
     f = h.shape[1] // H
-    chunk = min(max(8, 4096 // max(n, 1)), k)
-    if k % chunk:
-        pad = chunk - k % chunk
-        indices = jnp.pad(indices, ((0, 0), (0, pad)))
-        values = jnp.pad(values, ((0, 0), (0, pad), (0, 0)))
-        k += pad
-    idx_steps = indices.reshape(n, k // chunk, chunk).transpose(1, 0, 2)
-    val_steps = values.reshape(n, k // chunk, chunk, H).transpose(1, 0, 2, 3)
+    chunk, rpb = _ell_blocks(k, n, H * f)
+    kp = -(-k // chunk) * chunk
+    n_p = -(-n // rpb) * rpb
+    if kp != k or n_p != n:
+        indices = jnp.pad(indices, ((0, n_p - n), (0, kp - k)))
+        values = jnp.pad(values, ((0, 0), (0, n_p - n), (0, kp - k)))
+    nb, kc = n_p // rpb, kp // chunk
+    idx_b = indices.reshape(nb, rpb, kc, chunk)
+    val_b = values.reshape(H, nb, rpb, kc, chunk).transpose(1, 3, 0, 2, 4)
 
-    def one(idx, val):
-        g = h[idx].reshape(n, idx.shape[1], H, f)
-        return jnp.einsum("nch,nchf->nhf", val, g.astype(val.dtype))
+    def one(idx, val):  # idx [rpb, chunk], val [H, rpb, chunk]
+        g = h[idx].reshape(rpb, idx.shape[1], H, f)
+        return jnp.einsum("hnc,nchf->nhf", val, g.astype(val.dtype))
 
-    init = one(idx_steps[0], val_steps[0])
-    if idx_steps.shape[0] == 1:
-        return init.reshape(n, H * f)
-    out, _ = jax.lax.scan(
-        lambda acc, iv: (acc + one(*iv), None), init, (idx_steps[1:], val_steps[1:])
-    )
-    return out.reshape(n, H * f)
+    def row_block(idx_rb, val_rb):  # [rpb, kc, chunk], [kc, H, rpb, chunk]
+        init = one(idx_rb[:, 0], val_rb[0])
+        if kc == 1:
+            return init
+        out, _ = jax.lax.scan(
+            lambda acc, iv: (acc + one(*iv), None),
+            init,
+            (idx_rb[:, 1:].transpose(1, 0, 2), val_rb[1:]),
+        )
+        return out
+
+    if nb == 1:
+        out = row_block(idx_b[0], val_b[0])
+    else:
+        _, out = jax.lax.scan(
+            lambda _, iv: (None, row_block(*iv)), None, (idx_b, val_b)
+        )
+        out = out.reshape(n_p, H, f)
+    return out[:n].reshape(n, H * f)
+
+
+def _ell_sddmm_heads(
+    indices: jax.Array, g_rows: jax.Array, h: jax.Array, heads: int
+) -> jax.Array:
+    """Per-slot multi-head SDDMM (the attention-weight gradient):
+    out[h, i, k] = ⟨g_rows[i, h·f:(h+1)·f], h[indices[i, k], h·f:(h+1)·f]⟩.
+
+    indices [n, K]; g_rows [n, H·f]; h [M, H·f] → [H, n, K] heads-major.
+    Same gather blocking as :func:`_ell_matvec_heads`.
+    """
+    n, k = indices.shape
+    f = h.shape[1] // heads
+    chunk, rpb = _ell_blocks(k, n, heads * f)
+    kp = -(-k // chunk) * chunk
+    n_p = -(-n // rpb) * rpb
+    if kp != k or n_p != n:
+        indices = jnp.pad(indices, ((0, n_p - n), (0, kp - k)))
+    if n_p != n:
+        g_rows = jnp.pad(g_rows, ((0, n_p - n), (0, 0)))
+    nb, kc = n_p // rpb, kp // chunk
+    idx_b = indices.reshape(nb, rpb, kc, chunk)
+    g_b = g_rows.reshape(nb, rpb, heads, f)
+
+    def one(idx, g_blk):  # idx [rpb, chunk], g_blk [rpb, H, f]
+        nbr = h[idx]  # [rpb, chunk, H, f]
+        return jnp.einsum("nhf,nchf->hnc", g_blk, nbr.reshape(
+            rpb, idx.shape[1], heads, f
+        ).astype(g_blk.dtype))
+
+    def row_block(idx_rb, g_blk):  # [rpb, kc, chunk], [rpb, H, f]
+        if kc == 1:
+            return one(idx_rb[:, 0], g_blk)
+        _, outs = jax.lax.scan(
+            lambda _, ic: (None, one(ic, g_blk)),
+            None,
+            idx_rb.transpose(1, 0, 2),
+        )  # [kc, H, rpb, chunk]
+        return outs.transpose(1, 2, 0, 3).reshape(heads, rpb, kp)
+
+    if nb == 1:
+        out = row_block(idx_b[0], g_b[0])
+    else:
+        _, out = jax.lax.scan(
+            lambda _, iv: (None, row_block(*iv)), None, (idx_b, g_b)
+        )  # [nb, H, rpb, kp]
+        out = out.transpose(1, 0, 2, 3).reshape(heads, n_p, kp)
+    return out[:, :n, :k]
 
 
 @jax.custom_vjp
 def _attn_bucketed_spmm(att: BucketedAttention, alphas: tuple, h: jax.Array) -> jax.Array:
     """Multi-head attention aggregation over the bucketed pattern.
 
-    alphas: per-bucket [n_b, K_b, H]; h: [M, H·f]. Returns [n_rows, H·f]
-    (head-concatenated). Differentiable in both alphas (multi-head SDDMM per
-    bucket) and h (transpose-bucket gathers, never a scatter-add)."""
+    alphas: per-bucket [H, n_b, K_b] (heads-major — see _ell_matvec_heads);
+    h: [M, H·f]. Returns [n_rows, H·f] (head-concatenated). Differentiable
+    in both alphas (multi-head SDDMM per bucket) and h (transpose-bucket
+    gathers, never a scatter-add)."""
     return _attn_bucketed_fwd(att, alphas, h)[0]
 
 
@@ -105,25 +184,25 @@ def _attn_bucketed_fwd(att, alphas, h):
 
 def _attn_bucketed_bwd(res, g):
     att, alphas, h = res
-    H = alphas[0].shape[-1]
-    f = h.shape[1] // H
+    H = alphas[0].shape[0]
     g_sorted = jnp.take(g, att.perm, axis=0)
-    h_heads = h.reshape(h.shape[0], H, f)
-    # dL/dalpha[b][i,k,h] = <g[row_ids[b][i], h·f:], h[indices[b][i,k], h·f:]>
+    # dL/dalpha[b][h,i,k] = <g[row_ids[b][i], h·f:], h[indices[b][i,k], h·f:]>
     dalphas, start = [], 0
     for idx, valid, a in zip(att.indices, att.valid, alphas):
         n_b, k_b = idx.shape
-        g_b = jax.lax.dynamic_slice_in_dim(g_sorted, start, n_b, 0)
-        g_b = g_b.reshape(n_b, H, f).astype(a.dtype)
-        nbr = h_heads[idx].astype(a.dtype)  # [n_b, K_b, H, f]
-        dalphas.append(jnp.einsum("nhf,nkhf->nkh", g_b, nbr) * valid[:, :, None])
+        g_b = jax.lax.dynamic_slice_in_dim(g_sorted, start, n_b, 0).astype(a.dtype)
+        dalphas.append(_ell_sddmm_heads(idx, g_b, h, H) * valid[None])
         start += n_b
     # dL/dh = Aᵀ(alpha)·G via the transpose buckets; alpha values arrive by
-    # one flat slot gather (perm_t), cotangent rows restore via inv_perm_c
-    alpha_flat = jnp.concatenate([a.reshape(-1, H) for a in alphas], axis=0)
+    # one flat slot gather (perm_t, along the LANE axis — heads-major keeps
+    # the [H, slots] table from padding H to 128 lanes), rows restore via
+    # inv_perm_c
+    alpha_flat = jnp.concatenate([a.reshape(H, -1) for a in alphas], axis=1)
     dh_parts = []
     for idx_t, valid_t, pt in zip(att.indices_t, att.valid_t, att.perm_t):
-        a_t = alpha_flat[pt.reshape(-1)].reshape(*pt.shape, H) * valid_t[:, :, None]
+        a_t = jnp.take(alpha_flat, pt.reshape(-1), axis=1).reshape(
+            H, *pt.shape
+        ) * valid_t[None]
         dh_parts.append(_ell_matvec_heads(idx_t, a_t, g))
     dh_sorted = jnp.concatenate(dh_parts, axis=0)
     dh = jnp.take(dh_sorted, att.inv_perm_c, axis=0).astype(h.dtype)
@@ -166,18 +245,20 @@ def gat_attention_bucketed(
     cost their true degree instead of inflating every row's slot count."""
     heads, f = a_src.shape
     hw_heads = hw.reshape(hw.shape[0], heads, f)
-    s = jnp.einsum("nhf,hf->nh", hw_heads[: att.n_rows], a_src)
-    d = jnp.einsum("nhf,hf->nh", hw_heads, a_dst)
-    s_sorted = jnp.take(s, att.perm, axis=0)
+    # heads-major [H, ·] score tables: per-edge gathers then keep the slot
+    # axis in lanes instead of padding H→128 (32× HBM at Twitter scale)
+    s_t = jnp.einsum("nhf,hf->hn", hw_heads[: att.n_rows], a_src)
+    d_t = jnp.einsum("nhf,hf->hn", hw_heads, a_dst)
+    s_sorted = jnp.take(s_t, att.perm, axis=1)
     if attn_dropout > 0.0 and rng is None:
         raise ValueError("rng required when attn_dropout > 0")
     alphas, start = [], 0
     for bi, (idx, valid) in enumerate(zip(att.indices, att.valid)):
         n_b = idx.shape[0]
-        s_b = jax.lax.dynamic_slice_in_dim(s_sorted, start, n_b, 0)
-        scores = s_b[:, None, :] + d[idx]  # [n_b, K_b, heads]
+        s_b = jax.lax.dynamic_slice_in_dim(s_sorted, start, n_b, 1)
+        scores = s_b[:, :, None] + jnp.take(d_t, idx, axis=1)  # [H, n_b, K_b]
         scores = jnp.where(scores >= 0, scores, negative_slope * scores)
-        alpha = edge_softmax(scores, valid[:, :, None])
+        alpha = edge_softmax(scores, valid[None], axis=-1)
         if attn_dropout > 0.0:
             keep = jax.random.bernoulli(
                 jax.random.fold_in(rng, bi), 1.0 - attn_dropout, alpha.shape
@@ -228,19 +309,20 @@ def gat_attention(
         )
     heads, f = a_src.shape
     hw_heads = hw.reshape(hw.shape[0], heads, f)
-    s = jnp.einsum("nhf,hf->nh", hw_heads[: att.n_rows], a_src)
-    d = jnp.einsum("nhf,hf->nh", hw_heads, a_dst)
-    d_nbr = d[att.indices]  # [N, K, heads] — narrow-table row gather
-    scores = s[:, None, :] + d_nbr
+    s_t = jnp.einsum("nhf,hf->hn", hw_heads[: att.n_rows], a_src)
+    d_t = jnp.einsum("nhf,hf->hn", hw_heads, a_dst)
+    # heads-major so the per-edge gather keeps K in lanes (no H→128 padding)
+    d_nbr = jnp.take(d_t, att.indices, axis=1)  # [heads, N, K]
+    scores = s_t[:, :, None] + d_nbr
     scores = jnp.where(scores >= 0, scores, negative_slope * scores)
-    alpha = edge_softmax(scores, att.valid[:, :, None])
+    alpha = edge_softmax(scores, att.valid[None], axis=-1)
     if attn_dropout > 0.0:
         if rng is None:
             raise ValueError("rng required when attn_dropout > 0")
         keep = jax.random.bernoulli(rng, 1.0 - attn_dropout, alpha.shape)
         alpha = jnp.where(keep, alpha / (1.0 - attn_dropout), 0.0)
     outs = [
-        attention_spmm(att, alpha[:, :, j], hw_heads[:, j, :]) for j in range(heads)
+        attention_spmm(att, alpha[j], hw_heads[:, j, :]) for j in range(heads)
     ]
     return jnp.concatenate(outs, axis=-1)
 

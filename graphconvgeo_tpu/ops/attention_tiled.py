@@ -41,6 +41,19 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
+def _unpack_mask(bits):
+    """[W, B] uint32 → [B, B] f32 {0,1}: row i = bit ``i // W`` of word-row
+    ``i % W`` (the packing in ``TiledAttentionPattern.from_scipy``).
+    ``pltpu.repeat`` is tile-repeat (jnp.tile), which is exactly the
+    ``i % W`` word-row layout; the per-row bit index is a variable shift —
+    VPU-cheap next to the 32 KB→4 KB mask-DMA saving per tile per pass."""
+    w, block = bits.shape
+    words = pltpu.repeat(bits, block // w, axis=0)  # row i = bits[i % w]
+    shifts = jax.lax.broadcasted_iota(jnp.uint32, (block, block), 0) // w
+    # Mosaic has no uint32→f32 cast; the &1 result fits int32 exactly
+    return ((words >> shifts) & 1).astype(jnp.int32).astype(jnp.float32)
+
+
 # ---------------------------------------------------------------- max pass
 def _max_kernel(first_ref, rblk_ref, cblk_ref, mask_ref, s_ref, d_ref, m_ref, *, heads, slope):
     t = pl.program_id(0)
@@ -49,7 +62,7 @@ def _max_kernel(first_ref, rblk_ref, cblk_ref, mask_ref, s_ref, d_ref, m_ref, *,
     def _():
         m_ref[:] = jnp.full_like(m_ref, _NEG)
 
-    mask = mask_ref[0].astype(jnp.float32)
+    mask = _unpack_mask(mask_ref[0])
     for h in range(heads):
         raw = s_ref[:, h][:, None] + d_ref[:, h][None, :]
         sc = jnp.where(mask > 0, _leaky(raw, slope), _NEG)
@@ -62,7 +75,7 @@ def _tile_max(att, s, d, *, slope):
         num_scalar_prefetch=3,
         grid=(t_n,),
         in_specs=[
-            pl.BlockSpec((1, b, b), lambda t, f, r, c: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b // 32, b), lambda t, f, r, c: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, s.shape[1]), lambda t, f, r, c: (r[t], 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, d.shape[1]), lambda t, f, r, c: (c[t], 0), memory_space=pltpu.VMEM),
         ],
@@ -75,7 +88,7 @@ def _tile_max(att, s, d, *, slope):
         out_shape=jax.ShapeDtypeStruct(s.shape, jnp.float32),
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(att.first, att.rowblk, att.colblk, att.mask, s, d)
+    )(att.first, att.rowblk, att.colblk, att.mask_bits, s, d)
 
 
 # ---------------------------------------------------------------- forward
@@ -90,7 +103,7 @@ def _fwd_kernel(
         o_ref[:] = jnp.zeros_like(o_ref)
         den_ref[:] = jnp.zeros_like(den_ref)
 
-    mask = mask_ref[0].astype(jnp.float32)
+    mask = _unpack_mask(mask_ref[0])
     for h in range(heads):
         raw = s_ref[:, h][:, None] + d_ref[:, h][None, :]
         e = jnp.exp(_leaky(raw, slope) - m_ref[:, h][:, None]) * mask
@@ -108,7 +121,7 @@ def _tile_fwd(att, s, d, m, z, *, slope):
         num_scalar_prefetch=3,
         grid=(t_n,),
         in_specs=[
-            pl.BlockSpec((1, b, b), lambda t, f, r, c: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b // 32, b), lambda t, f, r, c: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, heads), lambda t, f, r, c: (r[t], 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, heads), lambda t, f, r, c: (c[t], 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, heads), lambda t, f, r, c: (r[t], 0), memory_space=pltpu.VMEM),
@@ -127,7 +140,7 @@ def _tile_fwd(att, s, d, m, z, *, slope):
         ],
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(att.first, att.rowblk, att.colblk, att.mask, s, d, m, z)
+    )(att.first, att.rowblk, att.colblk, att.mask_bits, s, d, m, z)
 
 
 # ---------------------------------------------------------------- bwd: ds
@@ -141,7 +154,7 @@ def _bwd_row_kernel(
     def _():
         ds_ref[:] = jnp.zeros_like(ds_ref)
 
-    mask = mask_ref[0].astype(jnp.float32)
+    mask = _unpack_mask(mask_ref[0])
     for h in range(heads):
         raw = s_ref[:, h][:, None] + d_ref[:, h][None, :]
         e = jnp.exp(_leaky(raw, slope) - m_ref[:, h][:, None]) * mask
@@ -163,7 +176,7 @@ def _tile_bwd_row(att, s, d, m, den, c, z, g, *, slope):
         num_scalar_prefetch=3,
         grid=(t_n,),
         in_specs=[
-            pl.BlockSpec((1, b, b), lambda t, f, r, c2: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b // 32, b), lambda t, f, r, c2: (t, 0, 0), memory_space=pltpu.VMEM),
             spec_n(lambda t, f, r, c2: (r[t], 0)),
             spec_n(lambda t, f, r, c2: (c2[t], 0)),
             spec_n(lambda t, f, r, c2: (r[t], 0)),
@@ -181,7 +194,7 @@ def _tile_bwd_row(att, s, d, m, den, c, z, g, *, slope):
         out_shape=jax.ShapeDtypeStruct(s.shape, jnp.float32),
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(att.first, att.rowblk, att.colblk, att.mask, s, d, m, den, c, z, g)
+    )(att.first, att.rowblk, att.colblk, att.mask_bits, s, d, m, den, c, z, g)
 
 
 # ------------------------------------------------------------ bwd: dz, dd
@@ -196,7 +209,7 @@ def _bwd_col_kernel(
         dz_ref[:] = jnp.zeros_like(dz_ref)
         dd_ref[:] = jnp.zeros_like(dd_ref)
 
-    mask = mask_ref[0].astype(jnp.float32)  # [i, j] orientation
+    mask = _unpack_mask(mask_ref[0])  # [i, j] orientation
     for h in range(heads):
         raw = s_ref[:, h][:, None] + d_ref[:, h][None, :]
         e = jnp.exp(_leaky(raw, slope) - m_ref[:, h][:, None]) * mask
@@ -227,7 +240,7 @@ def _tile_bwd_col(att, s, d, m, den, c, z, g, *, slope):
         num_scalar_prefetch=4,
         grid=(t_n,),
         in_specs=[
-            pl.BlockSpec((1, b, b), lambda t, p, f, r, c2: (p[t], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b // 32, b), lambda t, p, f, r, c2: (p[t], 0, 0), memory_space=pltpu.VMEM),
             spec_row(),
             pl.BlockSpec((b, heads), lambda t, p, f, r, c2: (c2[p[t]], 0), memory_space=pltpu.VMEM),
             spec_row(),
@@ -257,90 +270,100 @@ def _tile_bwd_col(att, s, d, m, den, c, z, g, *, slope):
         ],
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(att.perm_t, att.first_t, att.rowblk, att.colblk, att.mask, s, d, m, den, c, z, g)
+    )(att.perm_t, att.first_t, att.rowblk, att.colblk, att.mask_bits, s, d, m, den, c, z, g)
 
 
 # ------------------------------------------------------------- rest path
 def _rest_fwd(rest, s, d, m, z_heads, *, slope):
     """Bucketed residual contributions (den_rest, o_rest) under the SAME
-    shift m. All raw jnp — differentiated by hand in the layer VJP."""
+    shift m. All raw jnp — differentiated by hand in the layer VJP.
+
+    Per-edge tensors are heads-major [H, n_b, K] so the slot axis stays in
+    lanes (see _ell_matvec_heads)."""
     from graphconvgeo_tpu.ops.attention import _ell_matvec_heads
 
     heads = s.shape[1]
     n, fp = z_heads.shape[0], z_heads.shape[2]
-    s_sorted = jnp.take(s, rest.perm, axis=0)
-    m_sorted = jnp.take(m, rest.perm, axis=0)
+    s_sorted = jnp.take(s.T, rest.perm, axis=1)  # [H, n]
+    m_sorted = jnp.take(m.T, rest.perm, axis=1)
+    d_t = d.T
     dens, os_ = [], []
     start = 0
     z_flat = z_heads.reshape(n, heads * fp)
     for idx, valid in zip(rest.indices, rest.valid):
         n_b = idx.shape[0]
-        s_b = jax.lax.dynamic_slice_in_dim(s_sorted, start, n_b, 0)
-        m_b = jax.lax.dynamic_slice_in_dim(m_sorted, start, n_b, 0)
-        raw = s_b[:, None, :] + d[idx]  # [n_b, K, H]
-        e = jnp.exp(_leaky(raw, slope) - m_b[:, None, :]) * valid[:, :, None]
-        dens.append(e.sum(axis=1))
+        s_b = jax.lax.dynamic_slice_in_dim(s_sorted, start, n_b, 1)
+        m_b = jax.lax.dynamic_slice_in_dim(m_sorted, start, n_b, 1)
+        raw = s_b[:, :, None] + jnp.take(d_t, idx, axis=1)  # [H, n_b, K]
+        e = jnp.exp(_leaky(raw, slope) - m_b[:, :, None]) * valid[None]
+        dens.append(e.sum(axis=2))
         os_.append(_ell_matvec_heads(idx, e, z_flat))
         start += n_b
-    den_rest = jnp.take(jnp.concatenate(dens, axis=0), rest.inv_perm, axis=0)
+    den_rest = jnp.take(jnp.concatenate(dens, axis=1), rest.inv_perm, axis=1).T
     o_rest = jnp.take(jnp.concatenate(os_, axis=0), rest.inv_perm, axis=0)
     return den_rest, o_rest.reshape(-1, heads, fp)
 
 
 def _rest_max(rest, s, d, *, slope):
-    s_sorted = jnp.take(s, rest.perm, axis=0)
+    s_sorted = jnp.take(s.T, rest.perm, axis=1)
+    d_t = d.T
     outs, start = [], 0
     for idx, valid in zip(rest.indices, rest.valid):
         n_b = idx.shape[0]
-        s_b = jax.lax.dynamic_slice_in_dim(s_sorted, start, n_b, 0)
-        raw = s_b[:, None, :] + d[idx]
-        sc = jnp.where(valid[:, :, None] > 0, _leaky(raw, slope), _NEG)
-        outs.append(sc.max(axis=1))
+        s_b = jax.lax.dynamic_slice_in_dim(s_sorted, start, n_b, 1)
+        raw = s_b[:, :, None] + jnp.take(d_t, idx, axis=1)
+        sc = jnp.where(valid[None] > 0, _leaky(raw, slope), _NEG)
+        outs.append(sc.max(axis=2))
         start += n_b
-    return jnp.take(jnp.concatenate(outs, axis=0), rest.inv_perm, axis=0)
+    return jnp.take(jnp.concatenate(outs, axis=1), rest.inv_perm, axis=1).T
 
 
 def _rest_bwd(rest, s, d, m, den, c, z_heads, g_heads, *, slope):
-    """Residual-edge contributions to (ds, dd, dz)."""
-    from graphconvgeo_tpu.ops.attention import _ell_matvec_heads
+    """Residual-edge contributions to (ds, dd, dz); heads-major layouts."""
+    from graphconvgeo_tpu.ops.attention import _ell_matvec_heads, _ell_sddmm_heads
 
     heads = s.shape[1]
     n, fp = z_heads.shape[0], z_heads.shape[2]
-    s_sorted = jnp.take(s, rest.perm, axis=0)
-    m_sorted = jnp.take(m, rest.perm, axis=0)
-    den_sorted = jnp.take(den, rest.perm, axis=0)
-    c_sorted = jnp.take(c, rest.perm, axis=0)
+    s_sorted = jnp.take(s.T, rest.perm, axis=1)  # [H, n]
+    m_sorted = jnp.take(m.T, rest.perm, axis=1)
+    den_sorted = jnp.take(den.T, rest.perm, axis=1)
+    c_sorted = jnp.take(c.T, rest.perm, axis=1)
     g_sorted = jnp.take(g_heads, rest.perm, axis=0)
+    d_t = d.T
+    z_flat = z_heads.reshape(-1, heads * fp)
     alphas, draws, ds_parts = [], [], []
     start = 0
     for idx, valid in zip(rest.indices, rest.valid):
         n_b = idx.shape[0]
-        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, n_b, 0)
-        raw = sl(s_sorted)[:, None, :] + d[idx]
-        e = jnp.exp(_leaky(raw, slope) - sl(m_sorted)[:, None, :]) * valid[:, :, None]
-        alpha = e / sl(den_sorted)[:, None, :]
-        nbr = z_heads[idx]  # [n_b, K, H, fp]
-        g_b = sl(g_sorted)
-        dalpha = jnp.einsum("nhf,nkhf->nkh", g_b, nbr)
-        draw = alpha * (dalpha - sl(c_sorted)[:, None, :])
-        draw = draw * jnp.where(raw >= 0, 1.0, slope) * valid[:, :, None]
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, n_b, 1)
+        raw = sl(s_sorted)[:, :, None] + jnp.take(d_t, idx, axis=1)  # [H, n_b, K]
+        e = jnp.exp(_leaky(raw, slope) - sl(m_sorted)[:, :, None]) * valid[None]
+        alpha = e / sl(den_sorted)[:, :, None]
+        g_b = jax.lax.dynamic_slice_in_dim(g_sorted, start, n_b, 0)
+        dalpha = _ell_sddmm_heads(idx, g_b.reshape(n_b, heads * fp), z_flat, heads)
+        draw = alpha * (dalpha - sl(c_sorted)[:, :, None])
+        draw = draw * jnp.where(raw >= 0, 1.0, slope) * valid[None]
         alphas.append(alpha)
         draws.append(draw)
-        ds_parts.append(draw.sum(axis=1))
+        ds_parts.append(draw.sum(axis=2))
         start += n_b
-    ds = jnp.take(jnp.concatenate(ds_parts, axis=0), rest.inv_perm, axis=0)
+    ds = jnp.take(jnp.concatenate(ds_parts, axis=1), rest.inv_perm, axis=1).T
     # transpose layout: dz_j = Σ_i α_ij ḡ_i and dd_j = Σ_i draw_ij
-    alpha_flat = jnp.concatenate([a.reshape(-1, heads) for a in alphas], axis=0)
-    draw_flat = jnp.concatenate([w.reshape(-1, heads) for w in draws], axis=0)
-    g_flat = g_heads.reshape(n, heads * fp)
+    alpha_flat = jnp.concatenate([a.reshape(heads, -1) for a in alphas], axis=1)
+    draw_flat = jnp.concatenate([w.reshape(heads, -1) for w in draws], axis=1)
+    g_flat = g_heads.reshape(-1, heads * fp)
     dz_parts, dd_parts = [], []
     for idx_t, valid_t, pt in zip(rest.indices_t, rest.valid_t, rest.perm_t):
-        a_t = alpha_flat[pt.reshape(-1)].reshape(*pt.shape, heads) * valid_t[:, :, None]
-        w_t = draw_flat[pt.reshape(-1)].reshape(*pt.shape, heads) * valid_t[:, :, None]
+        a_t = jnp.take(alpha_flat, pt.reshape(-1), axis=1).reshape(
+            heads, *pt.shape
+        ) * valid_t[None]
+        w_t = jnp.take(draw_flat, pt.reshape(-1), axis=1).reshape(
+            heads, *pt.shape
+        ) * valid_t[None]
         dz_parts.append(_ell_matvec_heads(idx_t, a_t, g_flat))
-        dd_parts.append(w_t.sum(axis=1))
+        dd_parts.append(w_t.sum(axis=2))
     dz = jnp.take(jnp.concatenate(dz_parts, axis=0), rest.inv_perm_c, axis=0)
-    dd = jnp.take(jnp.concatenate(dd_parts, axis=0), rest.inv_perm_c, axis=0)
+    dd = jnp.take(jnp.concatenate(dd_parts, axis=1), rest.inv_perm_c, axis=1).T
     return ds, dd, dz.reshape(-1, heads, fp)
 
 
