@@ -49,7 +49,7 @@ class DistGAT(DistHighwayGCN):
     """Inherits the sparse input layer, loss, and train-step plumbing from
     the distributed GCN; overrides the propagation with halo attention."""
 
-    def __init__(self, cfg: GATConfig, part: RowPartition, mesh):
+    def __init__(self, cfg: GATConfig, part: RowPartition, mesh, att_format: str = "bell"):
         self.cfg = cfg
         self.part = part
         self.mesh = mesh
@@ -67,7 +67,7 @@ class DistGAT(DistHighwayGCN):
         # full pattern in the local blocks (no BSR stripping): attention
         # needs every edge slot, dense tiles included
         self.halo = build_halo(part, local_backend="bell")
-        self.data["att"] = put(build_attention_operands(self.halo))
+        self.data["att"] = put(build_attention_operands(self.halo, fmt=att_format))
         self.data["send_idx"] = jax.device_put(jnp.asarray(self.halo.send_idx), shard3)
         self.data["y"] = jax.device_put(jnp.asarray(part.y), shard1)
         self.data["mask"] = jax.device_put(jnp.asarray(part.mask), shard1)

@@ -445,32 +445,57 @@ def build_halo(
     )
 
 
-def build_attention_operands(hx: HaloExchange):
-    """Stacked per-device :class:`AttentionEll` operands for distributed
+def build_attention_operands(hx: HaloExchange, fmt: str = "bell"):
+    """Stacked per-device attention-pattern operands for distributed
     attention (GAT) layers, in EXTENDED column space: cols [0, rpd) are the
     device's local rows, cols [rpd, rpd + D·h_max) the halo slots of the
-    same all-to-all the GCN path uses. Slot counts are padded to a common
-    SPMD shape across devices; ``device_slice`` recovers one device's
-    AttentionEll inside the shard_map body."""
-    from graphconvgeo_tpu.sparse.formats import AttentionEll
+    same all-to-all the GCN path uses. Shapes are padded to a common SPMD
+    shape across devices; ``device_slice`` recovers one device's operand
+    inside the shard_map body.
+
+    fmt="bell" (default): degree-bucketed :class:`BucketedAttention` blocks
+    under a shared :func:`attention_schedule` — hub rows cost their true
+    degree instead of inflating every device's K (the same skew fix as the
+    GCN path's StackedBell; plain ELL is infeasible on power-law mention
+    graphs). fmt="ell": fixed-K :class:`AttentionEll`, the correctness
+    anchor."""
+    from graphconvgeo_tpu.sparse.formats import (
+        AttentionEll,
+        BucketedAttention,
+        attention_schedule,
+    )
 
     ext_blocks = [
         sp.hstack([l, r]).tocsr() for l, r in zip(hx.local_blocks, hx.remote_blocks)
     ]
     n_ext = ext_blocks[0].shape[1]
-    k = _round_up(max(max(int(np.diff(b.indptr).max()) if b.nnz else 0 for b in ext_blocks), 1), 8)
-    k_t = _round_up(
-        max(
+    if fmt == "bell":
+        sched = attention_schedule([np.diff(b.indptr) for b in ext_blocks])
+        sched_t = attention_schedule(
+            [np.bincount(b.indices, minlength=n_ext) for b in ext_blocks]
+        )
+        ops = [
+            BucketedAttention.from_scipy(b, schedule=sched, schedule_t=sched_t)
+            for b in ext_blocks
+        ]
+    elif fmt == "ell":
+        k = _round_up(
+            max(max(int(np.diff(b.indptr).max()) if b.nnz else 0 for b in ext_blocks), 1), 8
+        )
+        k_t = _round_up(
             max(
-                int(np.bincount(b.indices, minlength=n_ext).max()) if b.nnz else 0
-                for b in ext_blocks
+                max(
+                    int(np.bincount(b.indices, minlength=n_ext).max()) if b.nnz else 0
+                    for b in ext_blocks
+                ),
+                1,
             ),
-            1,
-        ),
-        8,
-    )
-    ells = [AttentionEll.from_scipy(b, fixed_k=k, fixed_k_t=k_t) for b in ext_blocks]
-    return jax.tree.map(lambda *ls: np.stack([np.asarray(l) for l in ls]), *ells)
+            8,
+        )
+        ops = [AttentionEll.from_scipy(b, fixed_k=k, fixed_k_t=k_t) for b in ext_blocks]
+    else:
+        raise ValueError(f"unknown attention operand format {fmt!r}")
+    return jax.tree.map(lambda *ls: np.stack([np.asarray(l) for l in ls]), *ops)
 
 
 def partition_dataset(ds: Dataset, n_devices: int, **kw) -> RowPartition:

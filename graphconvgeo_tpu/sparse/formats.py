@@ -57,6 +57,34 @@ def bucket_widths(max_deg: int) -> list:
     return widths[::-1]
 
 
+def attention_schedule(deg_lists, *, row_align: int = 8) -> list:
+    """Common ``(width, padded_rows)`` bucket schedule over device blocks.
+
+    ``deg_lists``: one degree vector per device block (row degrees for the
+    forward layout, column in-degrees for the transpose). The width ladder
+    comes from the GLOBAL max degree and each bucket's row count is the max
+    over devices (rounded up to ``row_align``), so
+    ``BucketedAttention.from_scipy(block, schedule=...)`` yields identical
+    shapes on every device — stackable into one SPMD program."""
+    deg_lists = [np.asarray(d) for d in deg_lists]
+    gmax = max((int(d.max()) if d.size and d.max() else 1) for d in deg_lists)
+    widths = bucket_widths(gmax)
+    counts = np.zeros((len(deg_lists), len(widths)), np.int64)
+    for di, deg in enumerate(deg_lists):
+        ds = -np.sort(-deg)
+        start = 0
+        for bi, k in enumerate(widths):
+            lower = widths[bi + 1] if bi + 1 < len(widths) else 0
+            end = start + int(np.searchsorted(-ds[start:], -lower))
+            if bi + 1 == len(widths):
+                end = len(ds)
+            counts[di, bi] = end - start
+            start = end
+    rows = [int(_round_up(int(c), row_align)) if c else 0 for c in counts.max(axis=0)]
+    sched = [(k, r) for k, r in zip(widths, rows) if r > 0]
+    return sched or [(1, row_align)]
+
+
 def normalize_adjacency(adj: sp.spmatrix, *, add_self_loops: bool = True) -> sp.csr_matrix:
     """Symmetric GCN normalization Â = D^-1/2 (A + I) D^-1/2.
 
@@ -612,44 +640,66 @@ class BucketedAttention:
 
     @property
     def n_rows(self) -> int:
-        return self.perm.shape[0]
+        # inv_perm is always [n_rows]; perm may be LONGER under an SPMD
+        # schedule (padded bucket rows, see _bucketize(schedule=...))
+        return self.inv_perm.shape[0]
 
     @property
     def padded_slots(self) -> int:
         return sum(int(i.shape[0] * i.shape[1]) for i in self.indices)
 
     @staticmethod
-    def _bucketize(csr: sp.csr_matrix, carry_data: bool = False):
+    def _bucketize(csr: sp.csr_matrix, carry_data: bool = False, schedule=None):
         """Degree-bucketed ELL arrays of a pattern. Returns (per-bucket
         [idx, mask, rows, dat], perm, inv_perm, pos) where ``pos`` maps each
         csr edge (in csr data order) to its flat slot position in the
         concatenated per-bucket layout — what the transpose needs to gather
         forward values. With ``carry_data``, the csr's data (a per-edge int
         payload shifted by +1 so explicit zeros survive a sparse transpose)
-        lands in ``dat`` at each edge's slot, minus the shift."""
+        lands in ``dat`` at each edge's slot, minus the shift.
+
+        ``schedule``: optional list of ``(width, padded_rows)`` pairs (see
+        :func:`attention_schedule`) forcing SPMD-common bucket shapes across
+        device blocks — buckets are padded with all-invalid rows (their
+        softmax rows are zero and ``inv_perm`` never points at them), so
+        ``perm`` has length ``sum(padded_rows)`` ≥ n_rows."""
         n_rows = csr.shape[0]
         deg = np.diff(csr.indptr)
-        perm = np.argsort(-deg, kind="stable").astype(np.int32)
-        deg_sorted = deg[perm]
-        widths = bucket_widths(int(deg.max()) if n_rows and deg.max() else 1)
-        buckets = []
+        order = np.argsort(-deg, kind="stable").astype(np.int32)
+        deg_sorted = deg[order]
+        if schedule is None:
+            widths = bucket_widths(int(deg.max()) if n_rows and deg.max() else 1)
+            pad_rows = [None] * len(widths)
+        else:
+            widths = [k for k, _ in schedule]
+            pad_rows = [r for _, r in schedule]
+        buckets, perm_parts = [], []
         pos = np.zeros(csr.nnz, dtype=np.int64)
-        start, off = 0, 0
+        inv_perm = np.zeros(n_rows, dtype=np.int32)
+        start, off, row_off = 0, 0, 0
         for b, k in enumerate(widths):
             lower = widths[b + 1] if b + 1 < len(widths) else 0
             end = start + int(np.searchsorted(-deg_sorted[start:], -lower))
             if b + 1 == len(widths):
                 end = n_rows
-            if end == start:
+            count = end - start
+            n_slot = count if pad_rows[b] is None else pad_rows[b]
+            if count > n_slot:
+                raise ValueError(
+                    f"schedule bucket {b} (width {k}) holds {n_slot} rows but "
+                    f"this block has {count} — schedules must be built over "
+                    "ALL device blocks (attention_schedule)"
+                )
+            if n_slot == 0 or (count == 0 and pad_rows[b] is None):
                 continue
-            rows = perm[start:end]
+            rows = order[start:end]
             block = csr[rows]
-            bi = np.zeros((end - start, k), dtype=np.int32)
-            bm = np.zeros((end - start, k), dtype=np.float32)
-            bd = np.zeros((end - start, k), dtype=np.int64)
+            bi = np.zeros((n_slot, k), dtype=np.int32)
+            bm = np.zeros((n_slot, k), dtype=np.float32)
+            bd = np.zeros((n_slot, k), dtype=np.int64)
             bdeg = np.diff(block.indptr)
             if block.nnz:
-                rr = np.repeat(np.arange(end - start), bdeg)
+                rr = np.repeat(np.arange(count), bdeg)
                 ss = np.arange(block.nnz) - np.repeat(block.indptr[:-1], bdeg)
                 bi[rr, ss] = block.indices
                 bm[rr, ss] = 1.0
@@ -657,9 +707,14 @@ class BucketedAttention:
                     bd[rr, ss] = block.data.astype(np.int64) - 1
                 edge_ids = np.repeat(csr.indptr[rows].astype(np.int64), bdeg) + ss
                 pos[edge_ids] = off + rr.astype(np.int64) * k + ss
-            buckets.append((bi, bm, rows.astype(np.int32), bd))
+            row_ids = np.zeros(n_slot, dtype=np.int32)
+            row_ids[:count] = rows
+            buckets.append((bi, bm, row_ids, bd))
+            perm_parts.append(row_ids)
+            inv_perm[rows] = row_off + np.arange(count, dtype=np.int32)
             start = end
-            off += bi.shape[0] * k
+            off += n_slot * k
+            row_off += n_slot
         if not buckets:
             buckets = [
                 (
@@ -669,22 +724,31 @@ class BucketedAttention:
                     np.zeros((max(n_rows, 1), 1), np.int64),
                 )
             ]
-        inv_perm = np.empty(n_rows, dtype=np.int32)
-        inv_perm[perm] = np.arange(n_rows, dtype=np.int32)
+            perm_parts = [buckets[0][2]]
+            inv_perm = np.arange(n_rows, dtype=np.int32)
+        perm = np.concatenate(perm_parts)
         return buckets, perm, inv_perm, pos
 
     @staticmethod
-    def from_scipy(mat: sp.spmatrix) -> "BucketedAttention":
+    def from_scipy(
+        mat: sp.spmatrix, *, schedule=None, schedule_t=None
+    ) -> "BucketedAttention":
+        """``schedule``/``schedule_t``: optional SPMD-common bucket shapes
+        for the forward / transpose layouts (:func:`attention_schedule` over
+        all device blocks) — lets per-device operands stack into one SPMD
+        program (see ``parallel.partition.build_attention_operands``)."""
         csr = sp.csr_matrix(mat)
         csr.sort_indices()
-        fwd, perm, inv_perm, pos = BucketedAttention._bucketize(csr)
+        fwd, perm, inv_perm, pos = BucketedAttention._bucketize(csr, schedule=schedule)
         # transpose carries each edge's forward flat position (shift by +1 so
         # explicit zeros survive the sparse transpose)
         csr_t = sp.csr_matrix(
             (pos.astype(np.float64) + 1.0, csr.indices, csr.indptr), shape=csr.shape
         ).T.tocsr()
         csr_t.sort_indices()
-        tr, _, inv_perm_c, _ = BucketedAttention._bucketize(csr_t, carry_data=True)
+        tr, _, inv_perm_c, _ = BucketedAttention._bucketize(
+            csr_t, carry_data=True, schedule=schedule_t
+        )
         return BucketedAttention(
             indices=tuple(jnp.asarray(b[0]) for b in fwd),
             valid=tuple(jnp.asarray(b[1]) for b in fwd),

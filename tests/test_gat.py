@@ -278,3 +278,53 @@ def test_bucketed_attention_grad_check(rng):
         return jnp.sum(gat_attention_bucketed(att, hw_, a_src_, a_dst_) ** 2)
 
     check_grads(loss, (hw, a_src, a_dst), order=1, modes=["rev"], rtol=2e-2, atol=1e-3)
+
+
+def test_bucketed_attention_schedule_padding_is_exact(rng):
+    """A shared SPMD schedule (padded bucket rows, as used by the
+    distributed stacked operands) must not change the attention output or
+    its gradients vs the exact-fit layout."""
+    import scipy.sparse as sp
+
+    from graphconvgeo_tpu.ops.attention import gat_attention_bucketed
+    from graphconvgeo_tpu.sparse.formats import (
+        BucketedAttention,
+        attention_schedule,
+        normalize_adjacency,
+    )
+
+    n = 72
+    adj = sp.random(n, n, density=0.06, format="csr", random_state=3)
+    adj.data[:] = 1.0
+    a_hat = normalize_adjacency(adj + adj.T)
+    # schedule over two fake "device blocks" with different degree profiles
+    # so padding rows are exercised on this block
+    other = sp.random(n, n, density=0.15, format="csr", random_state=4)
+    sched = attention_schedule(
+        [np.diff(a_hat.indptr), np.diff(sp.csr_matrix(other).indptr)]
+    )
+    sched_t = attention_schedule(
+        [
+            np.bincount(a_hat.indices, minlength=n),
+            np.bincount(sp.csr_matrix(other).indices, minlength=n),
+        ]
+    )
+    att_pad = BucketedAttention.from_scipy(a_hat, schedule=sched, schedule_t=sched_t)
+    att_ref = BucketedAttention.from_scipy(a_hat)
+    assert att_pad.perm.shape[0] >= att_ref.perm.shape[0]
+    assert att_pad.n_rows == n
+
+    hw = jnp.asarray(np.random.default_rng(9).normal(size=(n, 12)).astype(np.float32))
+    a_src = jnp.asarray(np.random.default_rng(10).normal(size=(2, 6)).astype(np.float32))
+    a_dst = jnp.asarray(np.random.default_rng(11).normal(size=(2, 6)).astype(np.float32))
+
+    def loss(fn_att, hw_, asrc_, adst_):
+        return jnp.sum(gat_attention_bucketed(fn_att, hw_, asrc_, adst_) ** 2)
+
+    out_p = gat_attention_bucketed(att_pad, hw, a_src, a_dst)
+    out_r = gat_attention_bucketed(att_ref, hw, a_src, a_dst)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r), rtol=2e-5, atol=2e-6)
+    g_p = jax.grad(loss, argnums=(1, 2, 3))(att_pad, hw, a_src, a_dst)
+    g_r = jax.grad(loss, argnums=(1, 2, 3))(att_ref, hw, a_src, a_dst)
+    for gp, gr in zip(g_p, g_r):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr), rtol=5e-5, atol=5e-6)

@@ -275,7 +275,8 @@ def _mk_gat(rng, n=96):
     return a_hat, x, y, mask, cfg
 
 
-def test_dist_gat_matches_single_device(rng, mesh):
+@pytest.mark.parametrize("att_format", ["bell", "ell"])
+def test_dist_gat_matches_single_device(rng, mesh, att_format):
     from graphconvgeo_tpu.models.gat import GraphAttentionNet
     from graphconvgeo_tpu.parallel.gat_dist import DistGAT
 
@@ -289,7 +290,7 @@ def test_dist_gat_matches_single_device(rng, mesh):
     )(params)
 
     part = partition_rows(a_hat, x, y, mask, 8)
-    dist = DistGAT(cfg, part, mesh)
+    dist = DistGAT(cfg, part, mesh, att_format=att_format)
     dparams = jax.device_put(params, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
     logits_d = np.asarray(jax.jit(lambda p: dist.apply(p, train=False))(dparams))
     np.testing.assert_allclose(logits_d[:n], logits_s, rtol=3e-4, atol=3e-5)
