@@ -64,7 +64,7 @@ def parse_args(argv=None):
     p.add_argument("--att-backend", choices=("bucketed", "tiled"), default="bucketed",
                    help="GAT attention operand: degree-bucketed gathers (any "
                         "graph) or flash-style MXU tile kernels (community-"
-                        "reordered mention graphs; no attn-dropout)")
+                        "reordered mention graphs)")
     p.add_argument("--epochs", type=int, default=500)
     p.add_argument("--patience", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)

@@ -61,7 +61,7 @@ class GATConfig:
     input_hot_cache: bool = False
     # 'bucketed' (degree-bucketed gathers — any graph) | 'tiled' (flash-style
     # MXU kernels over pattern tiles + bucketed rest — community-reordered
-    # mention graphs; no attn_dropout support)
+    # mention graphs)
     att_backend: str = "bucketed"
 
     def __post_init__(self):
@@ -74,8 +74,6 @@ class GATConfig:
             raise ValueError(f"unknown activation {self.activation!r}")
         if self.att_backend not in ("bucketed", "tiled"):
             raise ValueError(f"unknown att_backend {self.att_backend!r}")
-        if self.att_backend == "tiled" and self.attn_dropout > 0.0:
-            raise ValueError("att_backend='tiled' does not support attn_dropout")
 
 
 def _glorot(key, shape, dtype):

@@ -295,13 +295,10 @@ def gat_attention(
     if isinstance(att, TiledAttentionPattern):
         from graphconvgeo_tpu.ops.attention_tiled import gat_attention_tiled
 
-        if attn_dropout > 0.0:
-            raise ValueError(
-                "attn_dropout is not supported by the tiled attention backend "
-                "(attention weights are recomputed on the fly, never "
-                "materialized); use att_backend='bucketed'"
-            )
-        return gat_attention_tiled(att, hw, a_src, a_dst, negative_slope=negative_slope)
+        return gat_attention_tiled(
+            att, hw, a_src, a_dst,
+            negative_slope=negative_slope, attn_dropout=attn_dropout, rng=rng,
+        )
     if isinstance(att, BucketedAttention):
         return gat_attention_bucketed(
             att, hw, a_src, a_dst,

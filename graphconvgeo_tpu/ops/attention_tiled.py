@@ -27,6 +27,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from graphconvgeo_tpu.ops.dropout import entry_keep
 from graphconvgeo_tpu.sparse.attention_tiles import TiledAttentionPattern
 from graphconvgeo_tpu.sparse.formats import _round_up
 
@@ -52,6 +53,20 @@ def _unpack_mask(bits):
     shifts = jax.lax.broadcasted_iota(jnp.uint32, (block, block), 0) // w
     # Mosaic has no uint32→f32 cast; the &1 result fits int32 exactly
     return ((words >> shifts) & 1).astype(jnp.int32).astype(jnp.float32)
+
+
+def _tile_keep(rb, cb, seed, h, *, block, n_cols, head_stride, rate):
+    """Attention-dropout keep/(1-rate) scale for one tile and head,
+    recomputed from the position-keyed hash (ops/dropout.py) — the fwd and
+    both bwd passes regenerate the identical mask, so the dropped operator
+    differentiates exactly. Dropout applies to alpha AFTER the softmax
+    (reference semantics), so denominators stay undropped."""
+    il = jax.lax.broadcasted_iota(jnp.uint32, (block, block), 0)
+    jl = jax.lax.broadcasted_iota(jnp.uint32, (block, block), 1)
+    gi = rb.astype(jnp.uint32) * jnp.uint32(block) + il
+    gj = cb.astype(jnp.uint32) * jnp.uint32(block) + jl
+    eid = gi * jnp.uint32(n_cols & 0xFFFFFFFF) + gj + jnp.uint32((h * head_stride) & 0xFFFFFFFF)
+    return entry_keep(eid, seed, rate).astype(jnp.float32) / (1.0 - rate)
 
 
 # ---------------------------------------------------------------- max pass
@@ -93,8 +108,8 @@ def _tile_max(att, s, d, *, slope):
 
 # ---------------------------------------------------------------- forward
 def _fwd_kernel(
-    first_ref, rblk_ref, cblk_ref, mask_ref, s_ref, d_ref, m_ref, z_ref, o_ref, den_ref,
-    *, heads, slope,
+    first_ref, rblk_ref, cblk_ref, mask_ref, seed_ref, s_ref, d_ref, m_ref, z_ref,
+    o_ref, den_ref, *, heads, slope, rate, n_cols, head_stride,
 ):
     t = pl.program_id(0)
 
@@ -104,17 +119,23 @@ def _fwd_kernel(
         den_ref[:] = jnp.zeros_like(den_ref)
 
     mask = _unpack_mask(mask_ref[0])
+    block = mask.shape[0]
     for h in range(heads):
         raw = s_ref[:, h][:, None] + d_ref[:, h][None, :]
         e = jnp.exp(_leaky(raw, slope) - m_ref[:, h][:, None]) * mask
-        den_ref[:, h] += e.sum(axis=1)
+        den_ref[:, h] += e.sum(axis=1)  # denominators are UNDROPPED
+        if rate > 0.0:
+            e = e * _tile_keep(
+                rblk_ref[t], cblk_ref[t], seed_ref[0], h,
+                block=block, n_cols=n_cols, head_stride=head_stride, rate=rate,
+            )
         o_ref[:, h, :] += jnp.dot(
             e, z_ref[:, h, :], preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
 
 
-def _tile_fwd(att, s, d, m, z, *, slope):
+def _tile_fwd(att, s, d, m, z, *, slope, seed, rate):
     b, t_n = att.block, att.n_tiles
     heads, fp = z.shape[1], z.shape[2]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -122,6 +143,7 @@ def _tile_fwd(att, s, d, m, z, *, slope):
         grid=(t_n,),
         in_specs=[
             pl.BlockSpec((1, b // 32, b), lambda t, f, r, c: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((b, heads), lambda t, f, r, c: (r[t], 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, heads), lambda t, f, r, c: (c[t], 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, heads), lambda t, f, r, c: (r[t], 0), memory_space=pltpu.VMEM),
@@ -133,20 +155,23 @@ def _tile_fwd(att, s, d, m, z, *, slope):
         ],
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, heads=heads, slope=slope),
+        functools.partial(
+            _fwd_kernel, heads=heads, slope=slope, rate=rate,
+            n_cols=att.n_cols, head_stride=att.n_rows * att.n_cols,
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((s.shape[0], heads, fp), jnp.float32),
             jax.ShapeDtypeStruct(s.shape, jnp.float32),
         ],
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(att.first, att.rowblk, att.colblk, att.mask_bits, s, d, m, z)
+    )(att.first, att.rowblk, att.colblk, att.mask_bits, seed, s, d, m, z)
 
 
 # ---------------------------------------------------------------- bwd: ds
 def _bwd_row_kernel(
-    first_ref, rblk_ref, cblk_ref, mask_ref, s_ref, d_ref, m_ref, den_ref, c_ref,
-    z_ref, g_ref, ds_ref, *, heads, slope,
+    first_ref, rblk_ref, cblk_ref, mask_ref, seed_ref, s_ref, d_ref, m_ref, den_ref,
+    c_ref, z_ref, g_ref, ds_ref, *, heads, slope, rate, n_cols, head_stride,
 ):
     t = pl.program_id(0)
 
@@ -155,6 +180,7 @@ def _bwd_row_kernel(
         ds_ref[:] = jnp.zeros_like(ds_ref)
 
     mask = _unpack_mask(mask_ref[0])
+    block = mask.shape[0]
     for h in range(heads):
         raw = s_ref[:, h][:, None] + d_ref[:, h][None, :]
         e = jnp.exp(_leaky(raw, slope) - m_ref[:, h][:, None]) * mask
@@ -163,12 +189,17 @@ def _bwd_row_kernel(
             g_ref[:, h, :], z_ref[:, h, :].T, preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
+        if rate > 0.0:  # dropped alpha: dalpha picks up the keep scale
+            dalpha = dalpha * _tile_keep(
+                rblk_ref[t], cblk_ref[t], seed_ref[0], h,
+                block=block, n_cols=n_cols, head_stride=head_stride, rate=rate,
+            )
         draw = alpha * (dalpha - c_ref[:, h][:, None])
         draw = draw * jnp.where(raw >= 0, 1.0, slope)
         ds_ref[:, h] += draw.sum(axis=1)
 
 
-def _tile_bwd_row(att, s, d, m, den, c, z, g, *, slope):
+def _tile_bwd_row(att, s, d, m, den, c, z, g, *, slope, seed, rate):
     b, t_n = att.block, att.n_tiles
     heads, fp = z.shape[1], z.shape[2]
     spec_n = lambda idx: pl.BlockSpec((b, heads), idx, memory_space=pltpu.VMEM)
@@ -177,6 +208,7 @@ def _tile_bwd_row(att, s, d, m, den, c, z, g, *, slope):
         grid=(t_n,),
         in_specs=[
             pl.BlockSpec((1, b // 32, b), lambda t, f, r, c2: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             spec_n(lambda t, f, r, c2: (r[t], 0)),
             spec_n(lambda t, f, r, c2: (c2[t], 0)),
             spec_n(lambda t, f, r, c2: (r[t], 0)),
@@ -190,17 +222,21 @@ def _tile_bwd_row(att, s, d, m, den, c, z, g, *, slope):
         ),
     )
     return pl.pallas_call(
-        functools.partial(_bwd_row_kernel, heads=heads, slope=slope),
+        functools.partial(
+            _bwd_row_kernel, heads=heads, slope=slope, rate=rate,
+            n_cols=att.n_cols, head_stride=att.n_rows * att.n_cols,
+        ),
         out_shape=jax.ShapeDtypeStruct(s.shape, jnp.float32),
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(att.first, att.rowblk, att.colblk, att.mask_bits, s, d, m, den, c, z, g)
+    )(att.first, att.rowblk, att.colblk, att.mask_bits, seed, s, d, m, den, c, z, g)
 
 
 # ------------------------------------------------------------ bwd: dz, dd
 def _bwd_col_kernel(
-    pt_ref, firstt_ref, rblk_ref, cblk_ref, mask_ref, s_ref, d_ref, m_ref, den_ref,
-    c_ref, z_ref, g_ref, dz_ref, dd_ref, *, heads, slope,
+    pt_ref, firstt_ref, rblk_ref, cblk_ref, mask_ref, seed_ref, s_ref, d_ref, m_ref,
+    den_ref, c_ref, z_ref, g_ref, dz_ref, dd_ref, *, heads, slope, rate, n_cols,
+    head_stride,
 ):
     t = pl.program_id(0)
 
@@ -210,25 +246,35 @@ def _bwd_col_kernel(
         dd_ref[:] = jnp.zeros_like(dd_ref)
 
     mask = _unpack_mask(mask_ref[0])  # [i, j] orientation
+    block = mask.shape[0]
     for h in range(heads):
         raw = s_ref[:, h][:, None] + d_ref[:, h][None, :]
         e = jnp.exp(_leaky(raw, slope) - m_ref[:, h][:, None]) * mask
         alpha = e / den_ref[:, h][:, None]
-        # dz_j = Σ_i α_ij ḡ_i
+        kf = None
+        if rate > 0.0:
+            kf = _tile_keep(
+                rblk_ref[pt_ref[t]], cblk_ref[pt_ref[t]], seed_ref[0], h,
+                block=block, n_cols=n_cols, head_stride=head_stride, rate=rate,
+            )
+        # dz_j = Σ_i κ_ij α_ij ḡ_i
         dz_ref[:, h, :] += jnp.dot(
-            alpha.T, g_ref[:, h, :], preferred_element_type=jnp.float32,
+            (alpha if kf is None else alpha * kf).T, g_ref[:, h, :],
+            preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
         dalpha = jnp.dot(
             g_ref[:, h, :], z_ref[:, h, :].T, preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
+        if kf is not None:
+            dalpha = dalpha * kf
         draw = alpha * (dalpha - c_ref[:, h][:, None])
         draw = draw * jnp.where(raw >= 0, 1.0, slope)
         dd_ref[:, h] += draw.sum(axis=0)
 
 
-def _tile_bwd_col(att, s, d, m, den, c, z, g, *, slope):
+def _tile_bwd_col(att, s, d, m, den, c, z, g, *, slope, seed, rate):
     b, t_n = att.block, att.n_tiles
     heads, fp = z.shape[1], z.shape[2]
     # step t processes tile pt[t]; row-side blocks index rblk[pt[t]],
@@ -241,6 +287,7 @@ def _tile_bwd_col(att, s, d, m, den, c, z, g, *, slope):
         grid=(t_n,),
         in_specs=[
             pl.BlockSpec((1, b // 32, b), lambda t, p, f, r, c2: (p[t], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             spec_row(),
             pl.BlockSpec((b, heads), lambda t, p, f, r, c2: (c2[p[t]], 0), memory_space=pltpu.VMEM),
             spec_row(),
@@ -263,18 +310,35 @@ def _tile_bwd_col(att, s, d, m, den, c, z, g, *, slope):
         ],
     )
     return pl.pallas_call(
-        functools.partial(_bwd_col_kernel, heads=heads, slope=slope),
+        functools.partial(
+            _bwd_col_kernel, heads=heads, slope=slope, rate=rate,
+            n_cols=att.n_cols, head_stride=att.n_rows * att.n_cols,
+        ),
         out_shape=[
             jax.ShapeDtypeStruct(z.shape, jnp.float32),
             jax.ShapeDtypeStruct(d.shape, jnp.float32),
         ],
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(att.perm_t, att.first_t, att.rowblk, att.colblk, att.mask_bits, s, d, m, den, c, z, g)
+    )(att.perm_t, att.first_t, att.rowblk, att.colblk, att.mask_bits, seed, s, d, m, den, c, z, g)
 
 
 # ------------------------------------------------------------- rest path
-def _rest_fwd(rest, s, d, m, z_heads, *, slope):
+def _rest_keep(row_ids, idx, seed, *, heads, n_cols, head_stride, rate):
+    """[H, n_b, K] keep/(1-rate) scales for one rest bucket — same entry-id
+    scheme as the tile kernels' _tile_keep (ids are disjoint: rest edges
+    never coincide with tiled edges)."""
+    eid = row_ids[:, None].astype(jnp.uint32) * jnp.uint32(
+        n_cols & 0xFFFFFFFF
+    ) + idx.astype(jnp.uint32)
+    offs = (
+        jnp.arange(heads, dtype=jnp.uint32) * jnp.uint32(head_stride & 0xFFFFFFFF)
+    )[:, None, None]
+    keep = entry_keep(eid[None] + offs, seed, rate)
+    return keep.astype(jnp.float32) / (1.0 - rate)
+
+
+def _rest_fwd(rest, s, d, m, z_heads, *, slope, seed, rate, n_cols_g, head_stride):
     """Bucketed residual contributions (den_rest, o_rest) under the SAME
     shift m. All raw jnp — differentiated by hand in the layer VJP.
 
@@ -290,13 +354,18 @@ def _rest_fwd(rest, s, d, m, z_heads, *, slope):
     dens, os_ = [], []
     start = 0
     z_flat = z_heads.reshape(n, heads * fp)
-    for idx, valid in zip(rest.indices, rest.valid):
+    for idx, valid, rid in zip(rest.indices, rest.valid, rest.row_ids):
         n_b = idx.shape[0]
         s_b = jax.lax.dynamic_slice_in_dim(s_sorted, start, n_b, 1)
         m_b = jax.lax.dynamic_slice_in_dim(m_sorted, start, n_b, 1)
         raw = s_b[:, :, None] + jnp.take(d_t, idx, axis=1)  # [H, n_b, K]
         e = jnp.exp(_leaky(raw, slope) - m_b[:, :, None]) * valid[None]
-        dens.append(e.sum(axis=2))
+        dens.append(e.sum(axis=2))  # denominators are UNDROPPED
+        if rate > 0.0:
+            e = e * _rest_keep(
+                rid, idx, seed, heads=heads, n_cols=n_cols_g,
+                head_stride=head_stride, rate=rate,
+            )
         os_.append(_ell_matvec_heads(idx, e, z_flat))
         start += n_b
     den_rest = jnp.take(jnp.concatenate(dens, axis=1), rest.inv_perm, axis=1).T
@@ -318,7 +387,7 @@ def _rest_max(rest, s, d, *, slope):
     return jnp.take(jnp.concatenate(outs, axis=1), rest.inv_perm, axis=1).T
 
 
-def _rest_bwd(rest, s, d, m, den, c, z_heads, g_heads, *, slope):
+def _rest_bwd(rest, s, d, m, den, c, z_heads, g_heads, *, slope, seed, rate, n_cols_g, head_stride):
     """Residual-edge contributions to (ds, dd, dz); heads-major layouts."""
     from graphconvgeo_tpu.ops.attention import _ell_matvec_heads, _ell_sddmm_heads
 
@@ -333,7 +402,7 @@ def _rest_bwd(rest, s, d, m, den, c, z_heads, g_heads, *, slope):
     z_flat = z_heads.reshape(-1, heads * fp)
     alphas, draws, ds_parts = [], [], []
     start = 0
-    for idx, valid in zip(rest.indices, rest.valid):
+    for idx, valid, rid in zip(rest.indices, rest.valid, rest.row_ids):
         n_b = idx.shape[0]
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, n_b, 1)
         raw = sl(s_sorted)[:, :, None] + jnp.take(d_t, idx, axis=1)  # [H, n_b, K]
@@ -341,9 +410,18 @@ def _rest_bwd(rest, s, d, m, den, c, z_heads, g_heads, *, slope):
         alpha = e / sl(den_sorted)[:, :, None]
         g_b = jax.lax.dynamic_slice_in_dim(g_sorted, start, n_b, 0)
         dalpha = _ell_sddmm_heads(idx, g_b.reshape(n_b, heads * fp), z_flat, heads)
+        if rate > 0.0:
+            kf = _rest_keep(
+                rid, idx, seed, heads=heads, n_cols=n_cols_g,
+                head_stride=head_stride, rate=rate,
+            )
+            dalpha = dalpha * kf
+            alpha_dz = alpha * kf  # dz reads the DROPPED alpha
+        else:
+            alpha_dz = alpha
         draw = alpha * (dalpha - sl(c_sorted)[:, :, None])
         draw = draw * jnp.where(raw >= 0, 1.0, slope) * valid[None]
-        alphas.append(alpha)
+        alphas.append(alpha_dz)
         draws.append(draw)
         ds_parts.append(draw.sum(axis=2))
         start += n_b
@@ -390,8 +468,9 @@ def _prep(att: TiledAttentionPattern, z, a_src, a_dst):
     return z_heads, zp, s, d, heads, f, fp, n, npad, mpad
 
 
-def _layer_fwd_impl(att, z, a_src, a_dst, slope):
+def _layer_fwd_impl(att, z, a_src, a_dst, seed, slope, rate):
     z_heads, zp, s, d, heads, f, fp, n, npad, mpad = _prep(att, z, a_src, a_dst)
+    hstride = att.n_rows * att.n_cols
     # s rows are padded to the row grid, d rows to the column grid (the
     # kernels index them by rowblk / colblk respectively)
     m = _tile_max(att, s, d, slope=slope)
@@ -400,9 +479,12 @@ def _layer_fwd_impl(att, z, a_src, a_dst, slope):
             m, _pad_rows(_rest_max(att.rest, s[:n], d[: z.shape[0]], slope=slope), npad)
         )
     m = jnp.where(m > _NEG / 2, m, 0.0)  # rows with no edges: neutral shift
-    o_un, den = _tile_fwd(att, s, d, m, zp, slope=slope)
+    o_un, den = _tile_fwd(att, s, d, m, zp, slope=slope, seed=seed, rate=rate)
     if att.rest is not None:
-        den_r, o_r = _rest_fwd(att.rest, s[:n], d[: z.shape[0]], m[:n], z_heads, slope=slope)
+        den_r, o_r = _rest_fwd(
+            att.rest, s[:n], d[: z.shape[0]], m[:n], z_heads, slope=slope,
+            seed=seed, rate=rate, n_cols_g=att.n_cols, head_stride=hstride,
+        )
         den = den.at[:n].add(den_r)
         if fp != f:
             o_r = jnp.pad(o_r, ((0, 0), (0, 0), (0, fp - f)))
@@ -412,18 +494,18 @@ def _layer_fwd_impl(att, z, a_src, a_dst, slope):
     return out, (s, d, m, den)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _tiled_gat_core(att, z, a_src, a_dst, slope):
-    return _layer_fwd_impl(att, z, a_src, a_dst, slope)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _tiled_gat_core(att, z, a_src, a_dst, seed, slope, rate):
+    return _layer_fwd_impl(att, z, a_src, a_dst, seed, slope, rate)[0]
 
 
-def _tiled_gat_fwd(att, z, a_src, a_dst, slope):
-    out, (s, d, m, den) = _layer_fwd_impl(att, z, a_src, a_dst, slope)
-    return out, (att, z, a_src, a_dst, out, s, d, m, den)
+def _tiled_gat_fwd(att, z, a_src, a_dst, seed, slope, rate):
+    out, (s, d, m, den) = _layer_fwd_impl(att, z, a_src, a_dst, seed, slope, rate)
+    return out, (att, z, a_src, a_dst, seed, out, s, d, m, den)
 
 
-def _tiled_gat_bwd(slope, res, g):
-    att, z, a_src, a_dst, out, s, d, m, den = res
+def _tiled_gat_bwd(slope, rate, res, g):
+    att, z, a_src, a_dst, seed, out, s, d, m, den = res
     heads, f = a_src.shape
     fp = _round_up(f, 128)
     n = att.n_rows
@@ -440,12 +522,13 @@ def _tiled_gat_bwd(slope, res, g):
     c = _pad_rows(
         jnp.einsum("nhf,nhf->nh", g_heads, out.reshape(n, heads, f)), npad
     )
-    ds = _tile_bwd_row(att, s, d, m, den, c, zp, gp, slope=slope)
-    dzp, dd = _tile_bwd_col(att, s, d, m, den, c, zp, gp, slope=slope)
+    ds = _tile_bwd_row(att, s, d, m, den, c, zp, gp, slope=slope, seed=seed, rate=rate)
+    dzp, dd = _tile_bwd_col(att, s, d, m, den, c, zp, gp, slope=slope, seed=seed, rate=rate)
     if att.rest is not None:
         ds_r, dd_r, dz_r = _rest_bwd(
             att.rest, s[:n], d[: z_heads.shape[0]], m[:n], den[:n], c[:n],
-            z_heads, g_heads, slope=slope,
+            z_heads, g_heads, slope=slope, seed=seed, rate=rate,
+            n_cols_g=att.n_cols, head_stride=att.n_rows * att.n_cols,
         )
         ds = ds.at[:n].add(ds_r)
         dd = dd.at[: dd_r.shape[0]].add(dd_r)
@@ -464,7 +547,8 @@ def _tiled_gat_bwd(slope, res, g):
         lambda leaf: f0(leaf) if jnp.issubdtype(leaf.dtype, jnp.integer) else leaf * 0.0,
         att,
     )
-    return (zeros_att, dz_heads.reshape(z.shape).astype(z.dtype), da_src, da_dst)
+    dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
+    return (zeros_att, dz_heads.reshape(z.shape).astype(z.dtype), da_src, da_dst, dseed)
 
 
 _tiled_gat_core.defvjp(_tiled_gat_fwd, _tiled_gat_bwd)
@@ -477,8 +561,19 @@ def gat_attention_tiled(
     a_dst: jax.Array,
     *,
     negative_slope: float = 0.2,
+    attn_dropout: float = 0.0,
+    rng: jax.Array | None = None,
 ) -> jax.Array:
     """Multi-head GAT attention over a tiled pattern. Same contract as
     :func:`graphconvgeo_tpu.ops.attention.gat_attention` (hw = H·W covering
-    the pattern's column space; returns [n_rows, heads·f])."""
-    return _tiled_gat_core(att, hw, a_src, a_dst, negative_slope)
+    the pattern's column space; returns [n_rows, heads·f]). ``attn_dropout``
+    drops attention weights AFTER the softmax (reference semantics) via a
+    position-keyed hash mask recomputed inside every pass — per-edge keep
+    bits are never materialized, matching the flash-style design."""
+    if attn_dropout > 0.0:
+        if rng is None:
+            raise ValueError("rng required when attn_dropout > 0")
+        seed = jax.random.randint(rng, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+    return _tiled_gat_core(att, hw, a_src, a_dst, seed, negative_slope, attn_dropout)

@@ -32,6 +32,18 @@ def entry_uniform(entry_id: jax.Array, seed: jax.Array) -> jax.Array:
     return h.astype(jnp.float32) / jnp.float32(2**32)
 
 
+def entry_keep(entry_id: jax.Array, seed: jax.Array, rate: float) -> jax.Array:
+    """Boolean keep mask per entry id (True with probability ``1 - rate``).
+
+    Integer-only — safe inside Pallas kernels (Mosaic has no uint32→f32
+    cast): compare the top 31 hash bits against ``rate·2³¹``. Entry ids are
+    uint32-wrapped; every pass that recomputes the mask for the same id and
+    seed gets the identical bit (the tiled attention kernels rely on this)."""
+    h = _wang_hash(entry_id.astype(jnp.uint32) ^ _wang_hash(seed.astype(jnp.uint32)))
+    thr = jnp.int32(min(int(rate * (1 << 31)), (1 << 31) - 1))
+    return jax.lax.shift_right_logical(h, jnp.uint32(1)).astype(jnp.int32) >= thr
+
+
 def ell_dropout_values(
     indices: jax.Array,
     values: jax.Array,

@@ -105,3 +105,61 @@ def test_tiled_isolated_rows(rng):
     want = dense_oracle(jnp.asarray(a.toarray()), z, a_src, a_dst)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=2e-4, atol=2e-5)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_tiled_attn_dropout_matches_masked_oracle(rng):
+    """attn_dropout on the tiled backend: the hash-mask dropped operator
+    (fwd + all grads) must equal a dense oracle applying the SAME
+    position-keyed keep mask to alpha after the softmax."""
+    from graphconvgeo_tpu.ops.dropout import entry_keep
+
+    rate = 0.35
+    a, z, a_src, a_dst = _mk(rng, n=64)
+    att = TiledAttentionPattern.from_scipy(a, block=32, min_tile_nnz=40)
+    assert att.n_tiles > 0 and att.rest is not None
+    key = jax.random.key(7)
+    seed = jax.random.randint(key, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+    n = a.shape[0]
+    heads, f = a_src.shape
+
+    def oracle(z_, asrc_, adst_):
+        zh = z_.reshape(n, heads, f)
+        s = jnp.einsum("nhf,hf->nh", zh, asrc_)
+        d = jnp.einsum("nhf,hf->nh", zh, adst_)
+        raw = s[:, None, :] + d[None, :, :]
+        sc = jnp.where(raw >= 0, raw, SLOPE * raw)
+        dense = jnp.asarray(a.toarray())
+        sc = jnp.where(dense[:, :, None] > 0, sc, -1e30)
+        alpha = jax.nn.softmax(sc, axis=1) * (dense[:, :, None] > 0)
+        i = jnp.arange(n, dtype=jnp.uint32)[:, None]
+        j = jnp.arange(n, dtype=jnp.uint32)[None, :]
+        eid = i * jnp.uint32(att.n_cols) + j
+        stride = jnp.uint32((att.n_rows * att.n_cols) & 0xFFFFFFFF)
+        keep = jnp.stack(
+            [entry_keep(eid + jnp.uint32(h) * stride, seed[0], rate) for h in range(heads)],
+            axis=-1,
+        )
+        alpha = alpha * keep.astype(jnp.float32) / (1.0 - rate)
+        return jnp.einsum("nmh,mhf->nhf", alpha, zh).reshape(n, heads * f)
+
+    def tiled(z_, asrc_, adst_):
+        from graphconvgeo_tpu.ops.attention_tiled import _tiled_gat_core
+
+        return _tiled_gat_core(att, z_, asrc_, adst_, seed, SLOPE, rate)
+
+    out_t = tiled(z, a_src, a_dst)
+    out_o = oracle(z, a_src, a_dst)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_o), rtol=3e-4, atol=3e-5)
+    # something was actually dropped
+    undropped = gat_attention_tiled(att, z, a_src, a_dst, negative_slope=SLOPE)
+    assert float(jnp.abs(out_t - undropped).max()) > 1e-3
+
+    tgt = jnp.asarray(np.random.default_rng(5).normal(size=out_o.shape).astype(np.float32))
+    g_t = jax.grad(lambda *a_: jnp.sum((tiled(*a_) - tgt) ** 2), argnums=(0, 1, 2))(
+        z, a_src, a_dst
+    )
+    g_o = jax.grad(lambda *a_: jnp.sum((oracle(*a_) - tgt) ** 2), argnums=(0, 1, 2))(
+        z, a_src, a_dst
+    )
+    for gt, go in zip(g_t, g_o):
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(go), rtol=1e-3, atol=1e-4)
