@@ -1,0 +1,216 @@
+"""Bisect the tiled-attention Pallas passes at bench scale (one pass per
+process — a TPU 'Internal' error wedges the axon relay, so isolate)."""
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from graphconvgeo_tpu.data.synthetic import random_mention_projection_graph
+from graphconvgeo_tpu.ops import attention_tiled as at
+from graphconvgeo_tpu.sparse.attention_tiles import TiledAttentionPattern
+from graphconvgeo_tpu.sparse.formats import normalize_adjacency
+from graphconvgeo_tpu.sparse.reorder import best_reordering
+
+N, N_COMM, HEADS, F = 262_144, 1024, 4, 64
+which = sys.argv[1]
+scale = int(sys.argv[2]) if len(sys.argv) > 2 else N
+
+t0 = time.time()
+adj = random_mention_projection_graph(scale, max(scale // 256, 8), seed=7)
+perm = np.random.default_rng(1).permutation(scale)
+a_hat = normalize_adjacency(adj[perm][:, perm].tocsr())
+ro = best_reordering(a_hat, seed=0)
+a_hat = ro.permute_graph(a_hat)
+att = TiledAttentionPattern.from_scipy(a_hat, min_tile_nnz=64)
+print(f"tiles={att.n_tiles} ({time.time()-t0:.0f}s)", flush=True)
+
+rng = np.random.default_rng(0)
+z = jnp.asarray(rng.normal(size=(scale, HEADS * F)).astype(np.float32)) * 0.1
+a_src = jnp.asarray(rng.normal(size=(HEADS, F)).astype(np.float32)) * 0.1
+a_dst = jnp.asarray(rng.normal(size=(HEADS, F)).astype(np.float32)) * 0.1
+seed = jnp.zeros((1,), jnp.int32)
+
+z_heads, zp, s, d, heads, f, fp, n, npad, mpad = at._prep(att, z, a_src, a_dst)
+m = at._tile_max(att, s, d, slope=0.2)
+m = jnp.where(m > at._NEG / 2, m, 0.0)
+print("max pass OK", flush=True)
+if which == "max":
+    print(float(m.sum()), flush=True)
+    sys.exit(0)
+
+o_un, den = at._tile_fwd(att, s, d, m, zp, slope=0.2, seed=seed, rate=0.0)
+den = jnp.where(den > 0, den, 1.0)
+if which == "fwd":
+    print("fwd", float(o_un.sum()), float(den.sum()), flush=True)
+    sys.exit(0)
+
+g = jnp.asarray(rng.normal(size=(n, heads * f)).astype(np.float32)) * 0.1
+gp = at._pad_rows(g.reshape(n, heads, f), npad)
+if fp != f:
+    gp = jnp.pad(gp, ((0, 0), (0, 0), (0, fp - f)))
+out = (o_un / den[:, :, None])[:n, :, :f].reshape(n, heads * f)
+c = at._pad_rows(jnp.einsum("nhf,nhf->nh", g.reshape(n, heads, f), out.reshape(n, heads, f)), npad)
+
+if which == "bwdrow":
+    ds = at._tile_bwd_row(att, s, d, m, den, c, zp, gp, slope=0.2, seed=seed, rate=0.0)
+    print("bwdrow", float(ds.sum()), flush=True)
+elif which == "bwdcol":
+    dzp, dd = at._tile_bwd_col(att, s, d, m, den, c, zp, gp, slope=0.2, seed=seed, rate=0.0)
+    print("bwdcol", float(dzp.sum()), float(dd.sum()), flush=True)
+print("done", flush=True)
+
+if which == "vjp":
+    from graphconvgeo_tpu.ops.attention_tiled import gat_attention_tiled
+
+    gr = jax.jit(jax.grad(lambda z_: jnp.sum(gat_attention_tiled(att, z_, a_src, a_dst) ** 2)))(z)
+    print("vjp", float(jnp.abs(gr).sum()), flush=True)
+elif which == "vjploop":
+    from graphconvgeo_tpu.ops.attention_tiled import gat_attention_tiled
+
+    @jax.jit
+    def f(z0):
+        def body(i, v):
+            g_ = jax.grad(lambda z_: jnp.sum(gat_attention_tiled(att, z_, a_src, a_dst) ** 2))(v)
+            return v - 1e-6 * g_
+        return jnp.sum(jax.lax.fori_loop(0, 2, body, z0))
+
+    print("vjploop", float(f(z)), flush=True)
+
+if which == "bwdboth":
+    @jax.jit
+    def both(s_, d_, m_, den_, c_, zp_, gp_):
+        ds = at._tile_bwd_row(att, s_, d_, m_, den_, c_, zp_, gp_, slope=0.2, seed=seed, rate=0.0)
+        dzp, dd = at._tile_bwd_col(att, s_, d_, m_, den_, c_, zp_, gp_, slope=0.2, seed=seed, rate=0.0)
+        return jnp.abs(ds).sum() + jnp.abs(dzp).sum() + jnp.abs(dd).sum()
+
+    print("bwdboth", float(both(s, d, m, den, c, zp, gp)), flush=True)
+
+if which == "bwdrow_jit":
+    f = jax.jit(lambda *a_: jnp.abs(at._tile_bwd_row(att, *a_, slope=0.2, seed=seed, rate=0.0)).sum())
+    print("bwdrow_jit", float(f(s, d, m, den, c, zp, gp)), flush=True)
+elif which == "bwdcol_jit":
+    def g_(*a_):
+        dzp, dd = at._tile_bwd_col(att, *a_, slope=0.2, seed=seed, rate=0.0)
+        return jnp.abs(dzp).sum() + jnp.abs(dd).sum()
+    print("bwdcol_jit", float(jax.jit(g_)(s, d, m, den, c, zp, gp)), flush=True)
+
+if which == "bwdcol_jit_bar":
+    def g2(*a_):
+        a_ = jax.lax.optimization_barrier(a_)
+        dzp, dd = at._tile_bwd_col(att, *a_, slope=0.2, seed=seed, rate=0.0)
+        dzp, dd = jax.lax.optimization_barrier((dzp, dd))
+        return jnp.abs(dzp).sum() + jnp.abs(dd).sum()
+    print("bwdcol_jit_bar", float(jax.jit(g2)(s, d, m, den, c, zp, gp)), flush=True)
+elif which == "bwdcol_jit_args":
+    def g3(att_, *a_):
+        dzp, dd = at._tile_bwd_col(att_, *a_, slope=0.2, seed=seed, rate=0.0)
+        return jnp.abs(dzp).sum() + jnp.abs(dd).sum()
+    print("bwdcol_jit_args", float(jax.jit(g3)(att, s, d, m, den, c, zp, gp)), flush=True)
+
+if which == "bwdcol_jit_noreduce":
+    g4 = jax.jit(lambda att_, *a_: at._tile_bwd_col(att_, *a_, slope=0.2, seed=seed, rate=0.0))
+    dzp, dd = g4(att, s, d, m, den, c, zp, gp)
+    print("bwdcol_jit_noreduce", float(jnp.abs(dzp).sum()), float(jnp.abs(dd).sum()), flush=True)
+
+if which == "bwdcol_preperm":
+    # pre-apply the column-major tile order on host: no p[t] indirection
+    import dataclasses as dc
+
+    pt = np.asarray(att.perm_t)
+    att2 = dc.replace(
+        att,
+        mask_bits=att.mask_bits[pt],
+        rowblk=att.rowblk[pt],
+        colblk=att.colblk[pt],
+    )
+
+    def kern(firstt_ref, rblk_ref, cblk_ref, mask_ref, seed_ref, s_ref, d_ref, m_ref,
+             den_ref, c_ref, z_ref, g_ref, dz_ref, dd_ref):
+        t = jax.experimental.pallas.program_id(0)
+        import jax.experimental.pallas as pl2
+
+        @pl2.when(firstt_ref[t] == 1)
+        def _():
+            dz_ref[:] = jnp.zeros_like(dz_ref)
+            dd_ref[:] = jnp.zeros_like(dd_ref)
+
+        mask = at._unpack_mask(mask_ref[0])
+        for h in range(HEADS):
+            raw = s_ref[:, h][:, None] + d_ref[:, h][None, :]
+            e = jnp.exp(at._leaky(raw, 0.2) - m_ref[:, h][:, None]) * mask
+            alpha = e / den_ref[:, h][:, None]
+            dz_ref[:, h, :] += jnp.dot(alpha.T, g_ref[:, h, :],
+                                       preferred_element_type=jnp.float32,
+                                       precision=jax.lax.Precision.HIGHEST)
+            dalpha = jnp.dot(g_ref[:, h, :], z_ref[:, h, :].T,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+            draw = alpha * (dalpha - c_ref[:, h][:, None])
+            draw = draw * jnp.where(raw >= 0, 1.0, 0.2)
+            dd_ref[:, h] += draw.sum(axis=0)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = att.block
+    spec_row = lambda: pl.BlockSpec((b, HEADS), lambda t, f2, r, c2: (r[t], 0), memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(att.n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, b // 32, b), lambda t, f2, r, c2: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            spec_row(),
+            pl.BlockSpec((b, HEADS), lambda t, f2, r, c2: (c2[t], 0), memory_space=pltpu.VMEM),
+            spec_row(), spec_row(), spec_row(),
+            pl.BlockSpec((b, HEADS, fp), lambda t, f2, r, c2: (c2[t], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, HEADS, fp), lambda t, f2, r, c2: (r[t], 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, HEADS, fp), lambda t, f2, r, c2: (c2[t], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, HEADS), lambda t, f2, r, c2: (c2[t], 0), memory_space=pltpu.VMEM),
+        ],
+    )
+
+    def kern2(firstt_ref, rblk_ref, cblk_ref, mask_ref, seed_ref, s_ref, d_ref, m_ref,
+              den_ref, c_ref, z_ref, g_ref, dz_ref, dd_ref):
+        t = pl.program_id(0)
+
+        @pl.when(firstt_ref[t] == 1)
+        def _():
+            dz_ref[:] = jnp.zeros_like(dz_ref)
+            dd_ref[:] = jnp.zeros_like(dd_ref)
+
+        mask = at._unpack_mask(mask_ref[0])
+        for h in range(HEADS):
+            raw = s_ref[:, h][:, None] + d_ref[:, h][None, :]
+            e = jnp.exp(at._leaky(raw, 0.2) - m_ref[:, h][:, None]) * mask
+            alpha = e / den_ref[:, h][:, None]
+            dz_ref[:, h, :] += jnp.dot(alpha.T, g_ref[:, h, :],
+                                       preferred_element_type=jnp.float32,
+                                       precision=jax.lax.Precision.HIGHEST)
+            dalpha = jnp.dot(g_ref[:, h, :], z_ref[:, h, :].T,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+            draw = alpha * (dalpha - c_ref[:, h][:, None])
+            draw = draw * jnp.where(raw >= 0, 1.0, 0.2)
+            dd_ref[:, h] += draw.sum(axis=0)
+
+    def call(att2_, s_, d_, m_, den_, c_, zp_, gp_):
+        return pl.pallas_call(
+            kern2,
+            out_shape=[
+                jax.ShapeDtypeStruct(zp_.shape, jnp.float32),
+                jax.ShapeDtypeStruct(d_.shape, jnp.float32),
+            ],
+            grid_spec=grid_spec,
+        )(att2_.first_t, att2_.rowblk, att2_.colblk, att2_.mask_bits, seed,
+          s_, d_, m_, den_, c_, zp_, gp_)
+
+    def g5(att2_, *a_):
+        dzp, dd = call(att2_, *a_)
+        return jnp.abs(dzp).sum() + jnp.abs(dd).sum()
+
+    print("bwdcol_preperm", float(jax.jit(g5)(att2, s, d, m, den, c, zp, gp)), flush=True)
