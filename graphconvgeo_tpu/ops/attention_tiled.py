@@ -234,7 +234,7 @@ def _tile_bwd_row(att, s, d, m, den, c, z, g, *, slope, seed, rate):
 
 # ------------------------------------------------------------ bwd: dz, dd
 def _bwd_col_kernel(
-    pt_ref, firstt_ref, rblk_ref, cblk_ref, mask_ref, seed_ref, s_ref, d_ref, m_ref,
+    firstt_ref, rblk_ref, cblk_ref, mask_ref, seed_ref, s_ref, d_ref, m_ref,
     den_ref, c_ref, z_ref, g_ref, dz_ref, dd_ref, *, heads, slope, rate, n_cols,
     head_stride,
 ):
@@ -254,7 +254,7 @@ def _bwd_col_kernel(
         kf = None
         if rate > 0.0:
             kf = _tile_keep(
-                rblk_ref[pt_ref[t]], cblk_ref[pt_ref[t]], seed_ref[0], h,
+                rblk_ref[t], cblk_ref[t], seed_ref[0], h,
                 block=block, n_cols=n_cols, head_stride=head_stride, rate=rate,
             )
         # dz_j = Σ_i κ_ij α_ij ḡ_i
@@ -277,35 +277,37 @@ def _bwd_col_kernel(
 def _tile_bwd_col(att, s, d, m, den, c, z, g, *, slope, seed, rate):
     b, t_n = att.block, att.n_tiles
     heads, fp = z.shape[1], z.shape[2]
-    # step t processes tile pt[t]; row-side blocks index rblk[pt[t]],
-    # output (column-side) blocks index cblk[pt[t]] — non-decreasing
+    # column-major sweep over the PRE-SORTED host copies (mask_bits_t /
+    # rowblk_t / colblk_t): output blocks follow colblk_t, non-decreasing.
+    # Never index prefetched scalars through a permutation here — see the
+    # TiledAttentionPattern docstring (miscompiles at 20k+-tile scale).
     spec_row = lambda: pl.BlockSpec(
-        (b, heads), lambda t, p, f, r, c2: (r[p[t]], 0), memory_space=pltpu.VMEM
+        (b, heads), lambda t, f, r, c2: (r[t], 0), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(t_n,),
         in_specs=[
-            pl.BlockSpec((1, b // 32, b), lambda t, p, f, r, c2: (p[t], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b // 32, b), lambda t, f, r, c2: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             spec_row(),
-            pl.BlockSpec((b, heads), lambda t, p, f, r, c2: (c2[p[t]], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, heads), lambda t, f, r, c2: (c2[t], 0), memory_space=pltpu.VMEM),
             spec_row(),
             spec_row(),
             spec_row(),
             pl.BlockSpec(
-                (b, heads, fp), lambda t, p, f, r, c2: (c2[p[t]], 0, 0), memory_space=pltpu.VMEM
+                (b, heads, fp), lambda t, f, r, c2: (c2[t], 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (b, heads, fp), lambda t, p, f, r, c2: (r[p[t]], 0, 0), memory_space=pltpu.VMEM
+                (b, heads, fp), lambda t, f, r, c2: (r[t], 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (b, heads, fp), lambda t, p, f, r, c2: (c2[p[t]], 0, 0), memory_space=pltpu.VMEM
+                (b, heads, fp), lambda t, f, r, c2: (c2[t], 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (b, heads), lambda t, p, f, r, c2: (c2[p[t]], 0), memory_space=pltpu.VMEM
+                (b, heads), lambda t, f, r, c2: (c2[t], 0), memory_space=pltpu.VMEM
             ),
         ],
     )
@@ -320,7 +322,7 @@ def _tile_bwd_col(att, s, d, m, den, c, z, g, *, slope, seed, rate):
         ],
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(att.perm_t, att.first_t, att.rowblk, att.colblk, att.mask_bits, seed, s, d, m, den, c, z, g)
+    )(att.first_t, att.rowblk_t, att.colblk_t, att.mask_bits_t, seed, s, d, m, den, c, z, g)
 
 
 # ------------------------------------------------------------- rest path

@@ -43,9 +43,16 @@ class TiledAttentionPattern:
              bf16 mask (32 KB → 4 KB padded per 128² tile).
     rowblk/colblk/first: [T] int32 — row-major tile order (forward + ds
              passes accumulate output blocks at ``rowblk``).
-    perm_t/first_t: [T] int32 — column-major sweep: step t processes tile
-             ``perm_t[t]`` with roles swapped (output block = its colblk,
-             non-decreasing), for the dz/dd backward pass.
+    mask_bits_t/rowblk_t/colblk_t/first_t: the SAME tiles pre-sorted into
+             column-major order on the host for the dz/dd backward sweep
+             (output block = colblk_t, non-decreasing). Stored as copies
+             rather than a permutation: indexing prefetched scalars through
+             a permutation (``rblk[pt[t]]`` in the index maps) miscompiles
+             at 20k+-tile scale on v5e (runtime "TPU backend error
+             (Internal)" whenever that kernel is jitted alongside any other
+             op; measured 2026-08-19, benchmarks/exp_tiled_debug.py) — and
+             the copy also prefetches strictly sequentially. Cost: one
+             extra bit-packed mask copy ≈ 4 KB/tile.
     rest:    residual edges in the degree-bucketed layout (None if all
              edges tiled).
     """
@@ -54,7 +61,9 @@ class TiledAttentionPattern:
     rowblk: jax.Array
     colblk: jax.Array
     first: jax.Array
-    perm_t: jax.Array
+    mask_bits_t: jax.Array
+    rowblk_t: jax.Array
+    colblk_t: jax.Array
     first_t: jax.Array
     rest: Optional[BucketedAttention]
     n_rows: int = dataclasses.field(metadata=dict(static=True))
@@ -128,7 +137,8 @@ class TiledAttentionPattern:
         colblk = (all_keys % cb).astype(np.int32)
         first = np.ones(n_tiles, dtype=np.int32)
         first[1:] = (rowblk[1:] != rowblk[:-1]).astype(np.int32)
-        # column-major sweep over the SAME tile array
+        # column-major sweep: pre-sorted host copies (see class docstring —
+        # permutation indexing inside the kernel index maps miscompiles)
         perm_t = np.lexsort((rowblk, colblk)).astype(np.int32)
         cb_sorted = colblk[perm_t]
         first_t = np.ones(n_tiles, dtype=np.int32)
@@ -138,7 +148,9 @@ class TiledAttentionPattern:
             rowblk=jnp.asarray(rowblk),
             colblk=jnp.asarray(colblk),
             first=jnp.asarray(first),
-            perm_t=jnp.asarray(perm_t),
+            mask_bits_t=jnp.asarray(bits[perm_t]),
+            rowblk_t=jnp.asarray(rowblk[perm_t]),
+            colblk_t=jnp.asarray(cb_sorted),
             first_t=jnp.asarray(first_t),
             rest=BucketedAttention.from_scipy(resid) if resid.nnz else None,
             n_rows=n_rows,
