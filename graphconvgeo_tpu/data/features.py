@@ -14,9 +14,14 @@ import numpy as np
 import scipy.sparse as sp
 from sklearn.feature_extraction.text import TfidfVectorizer
 
-# Matches word tokens of length ≥2 not preceded by '@' (mention handles carry
-# graph signal, not text signal); '#' is kept as part of hashtag tokens.
-TOKEN_PATTERN = r"(?u)(?<![@])#?\b\w\w+\b"
+# Matches word tokens of length ≥2 not preceded by '@' or '#': the reference
+# excludes BOTH mention handles (graph signal, not text signal) and hashtags
+# from the vocabulary (SURVEY.md C5 — ``data.py :: DataLoader.tfidf`` token
+# pattern). Round-1 kept '#'-tokens; fixed for parity (FIDELITY.md F5) with
+# ``TfidfConfig.keep_hashtags`` as the opt-back-in knob.
+TOKEN_PATTERN = r"(?u)(?<![@#])\b\w\w+\b"
+# Deviation knob: keep '#hashtag' as a vocabulary token (non-reference).
+TOKEN_PATTERN_HASHTAGS = r"(?u)(?<![@])#?\b\w\w+\b"
 
 
 @dataclasses.dataclass
@@ -28,6 +33,7 @@ class TfidfConfig:
     binary: bool = False
     norm: str = "l2"
     stop_words: str | None = "english"
+    keep_hashtags: bool = False  # reference behavior: hashtags excluded
 
 
 def build_features(
@@ -35,7 +41,7 @@ def build_features(
 ) -> tuple:
     """Returns (X csr [n_total, vocab] float32, vectorizer)."""
     vec = TfidfVectorizer(
-        token_pattern=TOKEN_PATTERN,
+        token_pattern=TOKEN_PATTERN_HASHTAGS if cfg.keep_hashtags else TOKEN_PATTERN,
         min_df=cfg.min_df,
         max_df=cfg.max_df,
         sublinear_tf=cfg.sublinear_tf,

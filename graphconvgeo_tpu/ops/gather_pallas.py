@@ -1,4 +1,8 @@
-"""Pallas row-gather kernel: DMA-pipelined random row fetch from HBM.
+"""EXPERIMENTAL (negative result — not a production component): Pallas
+row-gather kernel, DMA-pipelined random row fetch from HBM. Measured SLOWER
+than XLA's native gather on v5e (17M vs ~50M rows/s; see STATUS below and
+PERF.md); kept only as a tested record of ring-DMA addressing. Nothing on a
+production path imports this module.
 
 Why: XLA's gather on TPU is row-rate limited (~50M rows/s measured — a
 ~20 ns/row fixed issue cost), far below HBM bandwidth for 2 KB rows. This

@@ -218,6 +218,25 @@ def spmm_bell(
     return _spmm_bell_core(bell, bell_t, h)
 
 
+# Minimum fraction of edges living in dense 256×256 tiles for the hybrid
+# (MXU tiles + bucketed-ELL residual) path to beat plain bucketed-ELL.
+# Measured v5e break-even (PERF.md): dense tiles run ~0.5 ns/edge vs the
+# ~20 ns/edge residual gather wall, but each tile costs a ~2.3 µs grid-step
+# floor; below ~20% coverage the tile pass saves less gather time than its
+# fixed costs, and the community-reordered mention graphs this path targets
+# sit at 60–90% coverage — well clear of the threshold either way.
+_HYBRID_COVERAGE_THRESHOLD = 0.2
+
+
+def resolve_backend(graph: SparseGraph) -> str:
+    """Pick the SpMM backend for ``backend='auto'`` from measured structure:
+    ``hybrid`` when enough edge mass falls in dense tiles (community-reordered
+    mention graphs), ``bell`` otherwise (scrambled / low-locality graphs,
+    where the tile pass would only add fixed per-tile costs)."""
+    cov = graph.tile_coverage()
+    return "hybrid" if cov >= _HYBRID_COVERAGE_THRESHOLD else "bell"
+
+
 def device_operands(graph: SparseGraph, backend: Backend = "auto") -> tuple:
     """The (fmt, fmt_t) device pytrees for a backend.
 
@@ -226,7 +245,7 @@ def device_operands(graph: SparseGraph, backend: Backend = "auto") -> tuple:
     compiled module as constants — slow compiles and compile-helper OOMs.
     """
     if backend == "auto":
-        backend = "bell"
+        backend = resolve_backend(graph)
     if backend in ("ell", "oracle"):
         return graph.ell(), graph.ell_t()
     if backend == "bell":
@@ -279,7 +298,10 @@ def spmm_operands(fmt, fmt_t, h: jax.Array, *, n_rows: int, gather_dtype=None) -
         elif bsr_p is not None:
             out = spmm_bsr(bsr_p, bsr_tp, h)[:n_rows]
         if bell_p is not None:
-            o2 = spmm_bell(bell_p, bell_tp, h, gather_dtype=gather_dtype)[:n_rows]
+            if isinstance(bell_p, CachedBell):
+                o2 = spmm_cached_bell(bell_p, h, gather_dtype=gather_dtype)[:n_rows]
+            else:
+                o2 = spmm_bell(bell_p, bell_tp, h, gather_dtype=gather_dtype)[:n_rows]
             out = o2 if out is None else out + o2
         if out is None:  # empty matrix
             out = jnp.zeros((n_rows, h.shape[1]), h.dtype)

@@ -809,6 +809,7 @@ class SparseGraph:
     _bell_t: Optional["BucketedEll"] = dataclasses.field(default=None, repr=False)
     _hybrid: Optional[tuple] = dataclasses.field(default=None, repr=False)
     _hybrid_t: Optional[tuple] = dataclasses.field(default=None, repr=False)
+    _tile_cov: Optional[float] = dataclasses.field(default=None, repr=False)
 
     @property
     def shape(self):
@@ -817,6 +818,16 @@ class SparseGraph:
     @property
     def nnz(self) -> int:
         return int(self.csr.nnz)
+
+    def tile_coverage(self, *, block: int = 256, min_tile_nnz: int = 96) -> float:
+        """Fraction of edges in dense tiles (cached; drives backend='auto')."""
+        if self._tile_cov is None:
+            from graphconvgeo_tpu.sparse.reorder import tile_coverage
+
+            self._tile_cov = tile_coverage(
+                self.csr, block=block, min_tile_nnz=min_tile_nnz
+            ) if self.nnz else 0.0
+        return self._tile_cov
 
     def ell(self) -> EllMatrix:
         if self._ell is None:

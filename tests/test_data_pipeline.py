@@ -147,3 +147,25 @@ def test_reorder_is_pure_relabeling(tmp_path):
         got = np.asarray(spmm_factorized(fac, jnp.asarray(h)))
         want = rds.adj @ h
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_tfidf_excludes_hashtags_by_default():
+    """Reference token pattern excludes both @-mentions and #hashtags
+    (SURVEY C5); the keep_hashtags knob restores the round-1 behavior."""
+    from graphconvgeo_tpu.data.features import TfidfConfig, build_features
+
+    texts = ["going to the #beach with @friend beach vibes happy",
+             "#beach day again beach sunny happy"]
+    dev = ["beach happy #beach"]
+    x, vec = build_features(
+        texts, dev, dev, TfidfConfig(min_df=1, max_df=1.0, stop_words=None)
+    )
+    vocab = set(vec.vocabulary_)
+    assert "beach" in vocab and "happy" in vocab
+    assert not any("#" in t or "@" in t or t == "friend" for t in vocab)
+
+    x2, vec2 = build_features(
+        texts, dev, dev,
+        TfidfConfig(min_df=1, max_df=1.0, stop_words=None, keep_hashtags=True),
+    )
+    assert "#beach" in set(vec2.vocabulary_)
