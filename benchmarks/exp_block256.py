@@ -1,0 +1,28 @@
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np, jax, jax.numpy as jnp, sys, time
+from graphconvgeo_tpu.data.synthetic import random_mention_projection_graph
+from graphconvgeo_tpu.sparse.factorized import FactorizedAdjacency, spmm_factorized
+from graphconvgeo_tpu.sparse.reorder import bipartite_reordering
+from graphconvgeo_tpu.utils.timing import device_seconds_per_iter
+
+N, N_COMM, FEAT = 262_144, 1024, 512
+adj, groups = random_mention_projection_graph(N, N_COMM, seed=7, return_structure=True)
+nnz = adj.nnz; del adj
+perm = np.random.default_rng(1).permutation(N)
+inv = np.empty(N, dtype=np.int64); inv[perm] = np.arange(N)
+groups = {g: inv[np.asarray(m)] for g, m in groups.items()}
+ro = bipartite_reordering(groups, N)
+groups = {g: ro.to_new(np.asarray(m)) for g, m in groups.items()}
+h = jnp.asarray(np.random.default_rng(0).normal(size=(N, FEAT)).astype(np.float32))
+
+for block, mtn in ((128, 48), (256, 96), (256, 192)):
+    t0 = time.time()
+    fa = FactorizedAdjacency.from_groups(groups, N, block=block, min_tile_nnz=mtn)
+    tb = time.time() - t0
+    nt = {k: (getattr(fa, k).n_tiles if getattr(fa, k) is not None else 0) for k in ("bt_tiles","b_tiles","r_tiles")}
+    slots = {k: (getattr(fa, k).bell.padded_slots if getattr(fa, k) is not None else 0) for k in ("bt_rest","b_rest","r_rest")}
+    rows = {k: (int(getattr(fa, k).rows.shape[0]) if getattr(fa, k) is not None else 0) for k in ("bt_rest","b_rest","r_rest")}
+    step = lambda x, f: spmm_factorized(f, x, gather_dtype=jnp.bfloat16) * 0.25 + 0.01
+    dt = device_seconds_per_iter(step, h, fa, iters_lo=2, iters_hi=10, trials=2)
+    print(f"block={block} min_nnz={mtn}: {dt*1e3:.2f} ms  {nnz/dt/1e6:.0f} M edges/s  (build {tb:.0f}s)\n  tiles={nt}\n  rest_slots={slots}\n  rest_rows={rows}", flush=True)

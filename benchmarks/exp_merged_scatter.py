@@ -1,0 +1,27 @@
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np, jax, jax.numpy as jnp
+from graphconvgeo_tpu.utils.timing import device_seconds_per_iter
+N, FEAT = 262_144, 512
+h = jnp.asarray(np.random.default_rng(0).normal(size=(N, FEAT)).astype(np.float32))
+rng = np.random.default_rng(5)
+kb, kr = 120_000, 64_000
+rows_b = np.sort(rng.choice(N, kb, replace=False)).astype(np.int32)
+rows_r = np.sort(rng.choice(N, kr, replace=False)).astype(np.int32)
+sub_b = jnp.asarray(rng.normal(size=(kb, FEAT)).astype(np.float32))
+sub_r = jnp.asarray(rng.normal(size=(kr, FEAT)).astype(np.float32))
+rb, rr = jnp.asarray(rows_b), jnp.asarray(rows_r)
+
+def two(z, rb, rr, sb, sr):
+    out = (z * 0.25).at[rb].add(sb * 0.01, indices_are_sorted=True, unique_indices=True)
+    return out.at[rr].add(sr * 0.01, indices_are_sorted=True, unique_indices=True)
+def merged(z, rb, rr, sb, sr):
+    rows = jnp.concatenate([rb, rr])
+    sub = jnp.concatenate([sb, sr])
+    return (z * 0.25).at[rows].add(sub * 0.01, indices_are_sorted=False, unique_indices=False)
+a = np.asarray(jax.jit(two)(h, rb, rr, sub_b, sub_r))
+b = np.asarray(jax.jit(merged)(h, rb, rr, sub_b, sub_r))
+print("max abs diff:", np.abs(a - b).max())
+for name, f in (("two scatters", two), ("merged unsorted", merged)):
+    dt = device_seconds_per_iter(f, h, rb, rr, sub_b, sub_r, iters_lo=2, iters_hi=8, trials=2)
+    print(f"{name}: {dt*1e3:.2f} ms", flush=True)

@@ -79,9 +79,34 @@ def parse_args(argv=None):
     p.add_argument("--input-cache", action="store_true",
                    help="hot-column cache for the BoW input layer (worth it only "
                         "for very large vocabularies; see GCNConfig.input_hot_cache)")
+    p.add_argument("--dist", action="store_true",
+                   help="edge-partitioned full-graph training over a device "
+                        "mesh (BASELINE config 4); uses all local devices "
+                        "unless --dist-devices caps it")
+    p.add_argument("--dist-devices", type=int, default=None,
+                   help="mesh size for --dist (default: every local device)")
+    p.add_argument("--halo", choices=("auto", "on", "off"), default="auto",
+                   help="boundary-row halo exchange vs full all-gather (--dist)")
+    p.add_argument("--halo-mode", choices=("alltoall", "ring"), default="alltoall",
+                   help="halo collective: one all-to-all, or a ppermute ring "
+                        "with per-peer SpMM overlap (--dist)")
+    p.add_argument("--dist-format", choices=("bell", "ell"), default="bell",
+                   help="per-device sparse block format (--dist)")
+    p.add_argument("--sampled", action="store_true",
+                   help="neighbor-sampled mini-batch training (reference "
+                        "gcnmain.py -batch; BASELINE config 5)")
+    p.add_argument("--batch", type=int, default=512,
+                   help="mini-batch target count (--sampled; reference -batch)")
+    p.add_argument("--fanout", type=int, nargs="+", default=None,
+                   help="neighbors sampled per layer (--sampled); default 10 "
+                        "per hidden layer")
     p.add_argument("--label-fraction", type=float, default=1.0)
     p.add_argument("--tune", type=int, default=0, metavar="N", help="random search over N configs")
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--profile-dir", default=None,
+                   help="capture an xprof trace of a few post-warmup epochs "
+                        "to this directory (view with tensorboard; layers "
+                        "carry jax.named_scope labels)")
     p.add_argument("--no-cache", action="store_true")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--json", action="store_true", help="print final metrics as one JSON line")
@@ -102,6 +127,12 @@ def parse_args(argv=None):
             f"--model gat needs hidden sizes divisible by --heads {args.heads} "
             f"(got {args.hidden})"
         )
+    if args.dist and args.sampled:
+        p.error("--dist and --sampled are mutually exclusive")
+    if args.sampled and args.model == "gat":
+        p.error("--sampled supports --model gcn only")
+    if args.dist and args.model == "gat" and args.adjacency == "factorized":
+        p.error("--dist --model gat needs --adjacency materialized")
     return args
 
 
@@ -130,21 +161,12 @@ def load_dataset(args):
     return ds
 
 
-def run_one(args, ds, *, dropout=None, l2=None, hidden=None, lr=None, quiet=None):
-    import jax
+def _model_config(args, ds, *, dropout=None, l2=None, hidden=None):
+    from graphconvgeo_tpu.models.gat import GATConfig
+    from graphconvgeo_tpu.models.gcn import GCNConfig
 
-    from graphconvgeo_tpu.models.gat import GATConfig, GraphAttentionNet
-    from graphconvgeo_tpu.models.gcn import GCNConfig, HighwayGCN
-    from graphconvgeo_tpu.sparse.formats import SparseGraph
-    from graphconvgeo_tpu.train.trainer import TrainConfig, Trainer
-
-    x_graph = SparseGraph(csr=ds.x)
-    if args.adjacency == "factorized" and args.model == "gcn":
-        adj_graph = ds.factorized_adjacency()
-    else:
-        adj_graph = SparseGraph(csr=ds.adj, symmetric=True)
     if args.model == "gat":
-        cfg = GATConfig(
+        return GATConfig(
             n_features=ds.x.shape[1],
             n_classes=ds.n_classes,
             hidden=tuple(hidden or args.hidden),
@@ -156,34 +178,131 @@ def run_one(args, ds, *, dropout=None, l2=None, hidden=None, lr=None, quiet=None
             input_hot_cache=args.input_cache,
             att_backend=args.att_backend,
         )
-        model = GraphAttentionNet(cfg, x_graph, adj_graph)
-    else:
-        cfg = GCNConfig(
-            n_features=ds.x.shape[1],
-            n_classes=ds.n_classes,
-            hidden=tuple(hidden or args.hidden),
-            highway=args.highway,
-            dropout=args.dropout if dropout is None else dropout,
-            l2=args.l2 if l2 is None else l2,
-            spmm_backend=args.backend,
-            gather_dtype=args.gather_dtype,
-            input_hot_cache=args.input_cache,
-        )
-        model = HighwayGCN(cfg, x_graph, adj_graph)
-    tcfg = TrainConfig(
-        learning_rate=args.lr if lr is None else lr,
-        epochs=args.epochs,
-        patience=args.patience,
-        seed=args.seed,
-        verbose=not (args.quiet if quiet is None else quiet),
+    return GCNConfig(
+        n_features=ds.x.shape[1],
+        n_classes=ds.n_classes,
+        hidden=tuple(hidden or args.hidden),
+        highway=args.highway,
+        dropout=args.dropout if dropout is None else dropout,
+        l2=args.l2 if l2 is None else l2,
+        spmm_backend=args.backend,
+        gather_dtype=args.gather_dtype,
+        input_hot_cache=args.input_cache,
     )
-    trainer = Trainer(model, tcfg)
+
+
+def _run_dist(args, ds, cfg, tcfg):
+    """BASELINE config 4: edge-partitioned full-graph training over a mesh
+    (1 real TPU and the CPU 8-device virtual mesh both work unmodified)."""
+    import jax
+
+    import numpy as np
+
+    from graphconvgeo_tpu.parallel.mesh import make_graph_mesh, maybe_initialize_distributed
+    from graphconvgeo_tpu.parallel.partition import partition_rows
+    from graphconvgeo_tpu.parallel.trainer_dist import DistTrainer
+
+    maybe_initialize_distributed()
+    n_dev = args.dist_devices or len(jax.devices())
+    mesh = make_graph_mesh(n_dev)
+    mask = np.zeros(ds.n_nodes, dtype=np.float32)
+    mask[ds.train_idx] = 1.0
+    if args.model == "gat":
+        from graphconvgeo_tpu.parallel.gat_dist import DistGAT
+
+        part = partition_rows(ds.adj, ds.x, ds.y, mask, n_dev)
+        model = DistGAT(cfg, part, mesh, att_format=args.dist_format)
+    elif args.adjacency == "factorized":
+        from graphconvgeo_tpu.parallel.factorized_dist import (
+            DistFactorizedGCN,
+            partition_factorized,
+        )
+
+        fpart = partition_factorized(ds, n_dev)
+        model = DistFactorizedGCN(
+            cfg, fpart, mesh,
+            halo=args.halo, dist_format=args.dist_format, halo_mode=args.halo_mode,
+        )
+    else:
+        part = partition_rows(ds.adj, ds.x, ds.y, mask, n_dev)
+        from graphconvgeo_tpu.parallel.model_dist import DistHighwayGCN
+
+        model = DistHighwayGCN(
+            cfg, part, mesh,
+            halo=args.halo, dist_format=args.dist_format, halo_mode=args.halo_mode,
+        )
+    trainer = DistTrainer(model, tcfg)
+    out = trainer.fit(
+        ds.dev_idx,
+        lat=ds.lat, lon=ds.lon,
+        class_lat_median=ds.class_lat_median, class_lon_median=ds.class_lon_median,
+        label_fraction=args.label_fraction,
+    )
+    return trainer, out
+
+
+def _run_sampled(args, ds, cfg, tcfg):
+    """BASELINE config 5: neighbor-sampled mini-batch training (reference
+    ``gcnmain.py`` -batch)."""
+    from graphconvgeo_tpu.data.sampling import NeighborSampler
+    from graphconvgeo_tpu.models.gcn import HighwayGCN
+    from graphconvgeo_tpu.sparse.formats import SparseGraph
+    from graphconvgeo_tpu.train.trainer_sampled import SampledTrainer
+
+    model = HighwayGCN(
+        cfg, SparseGraph(csr=ds.x), SparseGraph(csr=ds.adj, symmetric=True)
+    )
+    fanouts = tuple(args.fanout) if args.fanout else (10,) * len(cfg.hidden)
+    sampler = NeighborSampler(
+        ds.adj, fanouts=fanouts, batch_size=args.batch, seed=args.seed
+    )
+    trainer = SampledTrainer(model, sampler, tcfg)
     out = trainer.fit(
         ds.y, ds.train_idx, ds.dev_idx,
         lat=ds.lat, lon=ds.lon,
         class_lat_median=ds.class_lat_median, class_lon_median=ds.class_lon_median,
         label_fraction=args.label_fraction,
     )
+    return trainer, out
+
+
+def run_one(args, ds, *, dropout=None, l2=None, hidden=None, lr=None, quiet=None):
+    from graphconvgeo_tpu.models.gat import GraphAttentionNet
+    from graphconvgeo_tpu.models.gcn import HighwayGCN
+    from graphconvgeo_tpu.sparse.formats import SparseGraph
+    from graphconvgeo_tpu.train.trainer import TrainConfig, Trainer
+
+    cfg = _model_config(args, ds, dropout=dropout, l2=l2, hidden=hidden)
+    tcfg = TrainConfig(
+        learning_rate=args.lr if lr is None else lr,
+        epochs=args.epochs,
+        patience=args.patience,
+        seed=args.seed,
+        verbose=not (args.quiet if quiet is None else quiet),
+        profile_dir=args.profile_dir,
+    )
+    if args.dist:
+        trainer, out = _run_dist(args, ds, cfg, tcfg)
+    elif args.sampled:
+        trainer, out = _run_sampled(args, ds, cfg, tcfg)
+    else:
+        x_graph = SparseGraph(csr=ds.x)
+        if args.adjacency == "factorized" and args.model == "gcn":
+            adj_graph = ds.factorized_adjacency()
+        else:
+            adj_graph = SparseGraph(csr=ds.adj, symmetric=True)
+        model = (
+            GraphAttentionNet(cfg, x_graph, adj_graph)
+            if args.model == "gat"
+            else HighwayGCN(cfg, x_graph, adj_graph)
+        )
+        trainer = Trainer(model, tcfg)
+        out = trainer.fit(
+            ds.y, ds.train_idx, ds.dev_idx,
+            lat=ds.lat, lon=ds.lon,
+            class_lat_median=ds.class_lat_median, class_lon_median=ds.class_lon_median,
+            label_fraction=args.label_fraction,
+        )
     ev = lambda idx: trainer.evaluate(
         out["params"], idx, lat=ds.lat, lon=ds.lon,
         class_lat_median=ds.class_lat_median, class_lon_median=ds.class_lon_median,
@@ -192,8 +311,10 @@ def run_one(args, ds, *, dropout=None, l2=None, hidden=None, lr=None, quiet=None
     if args.checkpoint_dir:
         from graphconvgeo_tpu.train.checkpoint import save_checkpoint
 
-        save_checkpoint(args.checkpoint_dir, out["params"], step=out["best_epoch"],
-                        metrics={"dev": dev, "test": test})
+        import jax
+
+        save_checkpoint(args.checkpoint_dir, jax.tree.map(np.asarray, out["params"]),
+                        step=out["best_epoch"], metrics={"dev": dev, "test": test})
     return out, dev, test
 
 
@@ -206,14 +327,19 @@ def main(argv=None):
             f"{ds.x.shape[1]} features, {ds.n_classes} classes"
         )
     if args.tune > 0:
-        # reference: gcnmain.py -tune — random hyperparameter search
+        # reference: gcnmain.py -tune — random search over dropout, L2, lr
+        # AND hidden sizes (SURVEY C15); depth follows --hidden, the width is
+        # sampled around the preset's (highway needs equal sizes anyway)
         rng = np.random.default_rng(args.seed)
+        base_width = args.hidden[0]
+        widths = sorted({max(32, base_width // 2), base_width, base_width * 2})
         best = None
         for t in range(args.tune):
             trial = dict(
                 dropout=float(rng.choice([0.3, 0.4, 0.5, 0.6])),
                 l2=float(10 ** rng.uniform(-7, -4)),
                 lr=float(10 ** rng.uniform(-3.3, -2)),
+                hidden=(int(rng.choice(widths)),) * len(args.hidden),
             )
             _, dev, test = run_one(args, ds, quiet=True, **trial)
             print(f"tune[{t}] {trial} -> dev acc@161 {dev['acc_at_161']:.3f}")

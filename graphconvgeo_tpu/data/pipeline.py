@@ -25,7 +25,8 @@ from graphconvgeo_tpu.data.loader import RawDataset, load_dumps
 from graphconvgeo_tpu.sparse.factorized import materialize_projection
 from graphconvgeo_tpu.sparse.formats import normalize_adjacency
 
-CACHE_VERSION = 2
+# v3: TF-IDF token pattern now excludes #hashtags (reference parity, FIDELITY.md)
+CACHE_VERSION = 3
 
 
 @dataclasses.dataclass

@@ -280,19 +280,24 @@ class HighwayGCN:
         if cfg.remat:
             conv_layer = jax.checkpoint(conv_layer)
 
+        # named scopes label each layer in profiler traces (xprof/tensorboard;
+        # SURVEY.md §5 tracing) — no-ops outside a trace
         states = []
-        h = self._input_layer(params, arrays, train=train, seed=x_seed)
+        with jax.named_scope("input_layer"):
+            h = self._input_layer(params, arrays, train=train, seed=x_seed)
         states.append(h)
         for i, layer in enumerate(params["layers"]):
-            if train and cfg.dropout > 0.0:
-                h_in = dropout(h, rate=cfg.dropout, rng=seeds[1 + i])
-            else:
-                h_in = h
-            h = conv_layer(layer, h, h_in)
+            with jax.named_scope(f"conv_{i}"):
+                if train and cfg.dropout > 0.0:
+                    h_in = dropout(h, rate=cfg.dropout, rng=seeds[1 + i])
+                else:
+                    h_in = h
+                h = conv_layer(layer, h, h_in)
             states.append(h)
-        if train and cfg.dropout > 0.0:
-            h = dropout(h, rate=cfg.dropout, rng=seeds[-1])
-        logits = h @ params["out"]["w"] + params["out"]["b"]
+        with jax.named_scope("output_layer"):
+            if train and cfg.dropout > 0.0:
+                h = dropout(h, rate=cfg.dropout, rng=seeds[-1])
+            logits = h @ params["out"]["w"] + params["out"]["b"]
         states.append(logits)
         return states
 

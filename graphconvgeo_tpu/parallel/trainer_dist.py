@@ -1,6 +1,13 @@
 """Distributed training loop: the full-graph ``Trainer`` semantics (epoch
-steps, dev early stopping, best-param restore — reference ``GCN.fit``) driving
-:class:`DistHighwayGCN` over a device mesh."""
+steps, dev early stopping, best-param restore, checkpoint/resume, periodic
+saves, JSONL metrics, label-fraction curves — reference ``GCN.fit``) driving
+an edge-partitioned model over a device mesh.
+
+Works with any of the distributed model families — :class:`DistHighwayGCN`,
+:class:`DistGAT`, :class:`DistFactorizedGCN` — they share the contract
+``init(key) / make_train_step(lr) / apply(params, data, train=) / data /
+part / mesh``.
+"""
 
 from __future__ import annotations
 
@@ -11,13 +18,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from graphconvgeo_tpu.parallel.model_dist import DistHighwayGCN
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from graphconvgeo_tpu.parallel.mesh import GRAPH_AXIS
 from graphconvgeo_tpu.train.evaluate import geo_eval
 from graphconvgeo_tpu.train.trainer import TrainConfig
 
 
 class DistTrainer:
-    def __init__(self, model: DistHighwayGCN, cfg: TrainConfig = TrainConfig()):
+    def __init__(self, model, cfg: TrainConfig = TrainConfig()):
         self.model = model
         self.cfg = cfg
         self.optimizer, self._step = model.make_train_step(cfg.learning_rate)
@@ -28,6 +37,12 @@ class DistTrainer:
     def predict(self, params) -> np.ndarray:
         return np.asarray(self._predict_jit(params, self.model.data))[: self.model.part.n_nodes]
 
+    def _replicate(self, tree):
+        return jax.device_put(
+            jax.tree.map(jnp.asarray, tree),
+            NamedSharding(self.model.mesh, P()),
+        )
+
     def fit(
         self,
         dev_idx: np.ndarray,
@@ -37,6 +52,7 @@ class DistTrainer:
         class_lat_median: np.ndarray,
         class_lon_median: np.ndarray,
         params: Optional[dict] = None,
+        label_fraction: float = 1.0,
     ) -> dict:
         cfg = self.cfg
         rng = jax.random.key(cfg.seed)
@@ -44,20 +60,63 @@ class DistTrainer:
         if params is None:
             params = self.model.init(init_key)
         opt_state = self.optimizer.init(params)
+
+        if label_fraction < 1.0:
+            # semi-supervised curves (reference's fraction-of-labels flag):
+            # thin the sharded train mask; the partition's host copy is the
+            # source of truth for which rows are real train rows
+            rng_np = np.random.default_rng(cfg.seed)
+            mask = np.asarray(self.model.part.mask, dtype=np.float32).copy()
+            train_rows = np.flatnonzero(mask > 0)
+            keep = rng_np.random(len(train_rows)) < label_fraction
+            mask[train_rows[~keep]] = 0.0
+            self.model.data["mask"] = jax.device_put(
+                jnp.asarray(mask), NamedSharding(self.model.mesh, P(GRAPH_AXIS))
+            )
+
+        start_epoch = 0
+        if cfg.checkpoint_dir:
+            from graphconvgeo_tpu.train.checkpoint import latest_checkpoint, restore_checkpoint
+
+            path = latest_checkpoint(cfg.checkpoint_dir)
+            if path is not None:
+                template = jax.tree.map(
+                    np.asarray, {"params": params, "opt_state": opt_state}
+                )
+                restored = restore_checkpoint(path, template)
+                params = self._replicate(restored["params"])
+                opt_state = self._replicate(restored["opt_state"])
+                start_epoch = int(path.rsplit("_", 1)[-1]) + 1
+                if cfg.verbose:
+                    print(f"resumed from {path} (epoch {start_epoch})")
+
         sign = 1.0 if cfg.monitor == "acc_at_161" else -1.0
         best_score, best_epoch = -np.inf, 0
         best_params = jax.tree.map(np.asarray, params)
+        from graphconvgeo_tpu.utils.logging import MetricsLogger
+
+        mlog = MetricsLogger(cfg.metrics_path)
         history = []
         t0 = time.time()
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, cfg.epochs):
             rng, k = jax.random.split(rng)
-            params, opt_state, loss = self._step(params, opt_state, k)
+            with jax.debug_nans(cfg.debug_nans):
+                params, opt_state, loss = self._step(params, opt_state, k)
+            if cfg.checkpoint_dir and cfg.save_every and (epoch + 1) % cfg.save_every == 0:
+                from graphconvgeo_tpu.train.checkpoint import save_checkpoint
+
+                save_checkpoint(
+                    cfg.checkpoint_dir, jax.tree.map(np.asarray, params),
+                    opt_state=jax.tree.map(np.asarray, opt_state), step=epoch,
+                )
             pred = self.predict(params)
             m = geo_eval(pred[dev_idx], lat[dev_idx], lon[dev_idx], class_lat_median, class_lon_median)
             history.append(
                 {"epoch": epoch, "loss": float(loss), "dev_acc_at_161": m["acc_at_161"],
-                 "dev_median_km": m["median_km"]}
+                 "dev_mean_km": m["mean_km"], "dev_median_km": m["median_km"],
+                 "seconds": round(time.time() - t0, 2)}
             )
+            mlog.log(history[-1])
             score = sign * m[cfg.monitor]
             if score > best_score:
                 best_score, best_epoch = score, epoch
@@ -70,8 +129,13 @@ class DistTrainer:
                 )
             if epoch >= cfg.min_epochs and epoch - best_epoch >= cfg.patience:
                 break
-        params = jax.device_put(
-            jax.tree.map(jnp.asarray, best_params),
-            jax.sharding.NamedSharding(self.model.mesh, jax.sharding.PartitionSpec()),
-        )
+        params = self._replicate(best_params)
         return {"params": params, "history": history, "best_epoch": best_epoch}
+
+    def evaluate(
+        self, params, idx, *, lat, lon, class_lat_median, class_lon_median
+    ) -> dict:
+        pred = self.predict(params)
+        m = geo_eval(pred[idx], lat[idx], lon[idx], class_lat_median, class_lon_median)
+        m.pop("distances")
+        return m

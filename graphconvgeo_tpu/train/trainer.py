@@ -42,6 +42,12 @@ class TrainConfig:
     save_every: int = 0  # epochs between periodic saves (0 = only best at end)
     debug_nans: bool = False  # jax_debug_nans for the step (sanitizer mode)
     metrics_path: str | None = None  # JSONL per-epoch metrics log
+    # opt-in xprof trace (SURVEY.md §5 tracing): epochs [profile_start,
+    # profile_stop) are captured to profile_dir, viewable in tensorboard /
+    # xprof with the per-layer jax.named_scope labels from the models
+    profile_dir: str | None = None
+    profile_start: int = 2  # skip compile/warmup epochs
+    profile_stop: int = 4
 
 
 class Trainer:
@@ -122,12 +128,20 @@ class Trainer:
         mlog = MetricsLogger(cfg.metrics_path)
         history = []
         t0 = time.time()
+        profiling = False
         for epoch in range(start_epoch, cfg.epochs):
+            if cfg.profile_dir and epoch == cfg.profile_start and not profiling:
+                jax.profiler.start_trace(cfg.profile_dir)
+                profiling = True
             rng, step_key = jax.random.split(rng)
             with jax.debug_nans(cfg.debug_nans):
                 params, opt_state, loss = self._train_step(
                     params, opt_state, step_key, y_dev, mask_dev
                 )
+            if profiling and epoch + 1 >= cfg.profile_stop:
+                jax.tree.map(lambda x: x.block_until_ready(), params)
+                jax.profiler.stop_trace()
+                profiling = False
             if cfg.checkpoint_dir and cfg.save_every and (epoch + 1) % cfg.save_every == 0:
                 from graphconvgeo_tpu.train.checkpoint import save_checkpoint
 
@@ -163,6 +177,8 @@ class Trainer:
                 )
             if epoch >= cfg.min_epochs and epoch - best_epoch >= cfg.patience:
                 break
+        if profiling:  # early stop landed inside the trace window
+            jax.profiler.stop_trace()
 
         params = jax.tree.map(jnp.asarray, best_params)
         return {"params": params, "history": history, "best_epoch": best_epoch}

@@ -85,8 +85,15 @@ class SampledTrainer:
         class_lat_median: np.ndarray,
         class_lon_median: np.ndarray,
         params: Optional[dict] = None,
+        label_fraction: float = 1.0,
     ) -> dict:
         cfg = self.cfg
+        if label_fraction < 1.0:
+            # semi-supervised curves (reference's fraction-of-labels flag):
+            # thin the target pool the sampler draws batches from
+            rng_np = np.random.default_rng(cfg.seed)
+            keep = rng_np.random(len(train_idx)) < label_fraction
+            train_idx = train_idx[keep]
         rng = jax.random.key(cfg.seed)
         rng, init_key = jax.random.split(rng)
         if params is None:
@@ -136,3 +143,13 @@ class SampledTrainer:
             "history": history,
             "best_epoch": best_epoch,
         }
+
+    def evaluate(
+        self, params, idx, *, lat, lon, class_lat_median, class_lon_median
+    ) -> dict:
+        """Full-graph evaluation with the sampled-trained parameters (the
+        sampled and full models share one pytree)."""
+        pred = np.asarray(self._predict_jit(params, self.model.arrays))
+        m = geo_eval(pred[idx], lat[idx], lon[idx], class_lat_median, class_lon_median)
+        m.pop("distances")
+        return m

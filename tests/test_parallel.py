@@ -346,3 +346,99 @@ def test_ring_halo_matches_single(rng, mesh):
     np.testing.assert_allclose(float(loss_d), float(loss_s), rtol=1e-5)
     for gs, gd in zip(jax.tree.leaves(grads_s), jax.tree.leaves(grads_d)):
         np.testing.assert_allclose(np.asarray(gd), np.asarray(gs), rtol=5e-4, atol=1e-5)
+
+
+def test_dist_trainer_checkpoint_resume(rng, mesh, tmp_path):
+    """DistTrainer parity with Trainer (VERDICT r1 #4): periodic orbax saves,
+    then a fresh trainer resumes from the last checkpoint and reproduces the
+    uninterrupted trajectory."""
+    from graphconvgeo_tpu.data.kdtree import KDTreeDiscretizer
+    from graphconvgeo_tpu.parallel.trainer_dist import DistTrainer
+    from graphconvgeo_tpu.train.trainer import TrainConfig
+
+    n = 96
+    a_hat, x, _, _, _ = _mk_problem(rng, n=n)
+    lat = rng.uniform(25, 48, n)
+    lon = rng.uniform(-120, -70, n)
+    disc = KDTreeDiscretizer(bucket_size=24).fit(lat[:64], lon[:64])
+    y = np.zeros(n, np.int32)
+    y[:64] = disc.class_of_train
+    y[64:] = disc.assign(lat[64:], lon[64:])
+    mask = np.zeros(n, np.float32)
+    mask[:64] = 1.0
+    cfg = GCNConfig(n_features=x.shape[1], n_classes=disc.n_classes,
+                    hidden=(16, 16), highway=True, dropout=0.0)
+    part = partition_rows(a_hat, x, y, mask, 8)
+    kw = dict(lat=lat, lon=lon, class_lat_median=disc.class_lat_median,
+              class_lon_median=disc.class_lon_median)
+    dev_idx = np.arange(64, 80)
+
+    # uninterrupted run: 6 epochs
+    base = TrainConfig(epochs=6, patience=6, min_epochs=6, verbose=False,
+                       metrics_path=str(tmp_path / "metrics.jsonl"))
+    full = DistTrainer(DistHighwayGCN(cfg, part, mesh), base).fit(dev_idx, **kw)
+
+    # interrupted run: stop after 3 epochs with periodic saves...
+    ckdir = str(tmp_path / "ck")
+    c1 = TrainConfig(epochs=3, patience=6, min_epochs=6, verbose=False,
+                     checkpoint_dir=ckdir, save_every=1)
+    DistTrainer(DistHighwayGCN(cfg, part, mesh), c1).fit(dev_idx, **kw)
+    # ...then a FRESH trainer resumes from the latest checkpoint
+    c2 = TrainConfig(epochs=6, patience=6, min_epochs=6, verbose=False,
+                     checkpoint_dir=ckdir, save_every=1)
+    resumed = DistTrainer(DistHighwayGCN(cfg, part, mesh), c2).fit(dev_idx, **kw)
+
+    assert resumed["history"][0]["epoch"] == 3  # resumed, not restarted
+    # same trajectory as uninterrupted (dropout=0 ⇒ only optimizer state and
+    # params matter; both are checkpointed)
+    np.testing.assert_allclose(
+        [h["loss"] for h in resumed["history"]],
+        [h["loss"] for h in full["history"][3:]],
+        rtol=1e-4,
+    )
+    # JSONL metrics written by the uninterrupted run
+    import json
+
+    lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert len(lines) == 6 and lines[-1]["epoch"] == 5
+
+
+def test_dist_trainer_label_fraction(rng, mesh):
+    """label_fraction thins the sharded train mask (reference's
+    fraction-of-labels flag on the distributed path)."""
+    from graphconvgeo_tpu.parallel.trainer_dist import DistTrainer
+    from graphconvgeo_tpu.train.trainer import TrainConfig
+
+    a_hat, x, y, mask, cfg = _mk_problem(rng, n=96)
+    part = partition_rows(a_hat, x, y, mask, 8)
+    model = DistHighwayGCN(cfg, part, mesh)
+    tr = DistTrainer(model, TrainConfig(epochs=1, min_epochs=1, patience=1, verbose=False))
+    lat = rng.uniform(25, 48, 96)
+    lon = rng.uniform(-120, -70, 96)
+    tr.fit(np.arange(8), lat=lat, lon=lon,
+           class_lat_median=np.zeros(5) + 30, class_lon_median=np.zeros(5) - 100,
+           label_fraction=0.5)
+    new_mask = np.asarray(model.data["mask"])
+    assert 0 < new_mask.sum() < mask.sum()
+    # thinned mask only turns existing train rows off, never on
+    assert np.all(mask[: len(new_mask)][new_mask[: len(mask)] > 0] > 0)
+
+
+def test_dist_gat_trainer(rng, mesh):
+    """DistTrainer drives the GAT family too (shared model contract)."""
+    from graphconvgeo_tpu.models.gat import GATConfig
+    from graphconvgeo_tpu.parallel.gat_dist import DistGAT
+    from graphconvgeo_tpu.parallel.trainer_dist import DistTrainer
+    from graphconvgeo_tpu.train.trainer import TrainConfig
+
+    a_hat, x, y, mask, _ = _mk_problem(rng, n=80)
+    gcfg = GATConfig(n_features=x.shape[1], n_classes=5, hidden=(16,), heads=2,
+                     dropout=0.2)
+    part = partition_rows(a_hat, x, y, mask, 8)
+    tr = DistTrainer(DistGAT(gcfg, part, mesh),
+                     TrainConfig(epochs=2, min_epochs=2, patience=2, verbose=False))
+    lat = rng.uniform(25, 48, 80)
+    lon = rng.uniform(-120, -70, 80)
+    out = tr.fit(np.arange(8), lat=lat, lon=lon,
+                 class_lat_median=np.zeros(5) + 30, class_lon_median=np.zeros(5) - 100)
+    assert np.isfinite([h["loss"] for h in out["history"]]).all()
