@@ -211,7 +211,8 @@ def _run_dist(args, ds, cfg, tcfg):
         from graphconvgeo_tpu.parallel.gat_dist import DistGAT
 
         part = partition_rows(ds.adj, ds.x, ds.y, mask, n_dev)
-        model = DistGAT(cfg, part, mesh, att_format=args.dist_format)
+        att_format = {"bucketed": args.dist_format, "tiled": "tiled"}[args.att_backend]
+        model = DistGAT(cfg, part, mesh, att_format=att_format)
     elif args.adjacency == "factorized":
         from graphconvgeo_tpu.parallel.factorized_dist import (
             DistFactorizedGCN,

@@ -49,10 +49,26 @@ class DistGAT(DistHighwayGCN):
     """Inherits the sparse input layer, loss, and train-step plumbing from
     the distributed GCN; overrides the propagation with halo attention."""
 
-    def __init__(self, cfg: GATConfig, part: RowPartition, mesh, att_format: str = "bell"):
+    def __init__(
+        self,
+        cfg: GATConfig,
+        part: RowPartition,
+        mesh,
+        att_format: str = "bell",
+        *,
+        min_tile_nnz: int = 64,
+    ):
+        """att_format: 'bell' (degree-bucketed gathers, any graph) | 'ell'
+        (fixed-K correctness anchor) | 'tiled' (flash-style MXU mask tiles
+        over the local extended pattern + shared-schedule bucketed rest —
+        the per-device form of ``ops/attention_tiled.py``; ``min_tile_nnz``
+        trades tile-DMA amortization against rest-gather cost)."""
+        if att_format not in ("bell", "ell", "tiled"):
+            raise ValueError(f"unknown att_format {att_format!r}")
         self.cfg = cfg
         self.part = part
         self.mesh = mesh
+        self.att_format = att_format
         shard3 = NamedSharding(mesh, P(GRAPH_AXIS, None, None))
         shard1 = NamedSharding(mesh, P(GRAPH_AXIS))
 
@@ -67,7 +83,11 @@ class DistGAT(DistHighwayGCN):
         # full pattern in the local blocks (no BSR stripping): attention
         # needs every edge slot, dense tiles included
         self.halo = build_halo(part, local_backend="bell")
-        self.data["att"] = put(build_attention_operands(self.halo, fmt=att_format))
+        self.data["att"] = put(
+            build_attention_operands(
+                self.halo, fmt=att_format, min_tile_nnz=min_tile_nnz
+            )
+        )
         self.data["send_idx"] = jax.device_put(jnp.asarray(self.halo.send_idx), shard3)
         self.data["y"] = jax.device_put(jnp.asarray(part.y), shard1)
         self.data["mask"] = jax.device_put(jnp.asarray(part.mask), shard1)
@@ -107,8 +127,13 @@ class DistGAT(DistHighwayGCN):
         if attn_rng is not None and cfg.attn_dropout > 0.0:
             args = args + (attn_rng,)
             specs = specs + (P(),)
+        # check_vma=False for tiled: pallas interpret mode (CPU tests) emits
+        # dynamic_slices mixing varying/unvarying values the vma checker
+        # rejects; numerical parity is covered by tests (same pattern as the
+        # BSR halo path in model_dist)
         return shard_map(
-            body, mesh=self.mesh, in_specs=specs, out_specs=P(GRAPH_AXIS, None)
+            body, mesh=self.mesh, in_specs=specs, out_specs=P(GRAPH_AXIS, None),
+            check_vma=self.att_format != "tiled",
         )(*args)
 
     # ---- forward / loss ---------------------------------------------------

@@ -445,7 +445,9 @@ def build_halo(
     )
 
 
-def build_attention_operands(hx: HaloExchange, fmt: str = "bell"):
+def build_attention_operands(
+    hx: HaloExchange, fmt: str = "bell", *, block: int = 128, min_tile_nnz: int = 64
+):
     """Stacked per-device attention-pattern operands for distributed
     attention (GAT) layers, in EXTENDED column space: cols [0, rpd) are the
     device's local rows, cols [rpd, rpd + D·h_max) the halo slots of the
@@ -458,11 +460,15 @@ def build_attention_operands(hx: HaloExchange, fmt: str = "bell"):
     degree instead of inflating every device's K (the same skew fix as the
     GCN path's StackedBell; plain ELL is infeasible on power-law mention
     graphs). fmt="ell": fixed-K :class:`AttentionEll`, the correctness
-    anchor."""
+    anchor. fmt="tiled": flash-style :class:`TiledAttentionPattern` blocks —
+    local dense 128×128 mask tiles run as MXU work with scores recomputed on
+    the fly; each device's rest rides shared-schedule bucketed machinery and
+    tile grids are padded to a common count (inert zero-mask tiles)."""
     from graphconvgeo_tpu.sparse.formats import (
         AttentionEll,
         BucketedAttention,
         attention_schedule,
+        split_dense_tiles,
     )
 
     ext_blocks = [
@@ -493,6 +499,28 @@ def build_attention_operands(hx: HaloExchange, fmt: str = "bell"):
             8,
         )
         ops = [AttentionEll.from_scipy(b, fixed_k=k, fixed_k_t=k_t) for b in ext_blocks]
+    elif fmt == "tiled":
+        from graphconvgeo_tpu.sparse.attention_tiles import TiledAttentionPattern
+
+        # the rests need SPMD-common bucket shapes — schedule over every
+        # device's residual (same split from_scipy performs internally)
+        resids = [
+            split_dense_tiles(b, block=block, min_tile_nnz=min_tile_nnz)[1]
+            for b in ext_blocks
+        ]
+        sched = attention_schedule([np.diff(r.indptr) for r in resids])
+        sched_t = attention_schedule(
+            [np.bincount(r.indices, minlength=n_ext) for r in resids]
+        )
+        ops = [
+            TiledAttentionPattern.from_scipy(
+                b, block=block, min_tile_nnz=min_tile_nnz,
+                rest_schedule=sched, rest_schedule_t=sched_t,
+            )
+            for b in ext_blocks
+        ]
+        t_max = max(o.n_tiles for o in ops)
+        ops = [o.pad_to(t_max) for o in ops]
     else:
         raise ValueError(f"unknown attention operand format {fmt!r}")
     return jax.tree.map(lambda *ls: np.stack([np.asarray(l) for l in ls]), *ops)

@@ -30,9 +30,17 @@ class DistTrainer:
         self.model = model
         self.cfg = cfg
         self.optimizer, self._step = model.make_train_step(cfg.learning_rate)
-        self._predict_jit = jax.jit(
-            lambda p, data: jnp.argmax(model.apply(p, data, train=False), axis=-1)
-        )
+
+        def _predict(p, data):
+            pred = jnp.argmax(model.apply(p, data, train=False), axis=-1)
+            # replicate the [n] class vector: predictions must be fetchable
+            # on EVERY host (multi-host runs — a row-sharded output spans
+            # non-addressable devices and np.asarray would throw)
+            return jax.lax.with_sharding_constraint(
+                pred, NamedSharding(model.mesh, P())
+            )
+
+        self._predict_jit = jax.jit(_predict)
 
     def predict(self, params) -> np.ndarray:
         return np.asarray(self._predict_jit(params, self.model.data))[: self.model.part.n_nodes]

@@ -89,6 +89,8 @@ class TiledAttentionPattern:
         block: int = 128,
         min_tile_nnz: int = 64,
         max_tiles: int = 65536,
+        rest_schedule=None,
+        rest_schedule_t=None,
     ) -> "TiledAttentionPattern":
         """``min_tile_nnz`` trades tile-DMA amortization against rest-gather
         cost. Measured on the 262k-node / 10.5M-edge projection workload
@@ -152,10 +154,49 @@ class TiledAttentionPattern:
             rowblk_t=jnp.asarray(rowblk[perm_t]),
             colblk_t=jnp.asarray(cb_sorted),
             first_t=jnp.asarray(first_t),
-            rest=BucketedAttention.from_scipy(resid) if resid.nnz else None,
+            # rest_schedule forces SPMD-common rest shapes across device
+            # blocks (distributed stacking) — then a rest exists even when
+            # this block's residual is empty (all-invalid padded rows)
+            rest=(
+                BucketedAttention.from_scipy(
+                    resid, schedule=rest_schedule, schedule_t=rest_schedule_t
+                )
+                if resid.nnz or rest_schedule is not None
+                else None
+            ),
             n_rows=n_rows,
             n_cols=n_cols,
             block=block,
+        )
+
+    def pad_to(self, n_tiles: int) -> "TiledAttentionPattern":
+        """Append inert tiles (all-zero mask, ``first=0``, row/col block of
+        the last real tile) so per-device patterns share one tile count for
+        SPMD stacking. Zero-mask tiles contribute nothing in every pass (the
+        from_scipy filler tiles already rely on this), and ``first=0`` means
+        they never reset an output block."""
+        extra = n_tiles - self.n_tiles
+        if extra <= 0:
+            return self
+        bits = np.asarray(self.mask_bits)
+        zero_bits = np.zeros((extra,) + bits.shape[1:], bits.dtype)
+
+        def pad(blk_arr, value):
+            a = np.asarray(blk_arr)
+            return jnp.asarray(np.concatenate([a, np.full(extra, value, a.dtype)]))
+
+        return dataclasses.replace(
+            self,
+            mask_bits=jnp.asarray(np.concatenate([bits, zero_bits])),
+            rowblk=pad(self.rowblk, np.asarray(self.rowblk)[-1]),
+            colblk=pad(self.colblk, np.asarray(self.colblk)[-1]),
+            first=pad(self.first, 0),
+            mask_bits_t=jnp.asarray(
+                np.concatenate([np.asarray(self.mask_bits_t), zero_bits])
+            ),
+            rowblk_t=pad(self.rowblk_t, np.asarray(self.rowblk_t)[-1]),
+            colblk_t=pad(self.colblk_t, np.asarray(self.colblk_t)[-1]),
+            first_t=pad(self.first_t, 0),
         )
 
     def stats(self) -> dict:

@@ -11,6 +11,7 @@ import socket
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
 WORKER = r"""
@@ -92,3 +93,123 @@ def test_two_process_distributed_train_step(tmp_path):
     assert len(losses) == 2
     # both hosts compute the same (replicated) loss
     assert abs(losses[0] - losses[1]) < 1e-5
+
+
+FAULT_WORKER = r"""
+import os, sys
+import jax
+
+coord = sys.argv[1]
+pid = int(sys.argv[2])
+ckroot = sys.argv[3]
+epochs = int(sys.argv[4])
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=coord, num_processes=2, process_id=pid)
+
+import numpy as np
+import scipy.sparse as sp
+from graphconvgeo_tpu.models.gcn import GCNConfig
+from graphconvgeo_tpu.parallel.mesh import make_graph_mesh
+from graphconvgeo_tpu.parallel.model_dist import DistHighwayGCN
+from graphconvgeo_tpu.parallel.partition import partition_rows
+from graphconvgeo_tpu.parallel.trainer_dist import DistTrainer
+from graphconvgeo_tpu.sparse.formats import normalize_adjacency
+from graphconvgeo_tpu.train.trainer import TrainConfig
+
+rng = np.random.default_rng(0)
+n, v, classes = 64, 24, 4
+a = sp.random(n, n, density=0.05, random_state=1, format="csr")
+a = ((a + a.T) > 0).astype(np.float32)
+a_hat = normalize_adjacency(a)
+x = (sp.random(n, v, density=0.2, random_state=2, format="csr")).astype(np.float32)
+y = rng.integers(0, classes, n).astype(np.int32)
+mask = np.ones(n, np.float32)
+lat = rng.uniform(25, 48, n)
+lon = rng.uniform(-120, -70, n)
+
+cfg = GCNConfig(n_features=v, n_classes=classes, hidden=(8, 8), highway=True, dropout=0.0)
+part = partition_rows(a_hat, x, y, mask, 8)
+mesh = make_graph_mesh(8)
+model = DistHighwayGCN(cfg, part, mesh, halo="on")
+# ONE shared checkpoint dir: orbax coordinates multi-process saves itself
+# (the primary writes the replicated arrays, everyone barriers), and every
+# host restores from the same artifact on resume
+tcfg = TrainConfig(epochs=epochs, patience=epochs, min_epochs=epochs, verbose=True,
+                   checkpoint_dir=ckroot, save_every=1)
+out = DistTrainer(model, tcfg).fit(
+    np.arange(8), lat=lat, lon=lon,
+    class_lat_median=np.zeros(classes) + 30.0,
+    class_lon_median=np.zeros(classes) - 100.0,
+)
+print(f"RESULT {pid} {out['history'][0]['epoch']} {out['history'][-1]['loss']:.6f}", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_fault_injection_kill_one_host_resume(tmp_path):
+    """SURVEY §5 failure recovery: SIGKILL one of two hosts mid-training
+    (after a periodic checkpoint landed), restart the job, and verify both
+    hosts resume from the checkpoint instead of epoch 0 and finish."""
+    import re
+    import signal
+    import time
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    script = tmp_path / "fault_worker.py"
+    script.write_text(FAULT_WORKER)
+    ckroot = tmp_path / "ck"
+
+    def launch(epochs):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        coord = f"127.0.0.1:{port}"
+        return [
+            subprocess.Popen(
+                [sys.executable, str(script), coord, str(pid), str(ckroot), str(epochs)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True, cwd=repo_root,
+            )
+            for pid in (0, 1)
+        ]
+
+    # phase 1: run, then SIGKILL host 1 once epoch-2 checkpoints exist
+    procs = launch(epochs=40)
+    deadline = time.time() + 240
+    target = ckroot / "step_00000002"
+    while time.time() < deadline and not target.exists():
+        assert all(p.poll() is None for p in procs), "worker died before the kill"
+        time.sleep(0.5)
+    assert target.exists(), "no periodic checkpoint appeared within the deadline"
+    procs[1].send_signal(signal.SIGKILL)  # exact PID we started — the fault
+    # the supervisor's fail-fast: tear down the survivor too (in production
+    # jax.distributed's own barrier timeout kills it; don't wait minutes here)
+    time.sleep(1.0)
+    procs[0].send_signal(signal.SIGKILL)
+    for p in procs:
+        p.communicate(timeout=60)
+
+    # phase 2: restart the job — both hosts must RESUME, not restart
+    procs = launch(epochs=8)
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"restarted worker failed:\n{out}\n{err}"
+        outs.append(out)
+    results = {}
+    for out in outs:
+        assert "resumed from" in out, out
+        for line in out.splitlines():
+            m = re.match(r"RESULT (\d) (\d+) ([-\d.]+)", line)
+            if m:
+                results[int(m.group(1))] = (int(m.group(2)), float(m.group(3)))
+    assert set(results) == {0, 1}
+    for pid, (first_epoch, loss) in results.items():
+        assert first_epoch >= 2, f"host {pid} restarted from epoch {first_epoch}"
+        assert np.isfinite(loss)
+    # replicated training: both hosts end at the same loss
+    assert abs(results[0][1] - results[1][1]) < 1e-5

@@ -275,7 +275,7 @@ def _mk_gat(rng, n=96):
     return a_hat, x, y, mask, cfg
 
 
-@pytest.mark.parametrize("att_format", ["bell", "ell"])
+@pytest.mark.parametrize("att_format", ["bell", "ell", "tiled"])
 def test_dist_gat_matches_single_device(rng, mesh, att_format):
     from graphconvgeo_tpu.models.gat import GraphAttentionNet
     from graphconvgeo_tpu.parallel.gat_dist import DistGAT
@@ -290,7 +290,9 @@ def test_dist_gat_matches_single_device(rng, mesh, att_format):
     )(params)
 
     part = partition_rows(a_hat, x, y, mask, 8)
-    dist = DistGAT(cfg, part, mesh, att_format=att_format)
+    # min_tile_nnz=4 at this toy scale so real mask tiles exist (not just
+    # fillers) — the exact-softmax tile/rest union must still match
+    dist = DistGAT(cfg, part, mesh, att_format=att_format, min_tile_nnz=4)
     dparams = jax.device_put(params, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
     logits_d = np.asarray(jax.jit(lambda p: dist.apply(p, train=False))(dparams))
     np.testing.assert_allclose(logits_d[:n], logits_s, rtol=3e-4, atol=3e-5)
