@@ -1,0 +1,81 @@
+"""Twitter-World-scale HOST-BUILD capacity check for the hub-sharded
+factorized distributed path (VERDICT r1 #8 follow-up).
+
+Synthetic mention structure at the real dataset's scale: 1.4M users with
+Zipf-sized hub audiences (Σ|audience| ≈ 0.7M incidences — the device cost
+driver of the factorized operator), partitioned 16 ways with the hub axis
+sharded. Reports build times and operand sizes; the point is that the
+whole plan fits comfortably on one host and no [G, F] tensor is ever
+replicated per device (G here ≈ the surviving shared-account count; with
+hidden=900 and f32, replicated [G, F] would be ~G·3.6 KB per device —
+hub-sharded it is 1/D of that).
+
+Run: /opt/venv/bin/python benchmarks/capacity_world_factorized.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import scipy.sparse as sp
+
+
+def main():
+    n, d_n = 1_400_000, 16
+    rng = np.random.default_rng(0)
+    n_hubs = 120_000
+    # Zipf audience sizes, clipped: a few huge shared accounts survive the
+    # celebrity threshold in real dumps too (threshold applies upstream)
+    sizes = np.minimum(rng.zipf(1.8, n_hubs), 60)
+    sizes = np.maximum(sizes, 2)
+    t0 = time.time()
+    groups = {}
+    for g, s in enumerate(sizes):
+        groups[g] = rng.integers(0, n, int(s))
+    direct = (rng.integers(0, n, 200_000), rng.integers(0, n, 200_000))
+    deg = rng.poisson(1, n)  # X only needs the right shape for partitioning
+    xr = np.repeat(np.arange(n), deg)
+    x = sp.coo_matrix(
+        (np.ones(len(xr), np.float32), (xr, rng.integers(0, 50_000, len(xr)))),
+        shape=(n, 50_000),
+    ).tocsr()
+    y = rng.integers(0, 930, n).astype(np.int32)
+    mask = np.ones(n, np.float32)
+    print(f"structure: {len(groups)} hubs, {int(sizes.sum())} incidences, "
+          f"gen {time.time()-t0:.1f}s", flush=True)
+
+    from graphconvgeo_tpu.parallel.factorized_dist import (
+        hub_sharded_operands,
+        partition_factorized_raw,
+    )
+
+    t0 = time.time()
+    fpart = partition_factorized_raw(groups, x, y, mask, d_n)
+    t_part = time.time() - t0
+    print(f"partition_factorized_raw ({d_n} devices): {t_part:.1f}s  "
+          f"G={fpart.n_groups}", flush=True)
+
+    t0 = time.time()
+    b_pe, bt_pe, gpd = hub_sharded_operands(fpart, "bell")
+    t_ops = time.time() - t0
+    import jax
+
+    slots = sum(int(np.prod(a.shape)) for a in jax.tree.leaves(b_pe))
+    slots_t = sum(int(np.prod(a.shape)) for a in jax.tree.leaves(bt_pe))
+    f = 900  # twitter-world hidden size
+    print(
+        f"hub_sharded_operands: {t_ops:.1f}s  gpd={gpd}  "
+        f"b_pe slots={slots/1e6:.1f}M  bt_pe slots={slots_t/1e6:.1f}M", flush=True
+    )
+    print(
+        f"per-device hub buffer [gpd, {f}] f32 = {gpd*f*4/1e6:.0f} MB "
+        f"(replicated [G, {f}] would be {fpart.n_groups*f*4/1e6:.0f} MB)",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

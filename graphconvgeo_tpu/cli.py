@@ -92,6 +92,11 @@ def parse_args(argv=None):
                         "with per-peer SpMM overlap (--dist)")
     p.add_argument("--dist-format", choices=("bell", "ell"), default="bell",
                    help="per-device sparse block format (--dist)")
+    p.add_argument("--hub-sharded", action="store_true",
+                   help="shard the hub axis of the factorized adjacency "
+                        "(ring reduce-scatter; [G/D, F] peak instead of a "
+                        "replicated [G, F] psum — for very large G; needs "
+                        "--dist --adjacency factorized)")
     p.add_argument("--sampled", action="store_true",
                    help="neighbor-sampled mini-batch training (reference "
                         "gcnmain.py -batch; BASELINE config 5)")
@@ -223,6 +228,7 @@ def _run_dist(args, ds, cfg, tcfg):
         model = DistFactorizedGCN(
             cfg, fpart, mesh,
             halo=args.halo, dist_format=args.dist_format, halo_mode=args.halo_mode,
+            hub_sharded=args.hub_sharded,
         )
     else:
         part = partition_rows(ds.adj, ds.x, ds.y, mask, n_dev)

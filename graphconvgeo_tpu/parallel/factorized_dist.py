@@ -18,8 +18,15 @@ hub axis is the contraction axis, the all-reduce is its psum.
 
 The [G, F] all-reduce is the trade: it beats the halo when G·F is small
 against the boundary-row volume (true for mention graphs — G is the number
-of surviving shared accounts). For very large G, shard the hub axis and
-reduce-scatter instead; documented as the scale-out follow-up.
+of surviving shared accounts). For very large G (Twitter-World: every
+device replicating [G, F] stops fitting), ``hub_sharded=True`` shards the
+HUB AXIS instead: each device owns a contiguous G/D hub block, the partial
+sums ride a ring reduce-scatter (D−1 ppermutes of [G/D, F], each hop
+accumulating the receiving device's local partial for that block — the
+hand-rolled ``reduce_scatter``), and the expansion consumes the owned
+blocks on a second ring — peak hub memory [G/D, F] instead of [G, F], same
+total link traffic as the psum, with per-hop partial SpMMs for XLA's async
+scheduler to overlap.
 
 Reference has no analog (single process, SURVEY.md §2 "parallelism: none").
 """
@@ -109,6 +116,36 @@ def partition_factorized_raw(
     )
 
 
+def hub_sharded_operands(fpart: FactorizedPartition, dist_format: str = "bell"):
+    """Host pytrees for the hub-sharded incidence: column-split every
+    device's B' rows by hub block — the (d, e) operand is B'_d[:, block_e] —
+    stacked flat so all D² blocks share bucket shapes, then viewed
+    [D_dev, D_blk, …]. Returns (b_pe, bt_pe, groups_per_device)."""
+    from graphconvgeo_tpu.sparse.formats import _round_up
+
+    d_n = fpart.part.n_devices
+    gpd = _round_up(-(-max(fpart.n_groups, 1) // d_n), 8)
+    g_pad = gpd * d_n
+    blocks = []
+    for blk in fpart.b_blocks:
+        if blk.shape[1] != g_pad:
+            blk = sp.hstack(
+                [blk, sp.csr_matrix((blk.shape[0], g_pad - blk.shape[1]), dtype=blk.dtype)]
+            ).tocsr()
+        blocks.append(blk)
+    flat = [
+        blocks[d][:, e * gpd : (e + 1) * gpd].tocsr()
+        for d in range(d_n)
+        for e in range(d_n)
+    ]
+    b_pe = stack_operand(flat, dist_format)
+    bt_pe = stack_operand([m.T.tocsr() for m in flat], dist_format)
+    reshape = lambda op: jax.tree.map(
+        lambda a: np.asarray(a).reshape((d_n, d_n) + a.shape[1:]), op
+    )
+    return reshape(b_pe), reshape(bt_pe), gpd
+
+
 class DistFactorizedGCN(DistHighwayGCN):
     """Distributed Highway-GCN whose convolution applies the factored Â.
 
@@ -126,6 +163,7 @@ class DistFactorizedGCN(DistHighwayGCN):
         halo: str = "auto",
         dist_format: str = "bell",
         halo_mode: str = "alltoall",
+        hub_sharded: bool = False,
     ):
         super().__init__(
             cfg, fpart.part, mesh,
@@ -133,6 +171,7 @@ class DistFactorizedGCN(DistHighwayGCN):
             dist_format=dist_format, halo_mode=halo_mode,
         )
         self.n_groups = fpart.n_groups
+        self.hub_sharded = hub_sharded
 
         def put(op):
             sh = jax.tree.map(
@@ -140,8 +179,15 @@ class DistFactorizedGCN(DistHighwayGCN):
             )
             return jax.device_put(jax.tree.map(jnp.asarray, op), sh)
 
-        self.data["b"] = put(stack_operand(fpart.b_blocks, dist_format))
-        self.data["bt"] = put(stack_operand(fpart.bt_blocks, dist_format))
+        if hub_sharded:
+            b_pe, bt_pe, self.groups_per_device = hub_sharded_operands(
+                fpart, dist_format
+            )
+            self.data["b_pe"] = put(b_pe)
+            self.data["bt_pe"] = put(bt_pe)
+        else:
+            self.data["b"] = put(stack_operand(fpart.b_blocks, dist_format))
+            self.data["bt"] = put(stack_operand(fpart.bt_blocks, dist_format))
         self.data["diag"] = jax.device_put(
             jnp.asarray(fpart.diag), NamedSharding(mesh, P(GRAPH_AXIS))
         )
@@ -149,6 +195,12 @@ class DistFactorizedGCN(DistHighwayGCN):
     def _conv(self, hw, data):
         # correction term R'·hw through the parent's halo / all-gather path
         out = super()._conv(hw, data)
+        if self.hub_sharded:
+            return (
+                out
+                + self._hub_sharded_term(hw, data)
+                + data["diag"][:, None] * hw
+            )
 
         def body(h, b, bt):
             # per-device partial hub sums → one all-reduce → local expand.
@@ -170,3 +222,58 @@ class DistFactorizedGCN(DistHighwayGCN):
             out_specs=P(GRAPH_AXIS, None),
         )(hw, data["b"], data["bt"])
         return out + z + data["diag"][:, None] * hw
+
+    def _hub_sharded_term(self, hw, data):
+        """B'(B'ᵀ·hw) with the hub axis sharded: ring reduce-scatter of the
+        per-device hub partials (each hop ppermutes a [G/D, F] accumulator
+        one step and adds the arriving device's local partial for that hub
+        block), then a second ring that circulates the fully-reduced owned
+        blocks and consumes each against the local column-block of B'. Peak
+        hub-axis memory is [G/D, F]; link traffic equals the replicated
+        psum's. Backward falls out of ppermute's transpose (the reverse
+        ring) + the per-block SpMM custom VJPs."""
+        d_n = self.part.n_devices
+
+        def blk(op, e):
+            return jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, e, 0, keepdims=False), op
+            )
+
+        def body(h, b_pe, bt_pe):
+            b_pe = device_slice(b_pe)  # leaves [D_blk, …]
+            bt_pe = device_slice(bt_pe)
+            if d_n == 1:
+                y = _spmm_op_core(blk(bt_pe, 0), blk(b_pe, 0), h)
+                return _spmm_op_core(blk(b_pe, 0), blk(bt_pe, 0), y)
+            d_idx = jax.lax.axis_index(GRAPH_AXIS)
+            # ring reduce-scatter: acc for block (d+1+s) visits device d at
+            # step s; after D−1 hops each device holds its OWN block's sum
+            e0 = jax.lax.rem(d_idx + 1, d_n)
+            acc = _spmm_op_core(blk(bt_pe, e0), blk(b_pe, e0), h)
+            down = [(i, (i - 1) % d_n) for i in range(d_n)]
+            up = [(i, (i + 1) % d_n) for i in range(d_n)]
+            for s in range(1, d_n):
+                acc = jax.lax.ppermute(acc, GRAPH_AXIS, down)
+                e = jax.lax.rem(d_idx + 1 + s, d_n)
+                acc = acc + _spmm_op_core(blk(bt_pe, e), blk(b_pe, e), h)
+            y_own = acc  # [gpd, F], block d fully reduced
+            # ring consume: owned blocks circulate, each hop's arrival is
+            # multiplied against the matching local B' column block
+            z = _spmm_op_core(blk(b_pe, d_idx), blk(bt_pe, d_idx), y_own)
+            buf = y_own
+            for s in range(1, d_n):
+                buf = jax.lax.ppermute(buf, GRAPH_AXIS, up)
+                e = jax.lax.rem(d_idx - s + d_n, d_n)
+                z = z + _spmm_op_core(blk(b_pe, e), blk(bt_pe, e), buf)
+            return z
+
+        return shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(
+                P(GRAPH_AXIS, None),
+                _op_specs(data["b_pe"]),
+                _op_specs(data["bt_pe"]),
+            ),
+            out_specs=P(GRAPH_AXIS, None),
+        )(hw, data["b_pe"], data["bt_pe"])

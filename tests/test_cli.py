@@ -118,3 +118,14 @@ def test_trainer_profile_trace(tmp_path):
     ])
     files = glob.glob(str(tmp_path / "trace" / "**" / "*.xplane.pb"), recursive=True)
     assert files, "no xprof trace captured"
+
+
+def test_cli_dist_hub_sharded_end_to_end():
+    from graphconvgeo_tpu.cli import main
+
+    report = main([
+        "--preset", "synthetic", "--dist", "--adjacency", "factorized",
+        "--hub-sharded", "--epochs", "6", "--patience", "6", "--quiet",
+        "--hidden", "16", "16",
+    ])
+    assert 0.0 <= report["test"]["acc_at_161"] <= 1.0
