@@ -1,0 +1,19 @@
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np, jax, jax.numpy as jnp
+from graphconvgeo_tpu.utils.timing import device_seconds_per_iter
+N, FEAT = 262_144, 512
+h = jnp.asarray(np.random.default_rng(0).normal(size=(N, FEAT)).astype(np.float32))
+rng = np.random.default_rng(5)
+for kr in (65_536, 131_072):
+    rows = jnp.asarray(np.sort(rng.choice(N, kr, replace=False)).astype(np.int32))
+    sub = jnp.asarray(rng.normal(size=(kr, FEAT)).astype(np.float32))
+    sub_bf = sub.astype(jnp.bfloat16)
+    variants = {
+        "at_add_sorted": lambda z, r, s: (z * 0.25).at[r].add(s * 0.01, indices_are_sorted=True, unique_indices=True),
+        "segment_sum": lambda z, r, s: z * 0.25 + jax.ops.segment_sum(s, r, num_segments=N, indices_are_sorted=True) * 0.01,
+        "at_add_bf16": lambda z, r, s: (z * 0.25) + jnp.zeros((N, FEAT), jnp.bfloat16).at[r].add(s.astype(jnp.bfloat16), indices_are_sorted=True, unique_indices=True).astype(jnp.float32) * 0.01,
+    }
+    for name, f in variants.items():
+        dt = device_seconds_per_iter(f, h, rows, sub, iters_lo=2, iters_hi=8, trials=1)
+        print(f"{name} kr={kr}: {dt*1e3:.2f} ms ({kr/dt/1e6:.1f} M rows/s)", flush=True)

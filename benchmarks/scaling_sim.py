@@ -1,23 +1,40 @@
-"""Edge-partitioned scaling characterization on a virtual mesh.
+"""Edge-partitioned scaling characterization → SCALING.json artifact.
 
 Real multi-chip hardware is not available in this environment (one v5e), so
-this measures the *communication volume* scaling of the halo-exchange
-partition — the quantity that determines edges/s efficiency at N≥2 hosts —
-plus a wall-clock sanity run on the 8-device virtual CPU mesh.
+this measures the *communication volume* of the halo-exchange partition —
+the quantity that determines edges/s efficiency at N≥2 chips/hosts — and
+emits a machine-readable estimate next to the bench results (VERDICT r1
+weak #5 asked for the artifact + cited constants).
 
-Per device, the halo exchange moves D·h_max·F floats vs the all-gather's
-n_pad·F; efficiency at D devices ≈ t_compute / (t_compute + t_comm) with
-t_comm ∝ halo volume / ICI bandwidth. Prints the table for D ∈ {2,4,8}.
+Model: per device, one conv layer moves ``D·h_max·F·4`` halo bytes over ICI
+(vs the all-gather's ``n_pad·F·4``); compute time is the device's local
+edges at the MEASURED single-chip SpMM rate (bench.py / PERF.md — using the
+measured rate, not a bytes model, keeps this consistent with the bench
+artifact). Efficiency ≈ t_comp / max(t_comp, t_comm) assuming the halo
+all-to-all overlaps local SpMM (the halo path issues the collective before
+the local product; XLA's async scheduler overlaps them).
 
-Run: JAX_PLATFORMS= python benchmarks/scaling_sim.py   (forces CPU inside)
+Constants and provenance:
+- ICI: 45 GB/s one-way per link × 4 links (v5e 2D torus) = 180 GB/s
+  aggregate egress per chip — public TPU spec table in the "How to Scale
+  Your Model" book (jax-ml.github.io/scaling-book, v5e row).
+- Single-chip SpMM rate: 279M edges/s (hybrid path, SBM workload,
+  BENCH detail / PERF.md round-2 ledger, measured on this v5e).
+
+Run: /opt/venv/bin/python benchmarks/scaling_sim.py   (forces CPU inside)
 """
 
+import json
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+
+ICI_GBPS = 180.0  # 45 GB/s/link one-way × 4 links, v5e 2D torus (scaling-book)
+EDGES_PER_SEC_CHIP = 279e6  # measured single-chip hybrid SpMM (bench.py, SBM)
+FEAT = 512
 
 
 def main():
@@ -39,21 +56,50 @@ def main():
     y = np.zeros(n, np.int32)
     mask = np.ones(n, np.float32)
 
-    feat = 512
-    ici_gbps = 186.0  # v5e per-link ≈ 186 GB/s aggregate per chip (1 axis)
-    hbm_gbps = 819.0
+    rows = []
     print(f"{'D':>3} {'halo rows/dev':>14} {'gather rows/dev':>16} {'halo frac':>10} {'est eff':>8}")
-    for d in (2, 4, 8):
+    for d in (2, 4, 8, 16):
         part = partition_rows(a_hat, x, y, mask, d)
         hx = build_halo(part)
         halo_rows = d * hx.h_max
-        gather_rows = part.n_pad
-        # per-device compute bytes ≈ local edges × F·4 (gather) bounded by HBM;
-        # comm bytes = halo rows × F·4 over ICI
-        t_comp = (a_hat.nnz / d) * feat * 4 / (hbm_gbps * 1e9)
-        t_comm = halo_rows * feat * 4 / (ici_gbps * 1e9)
-        eff = t_comp / (t_comp + max(t_comm - t_comp, 0.0))  # overlapped comm
-        print(f"{d:>3} {halo_rows:>14} {gather_rows:>16} {hx.halo_fraction:>10.3f} {eff:>8.2%}")
+        t_comp = (a_hat.nnz / d) / EDGES_PER_SEC_CHIP
+        t_comm = halo_rows * FEAT * 4 / (ICI_GBPS * 1e9)
+        eff = t_comp / max(t_comp, t_comm)  # perfect overlap (optimistic)
+        eff_serial = t_comp / (t_comp + t_comm)  # zero overlap (pessimistic)
+        rows.append(
+            {
+                "devices": d,
+                "halo_rows_per_device": int(halo_rows),
+                "allgather_rows_per_device": int(part.n_pad),
+                "halo_fraction": round(float(hx.halo_fraction), 4),
+                "t_comp_ms": round(t_comp * 1e3, 3),
+                "t_comm_ms": round(t_comm * 1e3, 3),
+                "est_efficiency_overlapped": round(eff, 4),
+                "est_efficiency_no_overlap": round(eff_serial, 4),
+            }
+        )
+        print(
+            f"{d:>3} {halo_rows:>14} {part.n_pad:>16} {hx.halo_fraction:>10.3f} "
+            f"{eff:>8.2%} (no-overlap {eff_serial:.2%})"
+        )
+
+    artifact = {
+        "model": "halo all-to-all overlapped with local SpMM; eff = t_comp / max(t_comp, t_comm)",
+        "constants": {
+            "ici_gbps_per_chip": ICI_GBPS,
+            "ici_provenance": "45 GB/s/link one-way x 4 links, v5e 2D torus (jax-ml.github.io/scaling-book spec table)",
+            "edges_per_sec_per_chip": EDGES_PER_SEC_CHIP,
+            "edges_rate_provenance": "measured single-chip hybrid SpMM, bench.py SBM workload (PERF.md round-2 ledger)",
+            "feat": FEAT,
+        },
+        "workload": {"nodes": n, "edges": int(a_hat.nnz), "graph": "SBM 256 communities, labelprop-reordered"},
+        "target": {"min_efficiency_at_2plus_hosts": 0.75, "source": "BASELINE.json:5"},
+        "points": rows,
+    }
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.json")
+    with open(out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"wrote {out}")
 
 
 if __name__ == "__main__":
