@@ -1,0 +1,165 @@
+"""Input-layer X·W0 experiment: can the Zipf head of a BoW matrix ride the MXU?
+
+The input embedding-bag is ~70% of a US-scale full-graph step (PERF.md) and
+is gather-rate-bound (~20 ns/edge). But a TF-IDF matrix's column mass is
+Zipf-distributed: with frequency-sorted vocab, the head columns form a band
+whose density is far above the dense/gather break-even (~0.1% at F=512,
+bf16 — dense moves 2 B/entry at stream rate vs ~2 KB/edge gather). Candidates:
+
+  bell        — current default (degree-bucketed ELL, pure gather)
+  bell+bf16   — same with bf16 gather_dtype
+  cached      — CachedBell hot-column cache (existing opt-in)
+  hybrid      — SparseGraph.hybrid(): BSR MXU tiles + residual
+  slabC       — NEW: dense bf16 [N, C] slab over the C most frequent columns
+                (matmul on MXU) + CachedBell/bell residual for the tail
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/exp_input_hybrid.py \
+         <variant> [N] [V] [L]
+variant ∈ bell | cached | hybrid | slab1k | slab4k | slab8k  (one per process —
+device operands of one variant alone approach the HBM limit at this scale).
+"""
+
+import sys
+import numpy as np
+import scipy.sparse as sp
+import jax
+import jax.numpy as jnp
+
+from graphconvgeo_tpu.ops.spmm import device_operands, spmm_operands
+from graphconvgeo_tpu.sparse.formats import CachedBell, SparseGraph
+from graphconvgeo_tpu.utils.timing import device_seconds_per_iter
+
+VARIANT = sys.argv[1] if len(sys.argv) > 1 else "bell"
+N = int(sys.argv[2]) if len(sys.argv) > 2 else 262_144
+V = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000
+L = int(sys.argv[4]) if len(sys.argv) > 4 else 110  # avg tokens/user
+F = 512
+
+
+def zipf_bow(n, v, l_avg, *, n_comm=256, comm_frac=0.3, seed=0) -> sp.csr_matrix:
+    """Zipf-frequency BoW: global draws from a Zipf over [0, V) plus a
+    community-specific mid-band slice (cluster words), frequency-sorted
+    columns (id 0 = most frequent). Values ~ tf-idf-ish positive floats."""
+    rng = np.random.default_rng(seed)
+    lens = np.maximum(rng.poisson(l_avg, n), 1)
+    total = int(lens.sum())
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    # global zipf draws, clipped to vocab
+    g = rng.zipf(1.1, total)
+    g = np.minimum(g - 1, v - 1)
+    # community band: each community owns a slice of the mid vocab
+    comm = (rows * n_comm) // n
+    band_lo, band_w = v // 50, max(v // 200, 64)  # mid-frequency region
+    is_comm = rng.random(total) < comm_frac
+    comm_tok = band_lo + (comm % 40) * band_w + rng.integers(0, band_w, total)
+    cols = np.where(is_comm, np.minimum(comm_tok, v - 1), g)
+    x = sp.coo_matrix(
+        (np.ones(total, np.float32), (rows, cols)), shape=(n, v)
+    ).tocsr()
+    x.sum_duplicates()
+    # tf-idf-ish: value = tf * log(N/df), row l2-normalized
+    df = np.bincount(x.indices, minlength=v) + 1
+    x.data = x.data * np.log(n / df[x.indices]).astype(np.float32)
+    rownorm = np.sqrt(np.asarray(x.multiply(x).sum(axis=1))).ravel()
+    x.data = x.data / np.maximum(rownorm[np.repeat(np.arange(n), np.diff(x.indptr))], 1e-9)
+    # frequency-sort columns (head = most frequent)
+    order = np.argsort(-df, kind="stable")
+    inv = np.empty(v, dtype=np.int64)
+    inv[order] = np.arange(v)
+    x = x[:, order].tocsr()
+    x.sort_indices()
+    return x
+
+
+def time_fwd_bwd(name, apply_fn, w0, *ops):
+    """apply_fn(w0, *ops) -> [N, F]. Reports fwd and fwd+grad-wrt-w0."""
+    def fwd_step(w, *a):
+        out = apply_fn(w, *a)
+        return w + jnp.sum(out) * 1e-12
+
+    def train_step(w, *a):
+        g = jax.grad(lambda ww: jnp.sum(jnp.tanh(apply_fn(ww, *a))))(w)
+        return w - 1e-9 * g
+
+    t_f = device_seconds_per_iter(fwd_step, w0, *ops, iters_lo=2, iters_hi=8, trials=2)
+    t_t = device_seconds_per_iter(train_step, w0, *ops, iters_lo=2, iters_hi=6, trials=2)
+    print(
+        f"{name:14s} fwd {t_f*1e3:8.2f} ms ({NNZ/t_f/1e6:7.1f} M edge/s)   "
+        f"fwd+bwd {t_t*1e3:8.2f} ms ({NNZ/t_t/1e6:7.1f} M edge/s)",
+        flush=True,
+    )
+    return t_f, t_t
+
+
+x = zipf_bow(N, V, L)
+NNZ = x.nnz
+df = np.diff(sp.csc_matrix(x).indptr)
+csum = np.cumsum(-np.sort(-df)) / NNZ
+print(f"N={N} V={V} nnz={NNZ} ({NNZ/N:.0f}/row); col coverage: "
+      f"top1k={csum[min(999,V-1)]:.2f} top4k={csum[min(4095,V-1)]:.2f} "
+      f"top16k={csum[min(16383,V-1)]:.2f}", flush=True)
+
+rng = np.random.default_rng(0)
+w0 = jnp.asarray(rng.normal(0, 0.02, (V, F)).astype(np.float32))
+g = SparseGraph(csr=x)
+
+# ---- bell ----------------------------------------------------------------
+if VARIANT == "bell":
+    bell, bell_t = g.bell(), g.bell_t()
+    time_fwd_bwd("bell", lambda w, a, b: spmm_operands(a, b, w, n_rows=N), w0, bell, bell_t)
+    time_fwd_bwd(
+        "bell+bf16",
+        lambda w, a, b: spmm_operands(a, b, w, n_rows=N, gather_dtype=jnp.bfloat16),
+        w0, bell, bell_t,
+    )
+
+# ---- cached (hot-column) -------------------------------------------------
+if VARIANT == "cached":
+    cb = CachedBell.from_scipy(x)
+    time_fwd_bwd(
+        "cached+bf16",
+        lambda w, a: spmm_operands(a, None, w, n_rows=N, gather_dtype=jnp.bfloat16),
+        w0, cb,
+    )
+
+# ---- hybrid (BSR tiles + residual) --------------------------------------
+if VARIANT == "hybrid":
+    fmt, fmt_t = device_operands(g, "hybrid")
+    bsr_p = fmt[0]
+    if bsr_p is not None:
+        st = bsr_p.density_stats()
+        print(f"hybrid tiles: {st['n_tiles']} fill {st['tile_fill']:.3f}", flush=True)
+    time_fwd_bwd(
+        "hybrid+bf16",
+        lambda w, a, b: spmm_operands(a, b, w, n_rows=N, gather_dtype=jnp.bfloat16),
+        w0, fmt, fmt_t,
+    )
+
+# ---- dense slab over head columns + residual ----------------------------
+for c_head in (1024, 4096, 8192):
+    if VARIANT != f"slab{c_head//1024}k" or c_head >= V:
+        continue
+    head = x[:, :c_head]
+    cov = head.nnz / NNZ
+    slab = jnp.asarray(head.toarray().astype(np.float32)).astype(jnp.bfloat16)
+    rest = sp.csr_matrix(x.copy())
+    rest_coo = rest.tocoo()
+    keep = rest_coo.col >= c_head
+    rest = sp.coo_matrix(
+        (rest_coo.data[keep], (rest_coo.row[keep], rest_coo.col[keep])), shape=x.shape
+    ).tocsr()
+    rg = SparseGraph(csr=rest)
+    r_cb = CachedBell.from_scipy(rest)
+    r_ops = (r_cb, None) if r_cb is not None else (rg.bell(), rg.bell_t())
+    r_name = "cached" if r_cb is not None else "bell"
+
+    def slab_apply(w, s, ra, rb, c=c_head):
+        out = jnp.dot(s, w[:c].astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+        return out + spmm_operands(ra, rb, w, n_rows=N, gather_dtype=jnp.bfloat16)
+
+    gb = N * c_head * 2 / 1e9
+    time_fwd_bwd(
+        f"slab{c_head//1024}k+{r_name}",
+        slab_apply, w0, slab, *r_ops,
+    )
+    print(f"   (slab covers {cov:.2f} of nnz, {gb:.2f} GB bf16)", flush=True)

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from graphconvgeo_tpu.models.gcn import l2_penalty, sparse_input_layer
 from graphconvgeo_tpu.ops.attention import gat_layer
 from graphconvgeo_tpu.ops.dropout import dropout
-from graphconvgeo_tpu.sparse.formats import BucketedAttention, CachedBell, SparseGraph
+from graphconvgeo_tpu.sparse.formats import BucketedAttention, SparseGraph
 
 _ACTIVATIONS = {
     "elu": jax.nn.elu,
@@ -59,6 +59,12 @@ class GATConfig:
     # opt-in hot-column cache for the BoW input layer (see
     # GCNConfig.input_hot_cache for the measured guidance — shared layer)
     input_hot_cache: bool = False
+    # input X·W₀ backend: "auto"/"slab" = Zipf-head dense MXU slab when the
+    # matrix qualifies (see GCNConfig.input_backend), "bell" = pure gather
+    input_backend: str = "auto"
+    slab_cols: int = 4096
+    slab_dtype: str = "bfloat16"
+    slab_byte_budget: int = 2 << 30
     # 'bucketed' (degree-bucketed gathers — any graph) | 'tiled' (flash-style
     # MXU kernels over pattern tiles + bucketed rest — community-reordered
     # mention graphs)
@@ -118,7 +124,16 @@ class GraphAttentionNet:
         self.x = x
         self.adj = adj
         self._dtype = jnp.dtype(cfg.dtype)
-        x_cached = CachedBell.from_scipy(x.csr) if cfg.input_hot_cache else None
+        from graphconvgeo_tpu.models.gcn import build_input_operands
+
+        x_ops = build_input_operands(
+            x,
+            input_backend=cfg.input_backend,
+            slab_cols=cfg.slab_cols,
+            slab_dtype=cfg.slab_dtype,
+            slab_byte_budget=cfg.slab_byte_budget,
+            input_hot_cache=cfg.input_hot_cache,
+        )
         if cfg.att_backend == "tiled":
             from graphconvgeo_tpu.sparse.attention_tiles import TiledAttentionPattern
 
@@ -128,8 +143,7 @@ class GraphAttentionNet:
             # degree, infeasible on power-law mention graphs (hub users).
             att = BucketedAttention.from_scipy(adj.csr)
         self.arrays = {
-            "x": x_cached if x_cached is not None else x.bell(),
-            "x_t": None if x_cached is not None else x.bell_t(),
+            **x_ops,
             # attention uses the adjacency PATTERN only (scores replace Â's
             # values); self-loops are already present in the normalized csr.
             "att": att,

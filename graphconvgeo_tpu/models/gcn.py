@@ -26,9 +26,15 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from graphconvgeo_tpu.ops.dropout import bell_dropout, dropout
-from graphconvgeo_tpu.ops.spmm import _spmm_bell_core, device_operands, spmm_operands
-from graphconvgeo_tpu.sparse.formats import CachedBell, SparseGraph
+from graphconvgeo_tpu.ops.dropout import bell_dropout, dropout, slab_dropout
+from graphconvgeo_tpu.ops.spmm import (
+    _spmm_bell_core,
+    device_operands,
+    spmm_cached_bell,
+    spmm_operands,
+    spmm_slabbed,
+)
+from graphconvgeo_tpu.sparse.formats import CachedBell, SlabbedBell, SparseGraph
 
 _ACTIVATIONS = {
     "tanh": jnp.tanh,
@@ -66,6 +72,20 @@ class GCNConfig:
     # the forward gather is cacheable but the backward (cotangent-table)
     # gathers are not, which caps the win. Default off.
     input_hot_cache: bool = False
+    # Input layer X·W₀ backend. "slab" densifies the Zipf-head columns into
+    # an MXU matmul slab (SlabbedBell — measured 2.7× fwd+bwd over the f32
+    # bell gather path, 1.9× over bf16 gathers, at 262k users × 100k vocab;
+    # exp_input_hybrid.py); "bell" is the pure-gather path; "auto" = slab
+    # when the matrix is big and head-heavy enough (SlabbedBell.from_scipy's
+    # coverage/size gate — tiny test matrices and flat-frequency
+    # vocabularies stay on bell).
+    input_backend: str = "auto"
+    slab_cols: int = 4096
+    # slab storage dtype: bf16 halves the dominant stream bytes (values are
+    # l2-normalized tf-idf weights; accumulation is f32 either way); set
+    # "float32" for bit-parity studies
+    slab_dtype: str = "bfloat16"
+    slab_byte_budget: int = 2 << 30
 
     def __post_init__(self):
         if self.highway:
@@ -78,6 +98,8 @@ class GCNConfig:
                     )
         if self.activation not in _ACTIVATIONS:
             raise ValueError(f"unknown activation {self.activation!r}")
+        if self.input_backend not in ("auto", "bell", "slab"):
+            raise ValueError(f"unknown input_backend {self.input_backend!r}")
 
 
 def _glorot(key, shape, dtype):
@@ -94,6 +116,61 @@ def l2_penalty(params: dict) -> jax.Array:
     return sum(
         jnp.sum(p["w"] ** 2) for p in (params["input"], params["out"])
     ) + sum(jnp.sum(l[k] ** 2) for l in params["layers"] for k in l if not k.startswith("b"))
+
+
+def build_input_operands(
+    x: SparseGraph,
+    *,
+    input_backend: str = "auto",
+    slab_cols: int = 4096,
+    slab_dtype="bfloat16",
+    slab_byte_budget: int = 2 << 30,
+    input_hot_cache: bool = False,
+) -> dict:
+    """Device operands for the BoW input matrix (shared by the GCN and GAT
+    families): SlabbedBell (Zipf-head MXU slab) when the matrix qualifies
+    and the backend allows it, else CachedBell (opt-in), else bucketed-ELL.
+    Returns ``{"x": op, "x_t": transpose-or-None}``."""
+    x_op = None
+    if input_backend in ("auto", "slab"):
+        x_op = SlabbedBell.from_scipy(
+            x.csr,
+            slab_cols=slab_cols,
+            slab_dtype=jnp.dtype(slab_dtype),
+            byte_budget=slab_byte_budget,
+        )
+    if x_op is None and input_hot_cache:
+        x_op = CachedBell.from_scipy(x.csr)
+    if x_op is not None:
+        return {"x": x_op, "x_t": None}
+    return {"x": x.bell(), "x_t": x.bell_t()}
+
+
+def _dropped_cached_bell(cb: CachedBell, rate: float, seed, n_cols: int) -> CachedBell:
+    """Sparse-input dropout over a :class:`CachedBell`. The hot part lives in
+    a compact column space (C = len(hot_ids)); its dropout mask keys by
+    compact entry id — both hot layouts enumerate the same compact
+    (user, token) pairs, so the masks agree — on a decorrelated seed stream
+    so hot/cold id collisions don't pair up."""
+    import dataclasses as _dc
+
+    c_hot = int(cb.hot_ids.shape[0])
+    hot_seed = seed ^ jnp.int32(0x3779B97)
+    return _dc.replace(
+        cb,
+        hot=bell_dropout(
+            cb.hot, rate=rate, seed=hot_seed, n_cols_forward=c_hot, transposed=False
+        ),
+        hot_t=bell_dropout(
+            cb.hot_t, rate=rate, seed=hot_seed, n_cols_forward=c_hot, transposed=True
+        ),
+        cold=bell_dropout(
+            cb.cold, rate=rate, seed=seed, n_cols_forward=n_cols, transposed=False
+        ),
+        cold_t=bell_dropout(
+            cb.cold_t, rate=rate, seed=seed, n_cols_forward=n_cols, transposed=True
+        ),
+    )
 
 
 def sparse_input_layer(
@@ -122,29 +199,30 @@ def sparse_input_layer(
     if gather_dtype is not None:
         w0 = w0.astype(gather_dtype)
     x_op = arrays["x"]
-    if isinstance(x_op, CachedBell):
-        # Hot part lives in a compact column space (C = len(hot_ids)); its
-        # dropout mask keys by compact entry id — both hot layouts enumerate
-        # the same compact (user, token) pairs, so the masks agree — on a
-        # decorrelated seed stream so hot/cold id collisions don't pair up.
-        hot, hot_t, cold, cold_t = x_op.hot, x_op.hot_t, x_op.cold, x_op.cold_t
+    if isinstance(x_op, SlabbedBell):
+        slab = x_op.slab
+        rest, rest_t = x_op.rest, x_op.rest_t
         if train and dropout_rate > 0.0:
-            c_hot = int(x_op.hot_ids.shape[0])
-            hot_seed = seed ^ jnp.int32(0x3779B97)
-            hot = bell_dropout(
-                hot, rate=dropout_rate, seed=hot_seed, n_cols_forward=c_hot, transposed=False
+            slab = slab_dropout(
+                slab, x_op.cols, rate=dropout_rate, seed=seed, n_cols=n_cols
             )
-            hot_t = bell_dropout(
-                hot_t, rate=dropout_rate, seed=hot_seed, n_cols_forward=c_hot, transposed=True
-            )
-            cold = bell_dropout(
-                cold, rate=dropout_rate, seed=seed, n_cols_forward=n_cols, transposed=False
-            )
-            cold_t = bell_dropout(
-                cold_t, rate=dropout_rate, seed=seed, n_cols_forward=n_cols, transposed=True
-            )
-        w0_hot = jnp.take(w0, x_op.hot_ids, axis=0)
-        h = _spmm_bell_core(hot, hot_t, w0_hot) + _spmm_bell_core(cold, cold_t, w0)
+            if isinstance(rest, CachedBell):
+                rest = _dropped_cached_bell(rest, dropout_rate, seed, n_cols)
+            elif rest is not None:
+                rest = bell_dropout(
+                    rest, rate=dropout_rate, seed=seed, n_cols_forward=n_cols, transposed=False
+                )
+                rest_t = bell_dropout(
+                    rest_t, rate=dropout_rate, seed=seed, n_cols_forward=n_cols, transposed=True
+                )
+        import dataclasses as _dc
+
+        dropped = _dc.replace(x_op, slab=slab, rest=rest, rest_t=rest_t)
+        h = spmm_slabbed(dropped, w0)
+    elif isinstance(x_op, CachedBell):
+        if train and dropout_rate > 0.0:
+            x_op = _dropped_cached_bell(x_op, dropout_rate, seed, n_cols)
+        h = spmm_cached_bell(x_op, w0)
     else:
         x_bell = x_op
         x_bell_t = arrays["x_t"]
@@ -208,11 +286,18 @@ class HighwayGCN:
         # jitted trace would cache tracers). These must be threaded through
         # jit boundaries AS ARGUMENTS — see `arrays` params below — otherwise
         # the sparse data gets baked into the compiled module as constants.
-        x_cached = CachedBell.from_scipy(x.csr) if cfg.input_hot_cache else None
-        if x_cached is not None:
-            self.arrays = {"x": x_cached, "x_t": None}
-        else:
-            self.arrays = {"x": x.bell(), "x_t": x.bell_t()}
+        # Zipf-head dense slab (SlabbedBell) when the matrix is big and
+        # head-heavy enough; from_scipy returns None otherwise and "auto"/
+        # "slab" fall back to the gather path (a forced slab on a
+        # sub-threshold matrix would only be slower, never wrong)
+        self.arrays = build_input_operands(
+            x,
+            input_backend=cfg.input_backend,
+            slab_cols=cfg.slab_cols,
+            slab_dtype=cfg.slab_dtype,
+            slab_byte_budget=cfg.slab_byte_budget,
+            input_hot_cache=cfg.input_hot_cache,
+        )
         if adj is not None:
             from graphconvgeo_tpu.sparse.factorized import FactorizedAdjacency
 

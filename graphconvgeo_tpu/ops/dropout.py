@@ -101,6 +101,27 @@ def bell_dropout(bell, *, rate: float, seed: jax.Array, n_cols_forward: int, tra
     return dataclasses.replace(bell, values=tuple(new_vals))
 
 
+def slab_dropout(
+    slab: jax.Array, cols: jax.Array, *, rate: float, seed: jax.Array, n_cols: int
+) -> jax.Array:
+    """Entry-position-keyed dropout over a dense head slab (see
+    :class:`~graphconvgeo_tpu.sparse.formats.SlabbedBell`).
+
+    Entry (i, j) of the slab is global entry (i, cols[j]) of X, so its id is
+    ``i * n_cols + cols[j]`` — the same keying as :func:`bell_dropout`, hence
+    a slab-backed input layer drops the IDENTICAL entry set as the bell
+    path for the same seed (zero entries are scaled too, which is a no-op).
+    """
+    if rate <= 0.0:
+        return slab
+    n, c = slab.shape
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, c), 0)
+    entry_id = row_ids * jnp.int32(n_cols) + cols[None, :].astype(jnp.int32)
+    u = entry_uniform(entry_id, seed)
+    scale = jnp.asarray(1.0 / (1.0 - rate), slab.dtype)
+    return slab * (u >= rate).astype(slab.dtype) * scale
+
+
 def dropout(x: jax.Array, *, rate: float, rng: jax.Array) -> jax.Array:
     """Standard inverted dropout (reference: ``lasagne.layers.DropoutLayer``)."""
     if rate <= 0.0:

@@ -39,6 +39,7 @@ from graphconvgeo_tpu.sparse.formats import (
     BucketedEll,
     CachedBell,
     EllMatrix,
+    SlabbedBell,
     SparseGraph,
 )
 
@@ -267,12 +268,29 @@ def spmm_cached_bell(cb: CachedBell, h: jax.Array, *, gather_dtype=None) -> jax.
     return out + spmm_bell(cb.hot, cb.hot_t, h_hot, gather_dtype=gather_dtype)
 
 
+def spmm_slabbed(sb: SlabbedBell, w0: jax.Array, *, gather_dtype=None) -> jax.Array:
+    """X·W0 with the Zipf-head dense slab on the MXU (see
+    :class:`SlabbedBell`): ``slab @ W0[cols]`` + residual gather SpMM.
+    Differentiable in w0 — the slab term's backward is ``slabᵀ·G`` scattered
+    into the C slab rows (``jnp.take``'s transpose), the rest via the bell
+    VJPs. Output is float32-accumulated regardless of the slab dtype."""
+    w_head = jnp.take(w0, sb.cols, axis=0).astype(sb.slab.dtype)
+    out = jnp.dot(sb.slab, w_head, preferred_element_type=jnp.float32).astype(w0.dtype)
+    if isinstance(sb.rest, CachedBell):
+        out = out + spmm_cached_bell(sb.rest, w0, gather_dtype=gather_dtype)[: out.shape[0]]
+    elif sb.rest is not None:
+        out = out + spmm_bell(sb.rest, sb.rest_t, w0, gather_dtype=gather_dtype)[: out.shape[0]]
+    return out
+
+
 def spmm_operands(fmt, fmt_t, h: jax.Array, *, n_rows: int, gather_dtype=None) -> jax.Array:
     """SpMM against device-format pytrees (format-dispatched)."""
     from graphconvgeo_tpu.sparse.factorized import FactorizedAdjacency, spmm_factorized
 
     if isinstance(fmt, FactorizedAdjacency):
         return spmm_factorized(fmt, h, gather_dtype=gather_dtype)[:n_rows]
+    if isinstance(fmt, SlabbedBell):
+        return spmm_slabbed(fmt, h, gather_dtype=gather_dtype)[:n_rows]
     if isinstance(fmt, CachedBell):
         return spmm_cached_bell(fmt, h, gather_dtype=gather_dtype)[:n_rows]
     if isinstance(fmt, BucketedEll):

@@ -526,6 +526,110 @@ class CachedBell:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class SlabbedBell:
+    """BoW input operand with a dense MXU slab over the Zipf head columns.
+
+    A TF-IDF matrix's column mass is Zipf-distributed: the most frequent few
+    thousand tokens hold 30–60% of the nonzeros, and a column band whose
+    density exceeds ~0.1% moves FEWER bytes as a dense bf16 slab streamed
+    through the MXU (2 B/entry ÷ density) than as per-edge row gathers
+    (~2 KB/edge at F=512). Measured v5e (262k users × 100k vocab, 19.2M nnz,
+    F=512, `benchmarks/exp_input_hybrid.py`): slab over the top 4096 columns
+    (50% of nnz) + hot-cached residual runs the X·W0 fwd+bwd at 315 ms —
+    2.7× over the f32 bucketed-ELL gather path (863 ms) and 1.9× over its
+    bf16-gather variant (592 ms); fwd alone 107 ms vs 492/209 ms. The
+    remaining cost is the residual's gather wall, so the win tracks slab
+    coverage — head-heavier vocabularies gain more.
+
+    Fields:
+      cols:  [C] int32 — global column ids of the slab columns (top-nnz).
+      slab:  [N, C] dense values of those columns (bf16 by default — the MXU
+             operand; f32 opt-in for exact-parity runs).
+      rest:  the remaining entries — :class:`CachedBell` when their column
+             skew justifies the hot-column cache, else :class:`BucketedEll`.
+      rest_t: transpose of ``rest`` when it is a BucketedEll (None for
+             CachedBell, which is self-contained).
+
+    The forward is ``slab @ W0[cols] + rest-SpMM``; the backward scatters
+    ``slabᵀ·G`` into the C slab rows of dW0 (one sorted-unique scatter,
+    ~3 ms fixed cost — PERF.md scatter ledger) and runs the rest transpose.
+    """
+
+    cols: jax.Array
+    slab: jax.Array
+    rest: Optional["CachedBell | BucketedEll"]
+    rest_t: Optional["BucketedEll"]
+    n_cols: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_rows(self) -> int:
+        return self.slab.shape[0]
+
+    @property
+    def c_head(self) -> int:
+        return self.cols.shape[0]
+
+    @staticmethod
+    def from_scipy(
+        csr: sp.csr_matrix,
+        *,
+        slab_cols: int = 4096,
+        slab_dtype=jnp.bfloat16,
+        byte_budget: int = 2 << 30,
+        min_coverage: float = 0.15,
+        hot_cache: bool = True,
+    ):
+        """Build the slabbed operand, or return None when the head band is
+        not worth densifying (slab coverage below ``min_coverage``).
+
+        ``byte_budget`` caps the slab's device bytes — at Twitter-World scale
+        (1.4M rows) a 4096-column bf16 slab would be 11.5 GB, so the column
+        count shrinks to fit. Columns are chosen by nnz count (no vocab
+        reordering needed — ``cols`` carries the global ids)."""
+        csr = sp.csr_matrix(csr)
+        n_rows, n_cols = csr.shape
+        if csr.nnz == 0 or n_cols < 1024 or n_rows < 1024:
+            return None
+        itemsize = jnp.dtype(slab_dtype).itemsize
+        c = min(slab_cols, n_cols, max(byte_budget // max(n_rows * itemsize, 1), 0))
+        c = int(c) & ~127  # lane-align the slab width
+        if c < 128:
+            return None
+        freq = np.bincount(csr.indices, minlength=n_cols)
+        order = np.argsort(-freq, kind="stable")
+        cols = np.sort(order[:c])
+        if freq[cols].sum() < min_coverage * csr.nnz:
+            return None
+        head_mask = np.zeros(n_cols, dtype=bool)
+        head_mask[cols] = True
+        coo = csr.tocoo()
+        in_head = head_mask[coo.col]
+        compact = np.zeros(n_cols, dtype=np.int64)
+        compact[cols] = np.arange(c)
+        slab = np.zeros((n_rows, c), dtype=np.float32)
+        slab[coo.row[in_head], compact[coo.col[in_head]]] = coo.data[in_head]
+        rest_csr = sp.coo_matrix(
+            (coo.data[~in_head], (coo.row[~in_head], coo.col[~in_head])),
+            shape=csr.shape,
+        ).tocsr()
+        rest = rest_t = None
+        if rest_csr.nnz:
+            if hot_cache:
+                rest = CachedBell.from_scipy(rest_csr)
+            if rest is None:
+                rest = BucketedEll.from_scipy(rest_csr)
+                rest_t = BucketedEll.from_scipy(rest_csr.T.tocsr())
+        return SlabbedBell(
+            cols=jnp.asarray(cols.astype(np.int32)),
+            slab=jnp.asarray(slab).astype(slab_dtype),
+            rest=rest,
+            rest_t=rest_t,
+            n_cols=n_cols,
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class AttentionEll:
     """Edge-pattern operand for attention layers (GAT-style extensions).
 

@@ -1,0 +1,145 @@
+"""SlabbedBell input operand tests: the Zipf-head dense MXU slab must be a
+drop-in replacement for the bucketed-ELL gather path — identical results
+(f32 slab), identical dropout mask (entry-position-keyed hash, so bell and
+slab paths drop the same entry set for the same seed), identical gradients.
+Reference semantics: gcnmodel.py :: SparseInputDenseLayer +
+SparseInputDropoutLayer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from graphconvgeo_tpu.models.gcn import GCNConfig, HighwayGCN, sparse_input_layer
+from graphconvgeo_tpu.ops.spmm import spmm_bell, spmm_slabbed
+from graphconvgeo_tpu.sparse.formats import BucketedEll, SlabbedBell, SparseGraph
+
+
+def zipf_csr(rng, n=1536, v=1536, l_avg=20):
+    lens = np.maximum(rng.poisson(l_avg, n), 1)
+    rows = np.repeat(np.arange(n), lens)
+    cols = np.minimum(rng.zipf(1.3, int(lens.sum())) - 1, v - 1)
+    x = sp.coo_matrix(
+        (np.abs(rng.normal(1, 0.2, len(rows))).astype(np.float32), (rows, cols)),
+        shape=(n, v),
+    ).tocsr()
+    x.sum_duplicates()
+    x.sort_indices()
+    return x
+
+
+@pytest.fixture
+def x(rng):
+    return zipf_csr(rng)
+
+
+def _slab(x, **kw):
+    kw.setdefault("slab_cols", 256)
+    kw.setdefault("slab_dtype", jnp.float32)
+    kw.setdefault("hot_cache", False)
+    sb = SlabbedBell.from_scipy(x, **kw)
+    assert sb is not None
+    return sb
+
+
+def test_slabbed_matches_bell_forward(rng, x):
+    sb = _slab(x)
+    g = SparseGraph(csr=x)
+    w0 = jnp.asarray(rng.normal(size=(x.shape[1], 48)).astype(np.float32))
+    want = spmm_bell(g.bell(), g.bell_t(), w0)
+    got = spmm_slabbed(sb, w0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_slabbed_covers_all_entries(rng, x):
+    """Slab + rest must partition the nonzeros exactly (no loss, no dupes)."""
+    sb = _slab(x)
+    n, v = x.shape
+    recon = np.zeros((n, v), np.float64)
+    recon[:, np.asarray(sb.cols)] += np.asarray(sb.slab, np.float64)
+    rest = sb.rest
+    assert isinstance(rest, BucketedEll)
+    for idx, val, rid in zip(rest.indices, rest.values, rest.row_ids):
+        for r in range(idx.shape[0]):
+            for k in range(idx.shape[1]):
+                recon[int(rid[r]), int(idx[r, k])] += float(val[r, k])
+    np.testing.assert_allclose(recon, x.toarray(), rtol=1e-6, atol=1e-6)
+
+
+def test_slabbed_grad_matches_bell(rng, x):
+    sb = _slab(x)
+    g = SparseGraph(csr=x)
+    bell, bell_t = g.bell(), g.bell_t()
+    w0 = jnp.asarray(rng.normal(size=(x.shape[1], 32)).astype(np.float32))
+
+    def loss_bell(w):
+        return jnp.sum(jnp.tanh(spmm_bell(bell, bell_t, w)))
+
+    def loss_slab(w):
+        return jnp.sum(jnp.tanh(spmm_slabbed(sb, w)))
+
+    g_bell = jax.grad(loss_bell)(w0)
+    g_slab = jax.grad(loss_slab)(w0)
+    np.testing.assert_allclose(np.asarray(g_slab), np.asarray(g_bell), rtol=1e-4, atol=1e-5)
+
+
+def test_input_layer_dropout_mask_agrees_with_bell(rng, x):
+    """Same seed ⇒ slab and bell paths drop the IDENTICAL entry set (both key
+    the mask by global entry position row·V+col)."""
+    sb = _slab(x)
+    g = SparseGraph(csr=x)
+    params_in = {
+        "w": jnp.asarray(rng.normal(size=(x.shape[1], 24)).astype(np.float32)),
+        "b": jnp.zeros((24,), jnp.float32),
+    }
+    kw = dict(
+        n_rows=x.shape[0], n_cols=x.shape[1], dropout_rate=0.4,
+        activation=jnp.tanh, gather_dtype=None, out_dtype=jnp.float32,
+        train=True, seed=jnp.int32(1234),
+    )
+    h_bell = sparse_input_layer(params_in, {"x": g.bell(), "x_t": g.bell_t()}, **kw)
+    h_slab = sparse_input_layer(params_in, {"x": sb, "x_t": None}, **kw)
+    np.testing.assert_allclose(np.asarray(h_slab), np.asarray(h_bell), rtol=2e-4, atol=2e-5)
+
+
+def test_from_scipy_gates():
+    rng = np.random.default_rng(3)
+    # too small → None (auto falls back to bell)
+    small = zipf_csr(rng, n=200, v=500)
+    assert SlabbedBell.from_scipy(small) is None
+    # flat column frequencies → coverage gate rejects
+    flat = sp.random(2048, 8192, density=0.002, format="csr", dtype=np.float32,
+                     random_state=5)
+    assert SlabbedBell.from_scipy(flat, slab_cols=256, min_coverage=0.5) is None
+    # byte budget caps the slab width to a lane multiple
+    big = zipf_csr(rng, n=2048, v=4096, l_avg=30)
+    sb = SlabbedBell.from_scipy(
+        big, slab_cols=1024, slab_dtype=jnp.float32,
+        byte_budget=2048 * 512 * 4,
+    )
+    assert sb is not None and sb.c_head == 512
+
+
+def test_model_auto_picks_slab_and_matches_bell(rng):
+    x = zipf_csr(rng, n=1280, v=2048, l_avg=25)
+    adj = sp.random(1280, 1280, density=0.004, format="csr", dtype=np.float32,
+                    random_state=7)
+    adj = ((adj + adj.T) > 0).astype(np.float32)
+    from graphconvgeo_tpu.sparse.formats import normalize_adjacency
+
+    a_hat = SparseGraph(csr=normalize_adjacency(adj), symmetric=True)
+    mk = lambda backend: HighwayGCN(
+        GCNConfig(
+            n_features=2048, n_classes=5, hidden=(32, 32), dropout=0.0,
+            input_backend=backend, slab_cols=256, slab_dtype="float32",
+        ),
+        SparseGraph(csr=x), a_hat,
+    )
+    m_slab, m_bell = mk("auto"), mk("bell")
+    assert isinstance(m_slab.arrays["x"], SlabbedBell)
+    assert isinstance(m_bell.arrays["x"], BucketedEll)
+    params = m_slab.init(jax.random.key(0))
+    out_s = m_slab.apply(params, train=False)
+    out_b = m_bell.apply(params, train=False)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_b), rtol=2e-4, atol=2e-5)
