@@ -1,0 +1,68 @@
+"""End-to-end full-graph train step at US scale: slab vs bell input.
+
+The input embedding-bag is ~70% of a full-graph step (PERF.md), so the
+SlabbedBell input should compress the WHOLE step materially, not just the
+input layer. One variant per process (operands approach the HBM limit):
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/exp_e2e_slab.py \
+        {bell|slab} [N] [V]
+"""
+
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from graphconvgeo_tpu.data.synthetic import random_mention_projection_graph
+from graphconvgeo_tpu.models.gcn import GCNConfig, HighwayGCN
+from graphconvgeo_tpu.sparse.formats import SparseGraph, normalize_adjacency
+from graphconvgeo_tpu.sparse.reorder import best_reordering
+from graphconvgeo_tpu.utils.timing import device_seconds_per_iter
+from benchmarks.exp_input_hybrid import zipf_bow
+
+VARIANT = sys.argv[1] if len(sys.argv) > 1 else "slab"
+N = int(sys.argv[2]) if len(sys.argv) > 2 else 262_144
+V = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000
+CLASSES = 256
+
+x = zipf_bow(N, V, 110)
+adj = random_mention_projection_graph(N, 1024, seed=7)
+a_hat = normalize_adjacency(adj)
+ro = best_reordering(a_hat, seed=0)
+a_hat = ro.permute_graph(a_hat)
+x = x[ro.perm].tocsr()
+print(f"N={N} V={V} x nnz={x.nnz} adj nnz={a_hat.nnz}", flush=True)
+
+cfg = GCNConfig(
+    n_features=V, n_classes=CLASSES, hidden=(600, 600), highway=True,
+    dropout=0.5, input_backend=VARIANT if VARIANT != "bell" else "bell",
+    gather_dtype="bfloat16",
+)
+model = HighwayGCN(cfg, SparseGraph(csr=x), SparseGraph(csr=a_hat, symmetric=True))
+print("input operand:", type(model.arrays["x"]).__name__, flush=True)
+params = model.init(jax.random.key(0))
+y = jnp.asarray(np.random.default_rng(0).integers(0, CLASSES, N).astype(np.int32))
+mask = jnp.asarray((np.random.default_rng(1).random(N) < 0.6).astype(np.float32))
+opt = optax.adam(2e-3)
+opt_state = opt.init(params)
+
+
+def step(carry, arrays, y, mask):
+    # integer step counter instead of a PRNG key in the carry (the timing
+    # harness sums the carry leaves, and key<fry> doesn't cast)
+    params, opt_state, i = carry
+    sub = jax.random.fold_in(jax.random.key(1), i)
+    loss, grads = jax.value_and_grad(
+        lambda p: model.loss(p, y, mask, arrays, rng=sub, train=True)
+    )(params)
+    updates, opt_state = opt.update(grads, opt_state, params)
+    return (optax.apply_updates(params, updates), opt_state, i + 1)
+
+
+dt = device_seconds_per_iter(
+    step, (params, opt_state, jnp.int32(0)), model.arrays, y, mask,
+    iters_lo=2, iters_hi=6, trials=2,
+)
+print(f"{VARIANT}: full train step {dt*1e3:.1f} ms", flush=True)

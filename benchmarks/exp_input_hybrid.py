@@ -91,75 +91,76 @@ def time_fwd_bwd(name, apply_fn, w0, *ops):
     return t_f, t_t
 
 
-x = zipf_bow(N, V, L)
-NNZ = x.nnz
-df = np.diff(sp.csc_matrix(x).indptr)
-csum = np.cumsum(-np.sort(-df)) / NNZ
-print(f"N={N} V={V} nnz={NNZ} ({NNZ/N:.0f}/row); col coverage: "
-      f"top1k={csum[min(999,V-1)]:.2f} top4k={csum[min(4095,V-1)]:.2f} "
-      f"top16k={csum[min(16383,V-1)]:.2f}", flush=True)
+if __name__ == "__main__":  # import-safe: exp_e2e_slab reuses zipf_bow
+    x = zipf_bow(N, V, L)
+    NNZ = x.nnz
+    df = np.diff(sp.csc_matrix(x).indptr)
+    csum = np.cumsum(-np.sort(-df)) / NNZ
+    print(f"N={N} V={V} nnz={NNZ} ({NNZ/N:.0f}/row); col coverage: "
+          f"top1k={csum[min(999,V-1)]:.2f} top4k={csum[min(4095,V-1)]:.2f} "
+          f"top16k={csum[min(16383,V-1)]:.2f}", flush=True)
 
-rng = np.random.default_rng(0)
-w0 = jnp.asarray(rng.normal(0, 0.02, (V, F)).astype(np.float32))
-g = SparseGraph(csr=x)
+    rng = np.random.default_rng(0)
+    w0 = jnp.asarray(rng.normal(0, 0.02, (V, F)).astype(np.float32))
+    g = SparseGraph(csr=x)
 
-# ---- bell ----------------------------------------------------------------
-if VARIANT == "bell":
-    bell, bell_t = g.bell(), g.bell_t()
-    time_fwd_bwd("bell", lambda w, a, b: spmm_operands(a, b, w, n_rows=N), w0, bell, bell_t)
-    time_fwd_bwd(
-        "bell+bf16",
-        lambda w, a, b: spmm_operands(a, b, w, n_rows=N, gather_dtype=jnp.bfloat16),
-        w0, bell, bell_t,
-    )
+    # ---- bell ----------------------------------------------------------------
+    if VARIANT == "bell":
+        bell, bell_t = g.bell(), g.bell_t()
+        time_fwd_bwd("bell", lambda w, a, b: spmm_operands(a, b, w, n_rows=N), w0, bell, bell_t)
+        time_fwd_bwd(
+            "bell+bf16",
+            lambda w, a, b: spmm_operands(a, b, w, n_rows=N, gather_dtype=jnp.bfloat16),
+            w0, bell, bell_t,
+        )
 
-# ---- cached (hot-column) -------------------------------------------------
-if VARIANT == "cached":
-    cb = CachedBell.from_scipy(x)
-    time_fwd_bwd(
-        "cached+bf16",
-        lambda w, a: spmm_operands(a, None, w, n_rows=N, gather_dtype=jnp.bfloat16),
-        w0, cb,
-    )
+    # ---- cached (hot-column) -------------------------------------------------
+    if VARIANT == "cached":
+        cb = CachedBell.from_scipy(x)
+        time_fwd_bwd(
+            "cached+bf16",
+            lambda w, a: spmm_operands(a, None, w, n_rows=N, gather_dtype=jnp.bfloat16),
+            w0, cb,
+        )
 
-# ---- hybrid (BSR tiles + residual) --------------------------------------
-if VARIANT == "hybrid":
-    fmt, fmt_t = device_operands(g, "hybrid")
-    bsr_p = fmt[0]
-    if bsr_p is not None:
-        st = bsr_p.density_stats()
-        print(f"hybrid tiles: {st['n_tiles']} fill {st['tile_fill']:.3f}", flush=True)
-    time_fwd_bwd(
-        "hybrid+bf16",
-        lambda w, a, b: spmm_operands(a, b, w, n_rows=N, gather_dtype=jnp.bfloat16),
-        w0, fmt, fmt_t,
-    )
+    # ---- hybrid (BSR tiles + residual) --------------------------------------
+    if VARIANT == "hybrid":
+        fmt, fmt_t = device_operands(g, "hybrid")
+        bsr_p = fmt[0]
+        if bsr_p is not None:
+            st = bsr_p.density_stats()
+            print(f"hybrid tiles: {st['n_tiles']} fill {st['tile_fill']:.3f}", flush=True)
+        time_fwd_bwd(
+            "hybrid+bf16",
+            lambda w, a, b: spmm_operands(a, b, w, n_rows=N, gather_dtype=jnp.bfloat16),
+            w0, fmt, fmt_t,
+        )
 
-# ---- dense slab over head columns + residual ----------------------------
-for c_head in (1024, 4096, 8192):
-    if VARIANT != f"slab{c_head//1024}k" or c_head >= V:
-        continue
-    head = x[:, :c_head]
-    cov = head.nnz / NNZ
-    slab = jnp.asarray(head.toarray().astype(np.float32)).astype(jnp.bfloat16)
-    rest = sp.csr_matrix(x.copy())
-    rest_coo = rest.tocoo()
-    keep = rest_coo.col >= c_head
-    rest = sp.coo_matrix(
-        (rest_coo.data[keep], (rest_coo.row[keep], rest_coo.col[keep])), shape=x.shape
-    ).tocsr()
-    rg = SparseGraph(csr=rest)
-    r_cb = CachedBell.from_scipy(rest)
-    r_ops = (r_cb, None) if r_cb is not None else (rg.bell(), rg.bell_t())
-    r_name = "cached" if r_cb is not None else "bell"
+    # ---- dense slab over head columns + residual ----------------------------
+    for c_head in (1024, 4096, 8192):
+        if VARIANT != f"slab{c_head//1024}k" or c_head >= V:
+            continue
+        head = x[:, :c_head]
+        cov = head.nnz / NNZ
+        slab = jnp.asarray(head.toarray().astype(np.float32)).astype(jnp.bfloat16)
+        rest = sp.csr_matrix(x.copy())
+        rest_coo = rest.tocoo()
+        keep = rest_coo.col >= c_head
+        rest = sp.coo_matrix(
+            (rest_coo.data[keep], (rest_coo.row[keep], rest_coo.col[keep])), shape=x.shape
+        ).tocsr()
+        rg = SparseGraph(csr=rest)
+        r_cb = CachedBell.from_scipy(rest)
+        r_ops = (r_cb, None) if r_cb is not None else (rg.bell(), rg.bell_t())
+        r_name = "cached" if r_cb is not None else "bell"
 
-    def slab_apply(w, s, ra, rb, c=c_head):
-        out = jnp.dot(s, w[:c].astype(jnp.bfloat16), preferred_element_type=jnp.float32)
-        return out + spmm_operands(ra, rb, w, n_rows=N, gather_dtype=jnp.bfloat16)
+        def slab_apply(w, s, ra, rb, c=c_head):
+            out = jnp.dot(s, w[:c].astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+            return out + spmm_operands(ra, rb, w, n_rows=N, gather_dtype=jnp.bfloat16)
 
-    gb = N * c_head * 2 / 1e9
-    time_fwd_bwd(
-        f"slab{c_head//1024}k+{r_name}",
-        slab_apply, w0, slab, *r_ops,
-    )
-    print(f"   (slab covers {cov:.2f} of nnz, {gb:.2f} GB bf16)", flush=True)
+        gb = N * c_head * 2 / 1e9
+        time_fwd_bwd(
+            f"slab{c_head//1024}k+{r_name}",
+            slab_apply, w0, slab, *r_ops,
+        )
+        print(f"   (slab covers {cov:.2f} of nnz, {gb:.2f} GB bf16)", flush=True)

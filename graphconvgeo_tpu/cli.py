@@ -223,10 +223,14 @@ def _run_dist(args, ds, cfg, tcfg):
     mesh = make_graph_mesh(n_dev)
     mask = np.zeros(ds.n_nodes, dtype=np.float32)
     mask[ds.train_idx] = 1.0
+    # Zipf-head input slab (distributed form — the gate in zipf_head_cols
+    # still decides; 0 disables outright)
+    slab_kw = dict(slab_cols=0 if cfg.input_backend == "bell" else cfg.slab_cols,
+                   slab_byte_budget=cfg.slab_byte_budget)
     if args.model == "gat":
         from graphconvgeo_tpu.parallel.gat_dist import DistGAT
 
-        part = partition_rows(ds.adj, ds.x, ds.y, mask, n_dev)
+        part = partition_rows(ds.adj, ds.x, ds.y, mask, n_dev, **slab_kw)
         att_format = {"bucketed": args.dist_format, "tiled": "tiled"}[args.att_backend]
         model = DistGAT(cfg, part, mesh, att_format=att_format)
     elif args.adjacency == "factorized":
@@ -235,14 +239,14 @@ def _run_dist(args, ds, cfg, tcfg):
             partition_factorized,
         )
 
-        fpart = partition_factorized(ds, n_dev)
+        fpart = partition_factorized(ds, n_dev, **slab_kw)
         model = DistFactorizedGCN(
             cfg, fpart, mesh,
             halo=args.halo, dist_format=args.dist_format, halo_mode=args.halo_mode,
             hub_sharded=args.hub_sharded,
         )
     else:
-        part = partition_rows(ds.adj, ds.x, ds.y, mask, n_dev)
+        part = partition_rows(ds.adj, ds.x, ds.y, mask, n_dev, **slab_kw)
         from graphconvgeo_tpu.parallel.model_dist import DistHighwayGCN
 
         model = DistHighwayGCN(

@@ -96,16 +96,24 @@ class KDTreeDiscretizer:
         return self
 
     def assign(self, lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
-        """Route arbitrary coordinates down the fitted tree to a class id."""
+        """Route arbitrary coordinates down the fitted tree to a class id.
+
+        Level-synchronous and fully vectorized: every point carries its
+        current node id and all non-leaf points advance one level per
+        iteration (≤ tree depth iterations total — a per-point Python walk
+        measured minutes at Twitter-World's 1.4M nodes)."""
         coords = np.stack([np.asarray(lat, np.float64), np.asarray(lon, np.float64)], axis=1)
-        out = np.empty(coords.shape[0], dtype=np.int32)
-        for i, pt in enumerate(coords):
-            node = 0
-            while self._leaf_class[node] < 0:
-                axis = self._split_axis[node]
-                l, r = self._children[node]
-                sv = self._split_val[node]
-                go_left = pt[axis] < sv if self._split_strict[node] else pt[axis] <= sv
-                node = l if go_left else r
-            out[i] = self._leaf_class[node]
-        return out
+        axis = np.asarray(self._split_axis, dtype=np.int64)
+        val = np.asarray(self._split_val, dtype=np.float64)
+        strict = np.asarray(self._split_strict, dtype=bool)
+        leaf = np.asarray(self._leaf_class, dtype=np.int64)
+        children = np.asarray(self._children, dtype=np.int64)  # [nodes, 2]
+        node = np.zeros(coords.shape[0], dtype=np.int64)
+        idx = np.flatnonzero(leaf[node] < 0)
+        while idx.size:
+            nd = node[idx]
+            vals = coords[idx, axis[nd]]
+            go_left = np.where(strict[nd], vals < val[nd], vals <= val[nd])
+            node[idx] = np.where(go_left, children[nd, 0], children[nd, 1])
+            idx = idx[leaf[node[idx]] < 0]
+        return leaf[node].astype(np.int32)

@@ -102,7 +102,13 @@ def bell_dropout(bell, *, rate: float, seed: jax.Array, n_cols_forward: int, tra
 
 
 def slab_dropout(
-    slab: jax.Array, cols: jax.Array, *, rate: float, seed: jax.Array, n_cols: int
+    slab: jax.Array,
+    cols: jax.Array,
+    *,
+    rate: float,
+    seed: jax.Array,
+    n_cols: int,
+    row_offset=0,
 ) -> jax.Array:
     """Entry-position-keyed dropout over a dense head slab (see
     :class:`~graphconvgeo_tpu.sparse.formats.SlabbedBell`).
@@ -111,11 +117,13 @@ def slab_dropout(
     ``i * n_cols + cols[j]`` — the same keying as :func:`bell_dropout`, hence
     a slab-backed input layer drops the IDENTICAL entry set as the bell
     path for the same seed (zero entries are scaled too, which is a no-op).
+    ``row_offset`` shifts the row ids (distributed row blocks of a globally
+    numbered matrix, as in :func:`ell_dropout_values`).
     """
     if rate <= 0.0:
         return slab
     n, c = slab.shape
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, c), 0)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, c), 0) + jnp.int32(row_offset)
     entry_id = row_ids * jnp.int32(n_cols) + cols[None, :].astype(jnp.int32)
     u = entry_uniform(entry_id, seed)
     scale = jnp.asarray(1.0 / (1.0 - rate), slab.dtype)

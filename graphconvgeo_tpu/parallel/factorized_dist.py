@@ -69,7 +69,7 @@ class FactorizedPartition:
 
 
 def partition_factorized(
-    ds: Dataset, n_devices: int, *, row_align: int = 8
+    ds: Dataset, n_devices: int, *, row_align: int = 8, **part_kw
 ) -> FactorizedPartition:
     """Build the distributed factorized plan from a pipeline dataset (needs
     the mention structure — ``Dataset.groups_offsets`` et al.)."""
@@ -81,7 +81,7 @@ def partition_factorized(
     mask[ds.train_idx] = 1.0
     return partition_factorized_raw(
         groups, ds.x, ds.y, mask, n_devices,
-        direct=(ds.direct_src, ds.direct_dst), row_align=row_align,
+        direct=(ds.direct_src, ds.direct_dst), row_align=row_align, **part_kw,
     )
 
 
@@ -94,10 +94,11 @@ def partition_factorized_raw(
     *,
     direct: tuple | None = None,
     row_align: int = 8,
+    **part_kw,
 ) -> FactorizedPartition:
     n = x.shape[0]
     b_scaled, r_csr, diag, g_count = host_factors(groups, n, direct=direct)
-    part = partition_rows(r_csr, x, y, train_mask, n_devices, row_align=row_align)
+    part = partition_rows(r_csr, x, y, train_mask, n_devices, row_align=row_align, **part_kw)
     rpd, n_pad = part.rows_per_device, part.n_pad
     if b_scaled.shape[0] != n_pad:
         b_scaled = sp.vstack(

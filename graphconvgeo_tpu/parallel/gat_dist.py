@@ -80,6 +80,13 @@ class DistGAT(DistHighwayGCN):
             k: jax.device_put(jnp.asarray(getattr(part, k)), shard3)
             for k in ("x_idx", "x_val", "xt_idx", "xt_val")
         }
+        if part.slab is not None:  # Zipf-head input slab (shared input layer)
+            self.data["x_slab"] = jax.device_put(
+                jnp.asarray(part.slab).astype(jnp.dtype(cfg.slab_dtype)), shard3
+            )
+            self.data["x_cols"] = jax.device_put(
+                jnp.asarray(part.slab_col_ids), NamedSharding(mesh, P())
+            )
         # full pattern in the local blocks (no BSR stripping): attention
         # needs every edge slot, dense tiles included
         self.halo = build_halo(part, local_backend="bell")

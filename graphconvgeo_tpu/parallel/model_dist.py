@@ -34,7 +34,7 @@ except ImportError:  # pragma: no cover
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from graphconvgeo_tpu.models.gcn import GCNConfig, _ACTIVATIONS, init_gcn_params, l2_penalty
-from graphconvgeo_tpu.ops.dropout import dropout, ell_dropout_values
+from graphconvgeo_tpu.ops.dropout import dropout, ell_dropout_values, slab_dropout
 from graphconvgeo_tpu.parallel.mesh import GRAPH_AXIS
 from graphconvgeo_tpu.parallel.partition import RowPartition, build_halo
 from graphconvgeo_tpu.parallel.spmm_dist import (
@@ -100,6 +100,15 @@ class DistHighwayGCN:
             k: jax.device_put(jnp.asarray(getattr(part, k)), shard3)
             for k in ("x_idx", "x_val", "xt_idx", "xt_val")
         }
+        if part.slab is not None:
+            # Zipf-head input slab (sparse.formats.SlabbedBell, distributed
+            # form): dense [D, rpd, C] row blocks on the MXU; cols replicated
+            self.data["x_slab"] = jax.device_put(
+                jnp.asarray(part.slab).astype(jnp.dtype(cfg.slab_dtype)), shard3
+            )
+            self.data["x_cols"] = jax.device_put(
+                jnp.asarray(part.slab_col_ids), NamedSharding(mesh, P())
+            )
         self.halo = None
         use_halo = halo in ("on", "auto")
         if halo_mode not in ("alltoall", "ring"):
@@ -155,14 +164,15 @@ class DistHighwayGCN:
         cfg = self.cfg
         v = self.part.n_features
         rpd = self.part.rows_per_device
+        has_slab = "x_slab" in data
 
-        def body(w0, xi, xv, xti, xtv, seed):
+        def body(w0, xi, xv, xti, xtv, seed, *slab_args):
             xi, xv, xti, xtv = xi[0], xv[0], xti[0], xtv[0]
+            row0 = jax.lax.axis_index(GRAPH_AXIS).astype(jnp.int32) * rpd
             if train and cfg.dropout > 0.0:
                 # local block of the global X: the user-row dimension is
                 # offset by this device's first row; the mask hash must use
                 # global entry ids so it matches the transpose layout
-                row0 = jax.lax.axis_index(GRAPH_AXIS).astype(jnp.int32) * rpd
                 xv = ell_dropout_values(
                     xi, xv, rate=cfg.dropout, seed=seed, n_cols=v,
                     transposed=False, row_offset=row0,
@@ -171,15 +181,35 @@ class DistHighwayGCN:
                     xti, xtv, rate=cfg.dropout, seed=seed, n_cols=v,
                     transposed=True, row_offset=row0,
                 )
-            return local_input_spmm(w0, xi, xv, xti, xtv)
+            out = local_input_spmm(w0, xi, xv, xti, xtv)
+            if slab_args:
+                # dense head-slab term: local MXU matmul, f32 accumulation;
+                # shard_map's transpose psums the replicated-w0 cotangent
+                # (the scatter into the C slab rows) across devices
+                slab, cols = slab_args[0][0], slab_args[1]
+                if train and cfg.dropout > 0.0:
+                    slab = slab_dropout(
+                        slab, cols, rate=cfg.dropout, seed=seed, n_cols=v,
+                        row_offset=row0,
+                    )
+                w_head = jnp.take(w0, cols, axis=0).astype(slab.dtype)
+                out = out + jnp.dot(
+                    slab, w_head, preferred_element_type=jnp.float32
+                ).astype(out.dtype)
+            return out
 
+        specs = [P(), P(GRAPH_AXIS, None, None), P(GRAPH_AXIS, None, None),
+                 P(GRAPH_AXIS, None, None), P(GRAPH_AXIS, None, None), P()]
+        args = [w0, data["x_idx"], data["x_val"], data["xt_idx"], data["xt_val"], seed]
+        if has_slab:
+            specs += [P(GRAPH_AXIS, None, None), P()]
+            args += [data["x_slab"], data["x_cols"]]
         return shard_map(
             body,
             mesh=self.mesh,
-            in_specs=(P(), P(GRAPH_AXIS, None, None), P(GRAPH_AXIS, None, None),
-                      P(GRAPH_AXIS, None, None), P(GRAPH_AXIS, None, None), P()),
+            in_specs=tuple(specs),
             out_specs=P(GRAPH_AXIS, None),
-        )(w0, data["x_idx"], data["x_val"], data["xt_idx"], data["xt_val"], seed)
+        )(*args)
 
     def _conv(self, hw, data):
         if self.halo is not None:

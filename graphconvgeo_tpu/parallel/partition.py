@@ -180,6 +180,12 @@ class RowPartition:
     xt_val: np.ndarray
     y: np.ndarray  # [n_pad] labels (pad = 0)
     mask: np.ndarray  # [n_pad] train mask (pad = 0)
+    # Optional Zipf-head input slab (see sparse.formats.SlabbedBell): the
+    # dense [D, rpd, C] row-blocks of the head columns; the x_* ELL blocks
+    # then hold only the REST entries. None when slab_cols=0 or the gate
+    # (zipf_head_cols) rejects the matrix.
+    slab: Optional[np.ndarray] = None
+    slab_col_ids: Optional[np.ndarray] = None  # [C] int32 global column ids
     _a_ops: dict = dataclasses.field(default_factory=dict, repr=False)
 
     def a_operands(self, fmt: str = "bell") -> tuple:
@@ -215,11 +221,29 @@ def partition_rows(
     n_devices: int,
     *,
     row_align: int = 8,
+    slab_cols: int = 0,
+    slab_byte_budget: int = 2 << 30,
 ) -> RowPartition:
+    """``slab_cols > 0`` splits the Zipf-head columns of X into a dense
+    per-device slab (the distributed form of SlabbedBell — the byte budget
+    applies per device, so the distributed slab can afford MORE columns than
+    one chip); the ELL x blocks then carry only the rest entries."""
     n = adj.shape[0]
     v = x.shape[1]
     rpd = _round_up(-(-n // n_devices), row_align)
     n_pad = rpd * n_devices
+
+    slab_ids = None
+    if slab_cols:
+        from graphconvgeo_tpu.sparse.formats import zipf_head_cols
+
+        slab_ids = zipf_head_cols(
+            sp.csr_matrix(x),
+            slab_cols=slab_cols,
+            itemsize=2,
+            byte_budget=slab_byte_budget,
+            budget_rows=rpd,
+        )
 
     def pad_rows(m: sp.csr_matrix, rows: int) -> sp.csr_matrix:
         if m.shape[0] == rows:
@@ -232,6 +256,24 @@ def partition_rows(
     x_p = pad_rows(x, n_pad)
 
     a_blocks = [adj_p[d * rpd : (d + 1) * rpd].tocsr() for d in range(n_devices)]
+
+    slab = None
+    if slab_ids is not None:
+        c = len(slab_ids)
+        head_mask = np.zeros(v, dtype=bool)
+        head_mask[slab_ids] = True
+        coo = x_p.tocoo()
+        in_head = head_mask[coo.col]
+        compact = np.zeros(v, dtype=np.int64)
+        compact[slab_ids] = np.arange(c)
+        slab = np.zeros((n_devices, rpd, c), dtype=np.float32)
+        slab[
+            coo.row[in_head] // rpd, coo.row[in_head] % rpd, compact[coo.col[in_head]]
+        ] = coo.data[in_head]
+        x_p = sp.coo_matrix(
+            (coo.data[~in_head], (coo.row[~in_head], coo.col[~in_head])), shape=x_p.shape
+        ).tocsr()
+
     x_blocks = [x_p[d * rpd : (d + 1) * rpd] for d in range(n_devices)]
     xt_blocks = [b.T.tocsr() for b in x_blocks]  # [v, rpd] each
 
@@ -255,6 +297,8 @@ def partition_rows(
         xt_val=xt_val,
         y=y_p,
         mask=m_p,
+        slab=slab,
+        slab_col_ids=slab_ids,
     )
 
 

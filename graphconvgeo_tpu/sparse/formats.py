@@ -524,6 +524,36 @@ class CachedBell:
         )
 
 
+def zipf_head_cols(
+    csr: sp.csr_matrix,
+    *,
+    slab_cols: int = 4096,
+    itemsize: int = 2,
+    byte_budget: int = 2 << 30,
+    min_coverage: float = 0.15,
+    budget_rows: Optional[int] = None,
+) -> Optional[np.ndarray]:
+    """The top-nnz column ids worth densifying into a head slab, or None
+    when the matrix is too small / head-light (the :class:`SlabbedBell`
+    auto gate; shared with the row-partitioned distributed input, where
+    ``budget_rows`` is the per-device row count so the byte budget applies
+    to each device's slab block, not the global matrix)."""
+    n_rows, n_cols = csr.shape
+    if csr.nnz == 0 or n_cols < 1024 or n_rows < 1024:
+        return None
+    rows_for_budget = budget_rows if budget_rows is not None else n_rows
+    c = min(slab_cols, n_cols, max(byte_budget // max(rows_for_budget * itemsize, 1), 0))
+    c = int(c) & ~127  # lane-align the slab width
+    if c < 128:
+        return None
+    freq = np.bincount(csr.indices, minlength=n_cols)
+    order = np.argsort(-freq, kind="stable")
+    cols = np.sort(order[:c])
+    if freq[cols].sum() < min_coverage * csr.nnz:
+        return None
+    return cols.astype(np.int32)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SlabbedBell:
@@ -588,18 +618,16 @@ class SlabbedBell:
         reordering needed — ``cols`` carries the global ids)."""
         csr = sp.csr_matrix(csr)
         n_rows, n_cols = csr.shape
-        if csr.nnz == 0 or n_cols < 1024 or n_rows < 1024:
+        cols = zipf_head_cols(
+            csr,
+            slab_cols=slab_cols,
+            itemsize=jnp.dtype(slab_dtype).itemsize,
+            byte_budget=byte_budget,
+            min_coverage=min_coverage,
+        )
+        if cols is None:
             return None
-        itemsize = jnp.dtype(slab_dtype).itemsize
-        c = min(slab_cols, n_cols, max(byte_budget // max(n_rows * itemsize, 1), 0))
-        c = int(c) & ~127  # lane-align the slab width
-        if c < 128:
-            return None
-        freq = np.bincount(csr.indices, minlength=n_cols)
-        order = np.argsort(-freq, kind="stable")
-        cols = np.sort(order[:c])
-        if freq[cols].sum() < min_coverage * csr.nnz:
-            return None
+        c = len(cols)
         head_mask = np.zeros(n_cols, dtype=bool)
         head_mask[cols] = True
         coo = csr.tocoo()

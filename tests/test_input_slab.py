@@ -121,6 +121,52 @@ def test_from_scipy_gates():
     assert sb is not None and sb.c_head == 512
 
 
+def test_dist_slab_matches_single_chip(rng):
+    """Distributed Zipf-head slab (partition_rows(slab_cols=...) + the
+    shard_map input layer's dense term) must reproduce the single-chip
+    slab model's logits and gradients, including the psum'd dW0 scatter."""
+    from graphconvgeo_tpu.parallel.mesh import make_graph_mesh
+    from graphconvgeo_tpu.parallel.model_dist import DistHighwayGCN
+    from graphconvgeo_tpu.parallel.partition import partition_rows
+    from graphconvgeo_tpu.sparse.formats import normalize_adjacency
+
+    assert jax.device_count() >= 8
+    mesh = make_graph_mesh(8)
+    n, v = 1536, 1536
+    x = zipf_csr(rng, n=n, v=v)
+    adj = sp.random(n, n, density=0.004, format="csr", dtype=np.float32, random_state=2)
+    adj = ((adj + adj.T) > 0).astype(np.float32)
+    a_hat = normalize_adjacency(adj)
+    y = rng.integers(0, 5, n).astype(np.int32)
+    mask = (rng.random(n) < 0.6).astype(np.float32)
+    cfg = GCNConfig(
+        n_features=v, n_classes=5, hidden=(24, 24), highway=True, dropout=0.4,
+        input_backend="slab", slab_cols=256, slab_dtype="float32",
+    )
+    single = HighwayGCN(cfg, SparseGraph(csr=x), SparseGraph(csr=a_hat, symmetric=True))
+    assert isinstance(single.arrays["x"], SlabbedBell)
+    params = single.init(jax.random.key(0))
+    loss_s, grads_s = jax.value_and_grad(
+        lambda p: single.loss(p, jnp.asarray(y), jnp.asarray(mask), train=False)
+    )(params)
+
+    part = partition_rows(a_hat, x, y, mask, 8, slab_cols=256)
+    assert part.slab is not None and part.slab.shape[2] == 256
+    dist = DistHighwayGCN(cfg, part, mesh)
+    dparams = jax.device_put(
+        params, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    )
+    logits_d = np.asarray(jax.jit(lambda p: dist.apply(p, train=False))(dparams))
+    logits_1 = np.asarray(single.apply(params, train=False))
+    np.testing.assert_allclose(logits_d[:n], logits_1, rtol=2e-4, atol=2e-5)
+    loss_d, grads_d = jax.jit(
+        jax.value_and_grad(lambda p: dist.loss(p, train=False))
+    )(dparams)
+    np.testing.assert_allclose(float(loss_d), float(loss_s), rtol=1e-5)
+    for gs, gd in zip(jax.tree.leaves(grads_s), jax.tree.leaves(grads_d)):
+        np.testing.assert_allclose(np.asarray(gd), np.asarray(gs), rtol=5e-4, atol=1e-5)
+
+
 def test_model_auto_picks_slab_and_matches_bell(rng):
     x = zipf_csr(rng, n=1280, v=2048, l_avg=25)
     adj = sp.random(1280, 1280, density=0.004, format="csr", dtype=np.float32,
