@@ -199,12 +199,21 @@ def bench_projection(report: dict) -> None:
     dt = device_seconds_per_iter(step, h, fa, iters_lo=2, iters_hi=12, trials=2)
     rate = edges / dt
     traffic = factorized_traffic(fa, gather_bytes_per_row=FEAT * 2)
+    # Yardstick for the structural win: the strict (all-bytes-at-stream-rate)
+    # light-speed of the MATERIALIZED operator on this same graph — one
+    # bf16 gathered row + ~12 B of adjacency per edge, plus h/out streams.
+    # The factorized op's own strict_fraction *drops* as the operator gets
+    # structurally cheaper (its own light-speed rises), so distance to the
+    # materialized light-speed is the stable cross-round comparison (round-1
+    # materialized hybrid sat at 0.34 of it).
+    mat_secs = (edges * (FEAT * 2 + 12) + 2 * N * FEAT * 4) / (HBM_GBPS * 1e9)
     report["projection"] = {
         "edges": edges,
         "edges_per_sec": round(rate, 0),
         "operator": "factorized incidence (B'B'ᵀ + R' + diag, bf16 gathers)",
         "attainable_fraction": round(rate / (edges / traffic.attainable_secs()), 4),
         "strict_fraction": round(rate / (edges / traffic.strict_secs()), 4),
+        "strict_fraction_vs_materialized": round(rate / (edges / mat_secs), 4),
     }
 
 
