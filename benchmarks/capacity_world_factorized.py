@@ -36,11 +36,13 @@ def main():
     for g, s in enumerate(sizes):
         groups[g] = rng.integers(0, n, int(s))
     direct = (rng.integers(0, n, 200_000), rng.integers(0, n, 200_000))
-    deg = rng.poisson(1, n)  # X only needs the right shape for partitioning
+    # Zipf BoW at a World-plausible density (~30 tokens/user here — enough to
+    # exercise the input-slab byte-budget path without an hour of host work)
+    deg = np.maximum(rng.poisson(30, n), 1)
     xr = np.repeat(np.arange(n), deg)
+    xc = np.minimum(rng.zipf(1.2, len(xr)) - 1, 50_000 - 1)
     x = sp.coo_matrix(
-        (np.ones(len(xr), np.float32), (xr, rng.integers(0, 50_000, len(xr)))),
-        shape=(n, 50_000),
+        (np.ones(len(xr), np.float32), (xr, xc)), shape=(n, 50_000)
     ).tocsr()
     y = rng.integers(0, 930, n).astype(np.int32)
     mask = np.ones(n, np.float32)
@@ -53,10 +55,21 @@ def main():
     )
 
     t0 = time.time()
-    fpart = partition_factorized_raw(groups, x, y, mask, d_n)
+    fpart = partition_factorized_raw(groups, x, y, mask, d_n, slab_cols=4096)
     t_part = time.time() - t0
     print(f"partition_factorized_raw ({d_n} devices): {t_part:.1f}s  "
           f"G={fpart.n_groups}", flush=True)
+    part = fpart.part
+    if part.slab is not None:
+        c = part.slab.shape[2]
+        cov = 1.0 - part.x_val.astype(bool).sum() / max(x.nnz, 1)
+        print(
+            f"input slab: [{d_n}, {part.rows_per_device}, {c}] "
+            f"({part.slab.nbytes/1e9:.2f} GB host f32, "
+            f"{part.slab.nbytes//2/d_n/1e6:.0f} MB bf16 per device; "
+            f"byte budget capped C at {c}; head coverage {cov:.2f})",
+            flush=True,
+        )
 
     t0 = time.time()
     b_pe, bt_pe, gpd = hub_sharded_operands(fpart, "bell")

@@ -48,12 +48,25 @@ class NeighborSampler:
         fanouts: Sequence[int] = (10, 10),
         batch_size: int = 512,
         seed: int = 0,
+        use_native: bool = True,
     ):
         self.adj = adj.tocsr()
         self.fanouts = tuple(fanouts)
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
         self.deg = np.diff(self.adj.indptr)
+        # C++ Floyd sampling — O(fanout²) per row vs the numpy fallback's
+        # [rows, max_degree] argsort (measured 195 → a few ms per batch at
+        # 400k nodes / max degree 2045). Same distributional semantics
+        # (distinct picks, d/fanout rescale), different random stream.
+        self._native = None
+        if use_native:
+            try:
+                from graphconvgeo_tpu.native import sample_neighbors
+
+                self._native = sample_neighbors
+            except Exception:
+                self._native = None
 
     def _caps(self):
         caps = [self.batch_size]
@@ -88,26 +101,34 @@ class NeighborSampler:
             # a random permutation trick (argsort of uniforms restricted to
             # each row's valid range) and rescale by d/fanout.
             u = nodes[l]
-            deg = self.deg[u] * (node_mask[l] > 0)
-            starts = self.adj.indptr[u]
-            # random distinct offsets: rank of uniforms over [0, d) per row.
-            # width ≥ fanout so the [:, :fanout] slice below always broadcasts
-            # against sel_mask even when every degree is below the fanout.
-            width = max(int(deg.max()) if deg.size and deg.max() else 1, fanout)
-            r = self.rng.random((cap_l, width))
-            # mask invalid positions with +inf so argsort puts them last
-            valid = np.arange(r.shape[1])[None, :] < deg[:, None]
-            r = np.where(valid, r, np.inf)
-            order = np.argsort(r, axis=1)[:, :fanout]  # distinct offsets per row
-            take = np.minimum(deg, fanout)  # how many are real per row
             slot_ar = np.arange(fanout)[None, :]
-            sel_mask = slot_ar < take[:, None]
-            offs = np.where(sel_mask, order, 0)
-            eidx = starts[:, None] + offs
-            nbrs = self.adj.indices[eidx]
-            vals = self.adj.data[eidx].astype(np.float32)
-            scale = np.where(deg > fanout, deg / fanout, 1.0).astype(np.float32)
-            vals = vals * scale[:, None] * sel_mask
+            if self._native is not None:
+                seed_l = int(self.rng.integers(0, 2**63 - 1))
+                nbrs, vals, sel_mask, take = self._native(
+                    self.adj.indptr, self.adj.indices, self.adj.data,
+                    u, node_mask[l], fanout, seed_l,
+                )
+            else:
+                deg = self.deg[u] * (node_mask[l] > 0)
+                starts = self.adj.indptr[u]
+                # random distinct offsets: rank of uniforms over [0, d) per
+                # row. width ≥ fanout so the [:, :fanout] slice below always
+                # broadcasts against sel_mask even when every degree is below
+                # the fanout.
+                width = max(int(deg.max()) if deg.size and deg.max() else 1, fanout)
+                r = self.rng.random((cap_l, width))
+                # mask invalid positions with +inf so argsort puts them last
+                valid = np.arange(r.shape[1])[None, :] < deg[:, None]
+                r = np.where(valid, r, np.inf)
+                order = np.argsort(r, axis=1)[:, :fanout]  # distinct offsets per row
+                take = np.minimum(deg, fanout)  # how many are real per row
+                sel_mask = slot_ar < take[:, None]
+                offs = np.where(sel_mask, order, 0)
+                eidx = starts[:, None] + offs
+                nbrs = self.adj.indices[eidx]
+                vals = self.adj.data[eidx].astype(np.float32)
+                scale = np.where(deg > fanout, deg / fanout, 1.0).astype(np.float32)
+                vals = vals * scale[:, None] * sel_mask
             base = cap_l + np.arange(cap_l)[:, None] * fanout + slot_ar
             nxt[base[sel_mask]] = nbrs[sel_mask]
             nmask[base[sel_mask]] = 1.0

@@ -32,3 +32,91 @@ def test_native_projection_speed():
     native_t = time.time() - t0
     assert len(src) > 100000
     assert native_t < 2.0  # C++ does ~millions of pairs in well under a second
+
+
+def test_native_sampler_structure_and_unbiasedness():
+    """sampler.cpp: picks are distinct in-row neighbors, rescaled d/fanout,
+    contiguous slots; masked rows yield nothing; the mean over many seeds
+    approaches the true row sum (unbiasedness)."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    pytest.importorskip("graphconvgeo_tpu.native")
+    from graphconvgeo_tpu.native import sample_neighbors
+
+    rng = np.random.default_rng(0)
+    n = 300
+    deg = rng.integers(0, 40, n)
+    rows = np.repeat(np.arange(n), deg)
+    cols = rng.integers(0, n, len(rows))
+    a = sp.coo_matrix(
+        (rng.random(len(rows)).astype(np.float32) + 0.1, (rows, cols)), shape=(n, n)
+    ).tocsr()
+    a.sum_duplicates()
+    deg = np.diff(a.indptr)
+    nodes = np.arange(n, dtype=np.int64)
+    mask = np.ones(n, np.float32)
+    mask[5] = 0.0
+    fanout = 6
+    nbrs, vals, sel, take = sample_neighbors(
+        a.indptr, a.indices, a.data, nodes, mask, fanout, 1234
+    )
+    assert take[5] == 0 and not sel[5].any()
+    np.testing.assert_array_equal(
+        np.where(mask > 0, np.minimum(deg, fanout), 0), take
+    )
+    # contiguous slots, distinct picks, picks are real neighbors
+    for i in range(n):
+        t = take[i]
+        assert sel[i, :t].all() and not sel[i, t:].any()
+        if t == 0:
+            continue
+        row_nbrs = a.indices[a.indptr[i]: a.indptr[i + 1]]
+        assert len(set(nbrs[i, :t])) == t
+        assert set(nbrs[i, :t]) <= set(row_nbrs.tolist())
+        scale = deg[i] / fanout if deg[i] > fanout else 1.0
+        # each val = a[i, j] * scale
+        dense_row = np.asarray(a[i].todense()).ravel()
+        np.testing.assert_allclose(
+            vals[i, :t], dense_row[nbrs[i, :t]] * scale, rtol=1e-6
+        )
+    # unbiasedness of the row-sum estimator
+    full = np.asarray(a.sum(axis=1)).ravel()
+    acc = np.zeros(n)
+    trials = 400
+    for s in range(trials):
+        _, v, _, _ = sample_neighbors(
+            a.indptr, a.indices, a.data, nodes, np.ones(n, np.float32), fanout, s
+        )
+        acc += v.sum(axis=1)
+    est = acc / trials
+    big = deg >= fanout
+    np.testing.assert_allclose(est[big], full[big], rtol=0.12, atol=0.05)
+
+
+def test_sampler_native_and_numpy_agree_at_full_fanout():
+    """With fanout >= max degree both paths keep every edge unscaled, so the
+    emitted batches must be identical up to slot order."""
+    import numpy as np
+
+    from graphconvgeo_tpu.data.sampling import NeighborSampler
+    from tests.conftest import random_csr
+    from graphconvgeo_tpu.sparse.formats import normalize_adjacency
+
+    rng = np.random.default_rng(3)
+    adj = random_csr(rng, 50, 50, 3, symmetric=True)
+    adj.data = np.abs(adj.data)
+    a = normalize_adjacency(adj)
+    f = int(np.diff(a.indptr).max())
+    targets = np.arange(12)
+    outs = []
+    for nat in (True, False):
+        s = NeighborSampler(a, fanouts=(f,), batch_size=12, seed=0, use_native=nat)
+        if nat and s._native is None:
+            pytest.skip("native toolchain unavailable")
+        b = s.sample(targets)
+        # aggregate per dst slot — slot order within a row may differ
+        agg = np.zeros((b.nodes[1].shape[0],))
+        np.add.at(agg, b.edge_dst[0], b.edge_val[0])
+        outs.append(agg)
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6)
