@@ -115,6 +115,10 @@ def parse_args(argv=None):
     p.add_argument("--label-fraction", type=float, default=1.0)
     p.add_argument("--tune", type=int, default=0, metavar="N", help="random search over N configs")
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--eval-only", action="store_true",
+                   help="skip training: restore the latest checkpoint from "
+                        "--checkpoint-dir and report dev/test geo metrics "
+                        "(model flags must match the checkpointed shapes)")
     p.add_argument("--profile-dir", default=None,
                    help="capture an xprof trace of a few post-warmup epochs "
                         "to this directory (view with tensorboard; layers "
@@ -288,6 +292,20 @@ def _run_sampled(args, ds, cfg, tcfg):
     return trainer, out
 
 
+def _restore_params(args, model):
+    import jax
+
+    from graphconvgeo_tpu.train.checkpoint import latest_checkpoint, restore_checkpoint
+
+    if not args.checkpoint_dir:
+        raise SystemExit("--eval-only requires --checkpoint-dir")
+    path = latest_checkpoint(args.checkpoint_dir)
+    if path is None:
+        raise SystemExit(f"no checkpoint found under {args.checkpoint_dir}")
+    template = {"params": jax.tree.map(np.asarray, model.init(jax.random.key(0)))}
+    return restore_checkpoint(path, template)["params"]
+
+
 def run_one(args, ds, *, dropout=None, l2=None, hidden=None, lr=None, quiet=None):
     from graphconvgeo_tpu.models.gat import GraphAttentionNet
     from graphconvgeo_tpu.models.gcn import HighwayGCN
@@ -319,6 +337,17 @@ def run_one(args, ds, *, dropout=None, l2=None, hidden=None, lr=None, quiet=None
             else HighwayGCN(cfg, x_graph, adj_graph)
         )
         trainer = Trainer(model, tcfg)
+        if args.eval_only:
+            # inference mode: restore params, no training (the reference has
+            # no analog — gcnmain.py always retrains; this serves the
+            # trained-model artifact)
+            out = {"params": _restore_params(args, model), "best_epoch": -1}
+            ev = lambda idx: trainer.evaluate(
+                out["params"], idx, lat=ds.lat, lon=ds.lon,
+                class_lat_median=ds.class_lat_median,
+                class_lon_median=ds.class_lon_median,
+            )
+            return out, ev(ds.dev_idx), ev(ds.test_idx)
         out = trainer.fit(
             ds.y, ds.train_idx, ds.dev_idx,
             lat=ds.lat, lon=ds.lon,

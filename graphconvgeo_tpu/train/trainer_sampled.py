@@ -61,7 +61,7 @@ class SampledTrainer:
         self.optimizer = optax.adam(cfg.learning_rate)
         mcfg = model.cfg
 
-        def step(params, opt_state, x_ell, x_ell_t, bd, yb, mask, key):
+        def step(params, opt_state, x_ell, bd, yb, mask, key):
             def loss_fn(p):
                 return sampled_loss(p, mcfg, x_ell, bd, yb, mask, rng=key, train=True)
 
@@ -100,8 +100,11 @@ class SampledTrainer:
             params = self.model.init(init_key)
         opt_state = self.optimizer.init(params)
         y_j = jnp.asarray(y)
+        # forward ELL layout only: the sampled input layer gathers X rows and
+        # jnp.take's transpose scatters dW0 — no global X transpose needed
+        # (a plain-ELL transpose at Zipf vocab would pad every token row to
+        # the max document frequency: ~48 GB at 400k users x 50k vocab)
         x_ell = self.model.x.ell()
-        x_ell_t = self.model.x.ell_t()
         sign = 1.0 if cfg.monitor == "acc_at_161" else -1.0
         best_score, best_epoch = -np.inf, 0
         best_params = jax.tree.map(np.asarray, params)
@@ -114,7 +117,7 @@ class SampledTrainer:
                 yb = jnp.take(y_j, jnp.asarray(batch.targets, jnp.int32))
                 rng, k = jax.random.split(rng)
                 params, opt_state, loss = self._step(
-                    params, opt_state, x_ell, x_ell_t, bd, yb,
+                    params, opt_state, x_ell, bd, yb,
                     jnp.asarray(batch.target_mask), k,
                 )
                 losses.append(float(loss))

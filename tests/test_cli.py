@@ -129,3 +129,32 @@ def test_cli_dist_hub_sharded_end_to_end():
         "--hidden", "16", "16",
     ])
     assert 0.0 <= report["test"]["acc_at_161"] <= 1.0
+
+
+def test_cli_eval_only_roundtrip(tmp_path):
+    """Train with --checkpoint-dir, then --eval-only must restore the saved
+    params and reproduce the same dev/test metrics without training."""
+    from graphconvgeo_tpu.cli import main
+
+    common = [
+        "--preset", "synthetic", "--quiet", "--hidden", "32", "32",
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+    ]
+    trained = main(common + ["--epochs", "15", "--patience", "15"])
+    served = main(common + ["--eval-only"])
+    assert served["test"]["acc_at_161"] == trained["test"]["acc_at_161"]
+    assert served["dev"]["median_km"] == trained["dev"]["median_km"]
+
+
+def test_cli_eval_only_requires_checkpoint(tmp_path):
+    import pytest
+
+    from graphconvgeo_tpu.cli import main
+
+    with pytest.raises(SystemExit):
+        main(["--preset", "synthetic", "--quiet", "--eval-only"])
+    with pytest.raises(SystemExit):
+        main([
+            "--preset", "synthetic", "--quiet", "--eval-only",
+            "--checkpoint-dir", str(tmp_path / "empty"),
+        ])
