@@ -57,8 +57,17 @@ def sampled_forward(
         keep = jax.random.bernoulli(seeds[0], 1.0 - cfg.dropout, xv.shape)
         xv = jnp.where(keep, xv / (1.0 - cfg.dropout), 0.0)
     w0 = params["input"]["w"]
+    out_dtype = w0.dtype
+    if cfg.gather_dtype is not None:
+        # the W0 row gathers are the step's dominant cost (deepest layer ×
+        # text length slots); halving the table bytes helps like it does on
+        # the full-graph path — accumulation stays f32
+        w0 = w0.astype(cfg.gather_dtype)
     gathered = jnp.take(w0, xi.reshape(-1), axis=0).reshape(*xi.shape, w0.shape[1])
-    h = jnp.einsum("nk,nkf->nf", xv, gathered)
+    h = jnp.einsum(
+        "nk,nkf->nf", xv.astype(w0.dtype), gathered,
+        preferred_element_type=jnp.float32,
+    ).astype(out_dtype)
     h = act(h + params["input"]["b"])
 
     for l in range(n_layers - 1, -1, -1):
