@@ -28,10 +28,15 @@ PRESETS = {
     # hyperparams mirror the reference README commands / paper §4 [SURVEY §6]
     "geotext": dict(bucket=50, hidden=(300, 300), min_df=10, encoding="latin1",
                     celebrity=5, dropout=0.5, l2=0.0, lr=5e-3),
+    # slab_dtype bf16 on the Twitter presets only: that is the scale where
+    # the bf16 slab's byte halving was measured (PERF.md F20); modest
+    # datasets keep f32 input numerics under input_backend='auto'
     "twitter-us": dict(bucket=2400, hidden=(600, 600), min_df=10, encoding="latin1",
-                       celebrity=15, dropout=0.5, l2=0.0, lr=5e-3),
+                       celebrity=15, dropout=0.5, l2=0.0, lr=5e-3,
+                       slab_dtype="bfloat16"),
     "twitter-world": dict(bucket=2400, hidden=(900, 900), min_df=10, encoding="utf-8",
-                          celebrity=5, dropout=0.5, l2=0.0, lr=5e-3),
+                          celebrity=5, dropout=0.5, l2=0.0, lr=5e-3,
+                          slab_dtype="bfloat16"),
     "synthetic": dict(bucket=30, hidden=(64, 64), min_df=2, encoding="latin1",
                       celebrity=10, dropout=0.3, l2=0.0, lr=5e-3),
 }
@@ -83,6 +88,10 @@ def parse_args(argv=None):
                         "measured 2.7x fwd+bwd at 262k users x 100k vocab)")
     p.add_argument("--slab-cols", type=int, default=4096,
                    help="max dense-slab columns (byte-budget-capped per GCNConfig)")
+    p.add_argument("--slab-dtype", default=None, choices=[None, "bfloat16", "float32"],
+                   help="input-slab storage dtype (default f32; the Twitter "
+                        "presets opt into bfloat16 — the scale where its byte "
+                        "halving was measured)")
     p.add_argument("--input-cache", action="store_true",
                    help="hot-column cache for the BoW input layer (worth it only "
                         "for very large vocabularies; see GCNConfig.input_hot_cache)")
@@ -145,6 +154,10 @@ def parse_args(argv=None):
         )
     if args.dist and args.sampled:
         p.error("--dist and --sampled are mutually exclusive")
+    if args.eval_only and args.tune:
+        p.error("--eval-only and --tune are mutually exclusive")
+    if args.eval_only and not args.checkpoint_dir:
+        p.error("--eval-only requires --checkpoint-dir")
     if args.sampled and args.model == "gat":
         p.error("--sampled supports --model gcn only")
     if args.dist and args.model == "gat" and args.adjacency == "factorized":
@@ -194,6 +207,7 @@ def _model_config(args, ds, *, dropout=None, l2=None, hidden=None):
             input_hot_cache=args.input_cache,
             input_backend=args.input_backend,
             slab_cols=args.slab_cols,
+            slab_dtype=args.slab_dtype or "float32",
             att_backend=args.att_backend,
         )
     return GCNConfig(
@@ -208,6 +222,7 @@ def _model_config(args, ds, *, dropout=None, l2=None, hidden=None):
         input_hot_cache=args.input_cache,
         input_backend=args.input_backend,
         slab_cols=args.slab_cols,
+        slab_dtype=args.slab_dtype or "float32",
     )
 
 
@@ -258,6 +273,12 @@ def _run_dist(args, ds, cfg, tcfg):
             halo=args.halo, dist_format=args.dist_format, halo_mode=args.halo_mode,
         )
     trainer = DistTrainer(model, tcfg)
+    if args.eval_only:
+        # serving mode over the mesh: restore the checkpointed params
+        # (replicated — DistTrainer models keep params replicated) and skip
+        # training entirely (VERDICT r2 #4: this used to silently retrain)
+        return trainer, {"params": trainer._replicate(_restore_params(args, model)),
+                         "best_epoch": -1}
     out = trainer.fit(
         ds.dev_idx,
         lat=ds.lat, lon=ds.lon,
@@ -283,6 +304,10 @@ def _run_sampled(args, ds, cfg, tcfg):
         ds.adj, fanouts=fanouts, batch_size=args.batch, seed=args.seed
     )
     trainer = SampledTrainer(model, sampler, tcfg)
+    if args.eval_only:
+        # the sampled and full-graph models share one parameter pytree, so a
+        # sampled-trained checkpoint restores into full-graph inference
+        return trainer, {"params": _restore_params(args, model), "best_epoch": -1}
     out = trainer.fit(
         ds.y, ds.train_idx, ds.dev_idx,
         lat=ds.lat, lon=ds.lon,
@@ -340,26 +365,23 @@ def run_one(args, ds, *, dropout=None, l2=None, hidden=None, lr=None, quiet=None
         if args.eval_only:
             # inference mode: restore params, no training (the reference has
             # no analog — gcnmain.py always retrains; this serves the
-            # trained-model artifact)
+            # trained-model artifact). --dist/--sampled handle eval-only in
+            # their own builders (they all share the evaluate() contract).
             out = {"params": _restore_params(args, model), "best_epoch": -1}
-            ev = lambda idx: trainer.evaluate(
-                out["params"], idx, lat=ds.lat, lon=ds.lon,
-                class_lat_median=ds.class_lat_median,
-                class_lon_median=ds.class_lon_median,
+        else:
+            out = trainer.fit(
+                ds.y, ds.train_idx, ds.dev_idx,
+                lat=ds.lat, lon=ds.lon,
+                class_lat_median=ds.class_lat_median, class_lon_median=ds.class_lon_median,
+                label_fraction=args.label_fraction,
             )
-            return out, ev(ds.dev_idx), ev(ds.test_idx)
-        out = trainer.fit(
-            ds.y, ds.train_idx, ds.dev_idx,
-            lat=ds.lat, lon=ds.lon,
-            class_lat_median=ds.class_lat_median, class_lon_median=ds.class_lon_median,
-            label_fraction=args.label_fraction,
-        )
     ev = lambda idx: trainer.evaluate(
         out["params"], idx, lat=ds.lat, lon=ds.lon,
         class_lat_median=ds.class_lat_median, class_lon_median=ds.class_lon_median,
     )
     dev, test = ev(ds.dev_idx), ev(ds.test_idx)
-    if args.checkpoint_dir:
+    # never overwrite the serving checkpoint from an eval-only run
+    if args.checkpoint_dir and not args.eval_only:
         from graphconvgeo_tpu.train.checkpoint import save_checkpoint
 
         import jax

@@ -63,7 +63,9 @@ class GATConfig:
     # matrix qualifies (see GCNConfig.input_backend), "bell" = pure gather
     input_backend: str = "auto"
     slab_cols: int = 4096
-    slab_dtype: str = "bfloat16"
+    # f32 default for numerics-parity under 'auto'; bf16 is the explicit
+    # large-scale opt-in (see GCNConfig.slab_dtype)
+    slab_dtype: str = "float32"
     slab_byte_budget: int = 2 << 30
     # 'bucketed' (degree-bucketed gathers — any graph) | 'tiled' (flash-style
     # MXU kernels over pattern tiles + bucketed rest — community-reordered

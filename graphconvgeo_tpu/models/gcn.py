@@ -82,9 +82,12 @@ class GCNConfig:
     input_backend: str = "auto"
     slab_cols: int = 4096
     # slab storage dtype: bf16 halves the dominant stream bytes (values are
-    # l2-normalized tf-idf weights; accumulation is f32 either way); set
-    # "float32" for bit-parity studies
-    slab_dtype: str = "bfloat16"
+    # l2-normalized tf-idf weights; accumulation is f32 either way). The
+    # default is f32 so input_backend='auto' never silently changes input
+    # numerics on modest datasets — bf16 is the explicit opt-in (mirroring
+    # gather_dtype), and the Twitter-US/World CLI presets set it, matching
+    # the 262k×100k scale where its win was measured (PERF.md, F20)
+    slab_dtype: str = "float32"
     slab_byte_budget: int = 2 << 30
 
     def __post_init__(self):
@@ -123,7 +126,7 @@ def build_input_operands(
     *,
     input_backend: str = "auto",
     slab_cols: int = 4096,
-    slab_dtype="bfloat16",
+    slab_dtype="float32",
     slab_byte_budget: int = 2 << 30,
     input_hot_cache: bool = False,
 ) -> dict:

@@ -91,7 +91,8 @@ def sample_neighbors(
     Returns (nbrs [n, fanout] int32, vals [n, fanout] f32 rescaled by
     d/fanout where d > fanout, sel_mask [n, fanout] bool with the first
     take[i] slots set, take [n] int32). The random stream is the library's
-    own (seeded per (seed, node)) — NOT numpy's; distributional semantics
+    own (seeded per (seed, node, frontier-row) — duplicate frontier entries
+    sample independently, like the numpy path) — NOT numpy's; distributional semantics
     match the python fallback exactly (distinct picks, d/fanout rescale)."""
     dll = _load_lib("sampler")
     dll.sample_neighbors.argtypes = [

@@ -71,8 +71,13 @@ extern "C" int64_t sample_neighbors(
       total += d;
       continue;
     }
-    // Floyd: distinct sample of `fanout` offsets from [0, d)
-    Rng rng{mix64(seed ^ (uint64_t)(u + 1) * 0xD6E8FEB86659FD93ULL)};
+    // Floyd: distinct sample of `fanout` offsets from [0, d).
+    // Seed mixes BOTH the node id and the frontier row index: hubs repeat
+    // within a layer's frontier on power-law graphs, and seeding by node id
+    // alone would give every duplicate the same picks — correlated sibling
+    // subtree estimates (still unbiased, but higher estimator variance).
+    Rng rng{mix64(seed ^ (uint64_t)(u + 1) * 0xD6E8FEB86659FD93ULL ^
+                  mix64((uint64_t)i + 0x853C49E6748FEA9BULL))};
     int32_t m = 0;
     for (int64_t j = d - fanout; j < d; ++j) {
       int64_t t = (int64_t)rng.below((uint64_t)(j + 1));

@@ -35,7 +35,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from graphconvgeo_tpu.models.gat import GATConfig, _ACTIVATIONS, init_gat_params
 from graphconvgeo_tpu.ops.attention import gat_attention
 from graphconvgeo_tpu.ops.dropout import dropout
-from graphconvgeo_tpu.parallel.mesh import GRAPH_AXIS
+from graphconvgeo_tpu.parallel.mesh import GRAPH_AXIS, put_host_cast
 from graphconvgeo_tpu.parallel.model_dist import DistHighwayGCN, _leaf_spec, _op_specs
 from graphconvgeo_tpu.parallel.partition import (
     RowPartition,
@@ -81,9 +81,7 @@ class DistGAT(DistHighwayGCN):
             for k in ("x_idx", "x_val", "xt_idx", "xt_val")
         }
         if part.slab is not None:  # Zipf-head input slab (shared input layer)
-            self.data["x_slab"] = jax.device_put(
-                jnp.asarray(part.slab).astype(jnp.dtype(cfg.slab_dtype)), shard3
-            )
+            self.data["x_slab"] = put_host_cast(part.slab, cfg.slab_dtype, shard3)
             self.data["x_cols"] = jax.device_put(
                 jnp.asarray(part.slab_col_ids), NamedSharding(mesh, P())
             )

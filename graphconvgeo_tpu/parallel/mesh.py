@@ -26,6 +26,25 @@ def make_graph_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence]
     return Mesh(np.asarray(devices), (GRAPH_AXIS,))
 
 
+def put_host_cast(arr, dtype, sharding):
+    """device_put a HOST array under ``sharding``, casting on host first.
+
+    ``jnp.asarray(arr).astype(dtype)`` would commit the FULL array to the
+    default device at its source dtype before the sharded put — at the input
+    slab's target scale (2 GiB bf16 *per device*) that is 4×D GiB of f32 on
+    one chip, an OOM at exactly the scale the sharded slab exists for.
+    ``jax.device_put`` of a numpy array shards host→device per-shard without
+    single-device staging, and the host cast (ml_dtypes handles bf16 in
+    numpy) keeps the transfer itself at target-dtype bytes."""
+    import jax.numpy as jnp
+
+    target = jnp.dtype(dtype)
+    a = np.asarray(arr)
+    if a.dtype != target:
+        a = a.astype(target)
+    return jax.device_put(a, sharding)
+
+
 def maybe_initialize_distributed() -> None:
     """Multi-host init (no-op single-process). Call before device queries in
     multi-host launches; JAX's runtime is the communication backend — there

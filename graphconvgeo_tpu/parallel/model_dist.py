@@ -35,7 +35,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from graphconvgeo_tpu.models.gcn import GCNConfig, _ACTIVATIONS, init_gcn_params, l2_penalty
 from graphconvgeo_tpu.ops.dropout import dropout, ell_dropout_values, slab_dropout
-from graphconvgeo_tpu.parallel.mesh import GRAPH_AXIS
+from graphconvgeo_tpu.parallel.mesh import GRAPH_AXIS, put_host_cast
 from graphconvgeo_tpu.parallel.partition import RowPartition, build_halo
 from graphconvgeo_tpu.parallel.spmm_dist import (
     device_slice,
@@ -103,9 +103,7 @@ class DistHighwayGCN:
         if part.slab is not None:
             # Zipf-head input slab (sparse.formats.SlabbedBell, distributed
             # form): dense [D, rpd, C] row blocks on the MXU; cols replicated
-            self.data["x_slab"] = jax.device_put(
-                jnp.asarray(part.slab).astype(jnp.dtype(cfg.slab_dtype)), shard3
-            )
+            self.data["x_slab"] = put_host_cast(part.slab, cfg.slab_dtype, shard3)
             self.data["x_cols"] = jax.device_put(
                 jnp.asarray(part.slab_col_ids), NamedSharding(mesh, P())
             )

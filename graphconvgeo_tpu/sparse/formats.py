@@ -93,6 +93,15 @@ def normalize_adjacency(adj: sp.spmatrix, *, add_self_loops: bool = True) -> sp.
     their self-loop (so no division by zero).
     """
     adj = sp.csr_matrix(adj, dtype=np.float64)
+    if adj.nnz and adj.data.min() < 0.0:
+        # D^-1/2 is undefined for negative degrees; silently mapping them to
+        # zero (the old NaN→0 behavior) hides a malformed graph. Mention
+        # graphs are non-negative by construction — anything else is a bug
+        # in the caller.
+        raise ValueError(
+            "normalize_adjacency needs a non-negative adjacency "
+            f"(min weight {adj.data.min()!r})"
+        )
     if add_self_loops:
         adj = adj + sp.identity(adj.shape[0], format="csr", dtype=np.float64)
     deg = np.asarray(adj.sum(axis=1)).ravel()

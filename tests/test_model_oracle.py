@@ -158,6 +158,7 @@ def test_cached_input_layer_matches_oracle_and_grads(rng):
     ).tocsr()
     x.sum_duplicates()
     adj = random_csr(rng, n, n, 3, symmetric=True)
+    adj.data = np.abs(adj.data)
     a_hat = normalize_adjacency(adj)
     cfg = GCNConfig(
         n_features=v, n_classes=5, hidden=(16, 16), highway=True,

@@ -1,0 +1,21 @@
+"""normalize_adjacency must reject negative weights loudly (VERDICT r2 weak
+#6): D^-1/2 is undefined for negative degrees, and the old behavior silently
+mapped the resulting NaN rows to zero."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from graphconvgeo_tpu.sparse.formats import normalize_adjacency
+
+
+def test_negative_weight_adjacency_raises():
+    a = sp.csr_matrix(np.array([[0.0, -1.0], [-1.0, 0.0]], dtype=np.float32))
+    with pytest.raises(ValueError, match="non-negative"):
+        normalize_adjacency(a)
+
+
+def test_nonnegative_adjacency_still_fine():
+    a = sp.csr_matrix(np.array([[0.0, 2.0], [2.0, 0.0]], dtype=np.float32))
+    out = normalize_adjacency(a).toarray()
+    assert np.isfinite(out).all()
