@@ -31,6 +31,11 @@ access pattern.
 Edge rates are MATERIALIZED-edge rates for both workloads (edges of the
 projected graph per second), so the factorized operator's structural win
 shows up as rate, not as a smaller denominator.
+
+Each workload runs 4 timing trials; the reported rate is the MEDIAN and
+``detail`` carries the sorted per-trial ms plus a spread percentage, so a
+cross-round delta can be judged against measured run-to-run variance
+(single runs historically swing ±10%, PERF.md).
 """
 
 from __future__ import annotations
@@ -80,6 +85,18 @@ class Traffic:
         row_bytes = (self.rows_big + self.rows_warm) * self.gather_bytes_per_row
         row_bytes += self.rows_scatter * FEAT * 4  # scatter accumulates in f32
         return (self.stream_bytes + row_bytes) / (HBM_GBPS * 1e9)
+
+
+def _spread(dts) -> dict:
+    """Per-trial variance fields for the graded artifact (VERDICT r2 #6):
+    the reported rate is the MEDIAN trial; spread shows whether a cross-round
+    delta is signal (PERF.md documents single runs at ±10%)."""
+    med = float(np.median(dts))
+    return {
+        "trials": len(dts),
+        "trial_ms": [round(d * 1e3, 3) for d in sorted(dts)],
+        "spread_pct": round(100.0 * (max(dts) - min(dts)) / med, 2),
+    }
 
 
 def _tally_tiles(t: Traffic, tiles, feat: int):
@@ -144,7 +161,7 @@ def bench_sbm(report: dict) -> None:
     from graphconvgeo_tpu.ops.spmm import device_operands, spmm_operands
     from graphconvgeo_tpu.sparse.formats import SparseGraph, normalize_adjacency
     from graphconvgeo_tpu.sparse.reorder import best_reordering
-    from graphconvgeo_tpu.utils.timing import device_seconds_per_iter
+    from graphconvgeo_tpu.utils.timing import device_trial_seconds
 
     adj = random_sbm_graph(N, N_COMM, 16, seed=7)
     perm = np.random.default_rng(1).permutation(N)
@@ -159,7 +176,8 @@ def bench_sbm(report: dict) -> None:
     step = lambda x, a, b: (
         spmm_operands(a, b, x, n_rows=N, gather_dtype=jnp.bfloat16) * 0.25 + 0.01
     )
-    dt = device_seconds_per_iter(step, h, fmt, fmt_t, iters_lo=2, iters_hi=12, trials=2)
+    dts = device_trial_seconds(step, h, fmt, fmt_t, iters_lo=2, iters_hi=12, trials=4)
+    dt = float(np.median(dts))
     rate = g.nnz / dt
     traffic = hybrid_traffic(fmt, N, gather_bytes_per_row=FEAT * 2)  # bf16 gathers
     report["sbm"] = {
@@ -168,6 +186,7 @@ def bench_sbm(report: dict) -> None:
         "operator": "hybrid (flat-BSR MXU + bucketed-ELL, bf16 gathers)",
         "attainable_fraction": round(rate / (g.nnz / traffic.attainable_secs()), 4),
         "strict_fraction": round(rate / (g.nnz / traffic.strict_secs()), 4),
+        **_spread(dts),
     }
 
 
@@ -177,7 +196,7 @@ def bench_projection(report: dict) -> None:
     from graphconvgeo_tpu.data.synthetic import random_mention_projection_graph
     from graphconvgeo_tpu.sparse.factorized import FactorizedAdjacency, spmm_factorized
     from graphconvgeo_tpu.sparse.reorder import bipartite_reordering
-    from graphconvgeo_tpu.utils.timing import device_seconds_per_iter
+    from graphconvgeo_tpu.utils.timing import device_trial_seconds
 
     adj, groups = random_mention_projection_graph(
         N, N_COMM, seed=7, return_structure=True
@@ -196,7 +215,8 @@ def bench_projection(report: dict) -> None:
     fa = FactorizedAdjacency.from_groups(groups, N)
     h = jnp.asarray(np.random.default_rng(0).normal(size=(N, FEAT)).astype(np.float32))
     step = lambda x, f: spmm_factorized(f, x, gather_dtype=jnp.bfloat16) * 0.25 + 0.01
-    dt = device_seconds_per_iter(step, h, fa, iters_lo=2, iters_hi=12, trials=2)
+    dts = device_trial_seconds(step, h, fa, iters_lo=2, iters_hi=12, trials=4)
+    dt = float(np.median(dts))
     rate = edges / dt
     traffic = factorized_traffic(fa, gather_bytes_per_row=FEAT * 2)
     # Yardstick for the structural win: the strict (all-bytes-at-stream-rate)
@@ -214,6 +234,7 @@ def bench_projection(report: dict) -> None:
         "attainable_fraction": round(rate / (edges / traffic.attainable_secs()), 4),
         "strict_fraction": round(rate / (edges / traffic.strict_secs()), 4),
         "strict_fraction_vs_materialized": round(rate / (edges / mat_secs), 4),
+        **_spread(dts),
     }
 
 

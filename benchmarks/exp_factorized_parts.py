@@ -1,9 +1,26 @@
-"""Per-term timing of the factorized operator (where do the 27 ms go?)."""
+"""Per-term timing of the factorized operator at bench scale (round-3 rerun).
+
+Where do the ~26 ms go?  Isolates, per factor (B'ᵀ, B', R'):
+tiles-only, rest-gather-only (no scatter), rest scatter-only, and the full
+apply — plus operand structure stats, so the attainable model can be
+reconciled against per-op fixed costs (VERDICT r2 #1).
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from graphconvgeo_tpu.data.synthetic import random_mention_projection_graph
-from graphconvgeo_tpu.sparse.factorized import FactorizedAdjacency, _apply_factor
+from graphconvgeo_tpu.sparse.factorized import (
+    FactorizedAdjacency,
+    _apply_factor,
+    _bell_raw,
+    spmm_factorized,
+)
 from graphconvgeo_tpu.sparse.reorder import bipartite_reordering
 from graphconvgeo_tpu.utils.timing import device_seconds_per_iter
 
@@ -11,6 +28,8 @@ N, N_COMM, FEAT = 262_144, 1024, 512
 GD = jnp.bfloat16
 
 adj, groups = random_mention_projection_graph(N, N_COMM, seed=7, return_structure=True)
+edges = int(adj.nnz)
+del adj
 perm = np.random.default_rng(1).permutation(N)
 inv = np.empty(N, dtype=np.int64)
 inv[perm] = np.arange(N)
@@ -19,33 +38,72 @@ ro = bipartite_reordering(groups, N)
 groups = {g: ro.to_new(np.asarray(m)) for g, m in groups.items()}
 fa = FactorizedAdjacency.from_groups(groups, N)
 
+print(f"edges(materialized)={edges}  G={fa.n_groups}")
+for name in ("bt", "b", "r"):
+    tiles = getattr(fa, f"{name}_tiles")
+    rest = getattr(fa, f"{name}_rest")
+    nt = 0 if tiles is None else tiles.n_tiles
+    fill = None
+    if rest is not None:
+        kr = int(rest.rows.shape[0])
+        slots = rest.bell.padded_slots
+        nnz = sum(int((np.asarray(v) != 0).sum()) for v in rest.bell.values)
+        print(f"{name}: tiles={nt} rest_rows={kr} rest_slots={slots} rest_nnz~{nnz}")
+    else:
+        print(f"{name}: tiles={nt} rest=None")
+
 h = jnp.asarray(np.random.default_rng(0).normal(size=(N, FEAT)).astype(np.float32))
-y0 = jnp.asarray(np.random.default_rng(2).normal(size=(fa.n_groups, FEAT)).astype(np.float32))
+y0 = jnp.asarray(
+    np.random.default_rng(2).normal(size=(fa.n_groups, FEAT)).astype(np.float32)
+)
 
 
 def tm(name, fn, x, *ops):
     dt = device_seconds_per_iter(fn, x, *ops, iters_lo=2, iters_hi=12, trials=2)
-    print(f"{name:34s} {dt*1e3:8.3f} ms", flush=True)
+    print(f"{name:40s} {dt*1e3:8.3f} ms", flush=True)
     return dt
 
 
-# each step must return an x-shaped iterate; sum(out)*0 + x keeps the chain
-tm("bt (B'ᵀh): tiles+rest", lambda x, f: _apply_factor(
-    f.bt_tiles, f.b_tiles, f.bt_rest, x, n_out=f.n_groups, gather_dtype=GD
+full = tm("FULL apply", lambda x, f: spmm_factorized(f, x, gather_dtype=GD) * 0.25 + 0.01, h, fa)
+
+# --- per factor: tiles+rest vs tiles-only ------------------------------
+tm("bt (B'T h) tiles+rest", lambda x, f: _apply_factor(
+    f.bt_tiles, f.bt_rest, x, n_out=f.n_groups, gather_dtype=GD
 ).sum(0, keepdims=True) * 0.0 + x, h, fa)
 tm("bt tiles only", lambda x, f: _apply_factor(
-    f.bt_tiles, f.b_tiles, None, x, n_out=f.n_groups, gather_dtype=GD
+    f.bt_tiles, None, x, n_out=f.n_groups, gather_dtype=GD
 ).sum(0, keepdims=True) * 0.0 + x, h, fa)
-tm("b (B'y): tiles+rest", lambda y, f: _apply_factor(
-    f.b_tiles, f.bt_tiles, f.b_rest, y, n_out=f.n_rows, gather_dtype=GD
-).sum(0, keepdims=True) * 0.0 + y, y0, fa)
+tm("b (B' y) tiles+rest", lambda y, f: _apply_factor(
+    f.b_tiles, f.b_rest, y, n_out=f.n_rows, gather_dtype=GD
+).sum(0, keepdims=True)[:, : y.shape[1]] * 0.0 + y, y0, fa)
 tm("b tiles only", lambda y, f: _apply_factor(
-    f.b_tiles, f.bt_tiles, None, y, n_out=f.n_rows, gather_dtype=GD
-).sum(0, keepdims=True) * 0.0 + y, y0, fa)
-tm("r (R'h): tiles+rest", lambda x, f: _apply_factor(
-    f.r_tiles, f.r_tiles, f.r_rest, x, n_out=f.n_rows, gather_dtype=GD
+    f.b_tiles, None, y, n_out=f.n_rows, gather_dtype=GD
+).sum(0, keepdims=True)[:, : y.shape[1]] * 0.0 + y, y0, fa)
+tm("r (R' h) tiles+rest", lambda x, f: _apply_factor(
+    f.r_tiles, f.r_rest, x, n_out=f.n_rows, gather_dtype=GD
 ) * 0.25 + 0.01, h, fa)
 tm("r tiles only", lambda x, f: _apply_factor(
-    f.r_tiles, f.r_tiles, None, x, n_out=f.n_rows, gather_dtype=GD
+    f.r_tiles, None, x, n_out=f.n_rows, gather_dtype=GD
 ) * 0.25 + 0.01, h, fa)
+
+# --- rest sub-costs: bell gather vs scatter-add ------------------------
+for name, src in (("b", y0), ("r", h)):
+    rest = getattr(fa, f"{name}_rest")
+    if rest is None:
+        continue
+    kr = int(rest.rows.shape[0])
+    tm(f"{name}_rest bell gather only", lambda x, f, s=src, rn=name: (
+        _bell_raw(getattr(f, f"{rn}_rest").bell, s, GD)[
+            : getattr(f, f"{rn}_rest").rows.shape[0]
+        ].sum(0, keepdims=True) * 0.0 + x
+    ), h, fa)
+    sub = jnp.asarray(
+        np.random.default_rng(3).normal(size=(kr, FEAT)).astype(np.float32)
+    )
+    tm(f"{name}_rest scatter only ({kr} rows)", lambda x, f, s=sub, rn=name: (
+        x.at[getattr(f, f"{rn}_rest").rows].add(s, indices_are_sorted=True, unique_indices=True)
+        * 0.25 + 0.01
+    ), h, fa)
+
 tm("diag only", lambda x, f: f.diag[:, None] * x * 0.25 + 0.01, h, fa)
+print(f"\nFULL = {full*1e3:.2f} ms -> {edges/full/1e6:.1f} M edges/s")

@@ -115,7 +115,9 @@ def parse_args(argv=None):
                         "--dist --adjacency factorized)")
     p.add_argument("--sampled", action="store_true",
                    help="neighbor-sampled mini-batch training (reference "
-                        "gcnmain.py -batch; BASELINE config 5)")
+                        "gcnmain.py -batch; BASELINE config 5); combine with "
+                        "--dist for data-parallel sub-batches over the mesh "
+                        "(--batch stays the GLOBAL per-step target count)")
     p.add_argument("--batch", type=int, default=512,
                    help="mini-batch target count (--sampled; reference -batch)")
     p.add_argument("--fanout", type=int, nargs="+", default=None,
@@ -152,8 +154,6 @@ def parse_args(argv=None):
             f"--model gat needs hidden sizes divisible by --heads {args.heads} "
             f"(got {args.hidden})"
         )
-    if args.dist and args.sampled:
-        p.error("--dist and --sampled are mutually exclusive")
     if args.eval_only and args.tune:
         p.error("--eval-only and --tune are mutually exclusive")
     if args.eval_only and not args.checkpoint_dir:
@@ -290,7 +290,8 @@ def _run_dist(args, ds, cfg, tcfg):
 
 def _run_sampled(args, ds, cfg, tcfg):
     """BASELINE config 5: neighbor-sampled mini-batch training (reference
-    ``gcnmain.py`` -batch)."""
+    ``gcnmain.py`` -batch). With --dist, per-device sub-batches are sharded
+    over the mesh (data parallel; grads psum'd — SURVEY §2 DP row)."""
     from graphconvgeo_tpu.data.sampling import NeighborSampler
     from graphconvgeo_tpu.models.gcn import HighwayGCN
     from graphconvgeo_tpu.sparse.formats import SparseGraph
@@ -300,10 +301,29 @@ def _run_sampled(args, ds, cfg, tcfg):
         cfg, SparseGraph(csr=ds.x), SparseGraph(csr=ds.adj, symmetric=True)
     )
     fanouts = tuple(args.fanout) if args.fanout else (10,) * len(cfg.hidden)
-    sampler = NeighborSampler(
-        ds.adj, fanouts=fanouts, batch_size=args.batch, seed=args.seed
-    )
-    trainer = SampledTrainer(model, sampler, tcfg)
+    if args.dist:
+        import jax
+
+        from graphconvgeo_tpu.parallel.mesh import (
+            make_graph_mesh,
+            maybe_initialize_distributed,
+        )
+        from graphconvgeo_tpu.parallel.sampled_dist import DistSampledTrainer
+
+        maybe_initialize_distributed()
+        n_dev = args.dist_devices or len(jax.devices())
+        # --batch is the GLOBAL per-step target count; each device samples
+        # its own sub-batch of batch/D
+        sampler = NeighborSampler(
+            ds.adj, fanouts=fanouts,
+            batch_size=max(1, args.batch // n_dev), seed=args.seed,
+        )
+        trainer = DistSampledTrainer(model, sampler, make_graph_mesh(n_dev), tcfg)
+    else:
+        sampler = NeighborSampler(
+            ds.adj, fanouts=fanouts, batch_size=args.batch, seed=args.seed
+        )
+        trainer = SampledTrainer(model, sampler, tcfg)
     if args.eval_only:
         # the sampled and full-graph models share one parameter pytree, so a
         # sampled-trained checkpoint restores into full-graph inference
@@ -346,10 +366,10 @@ def run_one(args, ds, *, dropout=None, l2=None, hidden=None, lr=None, quiet=None
         verbose=not (args.quiet if quiet is None else quiet),
         profile_dir=args.profile_dir,
     )
-    if args.dist:
-        trainer, out = _run_dist(args, ds, cfg, tcfg)
-    elif args.sampled:
+    if args.sampled:  # --sampled --dist = data-parallel sampled (checked first)
         trainer, out = _run_sampled(args, ds, cfg, tcfg)
+    elif args.dist:
+        trainer, out = _run_dist(args, ds, cfg, tcfg)
     else:
         x_graph = SparseGraph(csr=ds.x)
         if args.adjacency == "factorized" and args.model == "gcn":

@@ -1,0 +1,265 @@
+"""Data-parallel neighbor-sampled training over a device mesh.
+
+SURVEY.md §2's DP row: "batch-of-nodes sharding in the sampled path" — the
+reference has no sampler at all (``gcnmodel.py`` trains full-graph only), and
+round 2's :class:`~graphconvgeo_tpu.train.trainer_sampled.SampledTrainer` ran
+one device. Here the batch axis is sharded over the ``graph`` mesh axis:
+
+- the host sampler draws D independent sub-batches (one per device, same
+  static shapes) and stacks them with a leading device axis;
+- parameters, opt state and the X feature table are replicated;
+- one ``shard_map`` loss computes each device's masked-CE numerator and
+  denominator, ``psum``s both (exact global batch mean — sub-batches with
+  ragged real counts stay unbiased), and the shard_map transpose inserts the
+  gradient psum for the replicated-in parameters automatically.
+
+Every target's sampled subtree is independent of its batch-mates, so D
+sub-batches of B targets are mathematically the same step as one batch of
+D·B targets — the parity test
+(``tests/test_parallel_sampled.py::test_dist_sampled_grads_match_single_chip``)
+checks grads allclose against the single-device composition of the same
+sub-batches.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+try:
+    from jax import shard_map  # jax >= 0.6
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from graphconvgeo_tpu.models.sampled import sampled_forward
+from graphconvgeo_tpu.models.gcn import l2_penalty
+from graphconvgeo_tpu.parallel.mesh import GRAPH_AXIS
+from graphconvgeo_tpu.train.evaluate import geo_eval
+from graphconvgeo_tpu.train.trainer import TrainConfig
+from graphconvgeo_tpu.train.trainer_sampled import prefetch
+
+
+def stack_batches(batches, n_devices: int, batch_size: int):
+    """Stack D :class:`~graphconvgeo_tpu.data.sampling.SampledBatch`es into
+    one leading-device-axis batch dict (numpy). Missing tail chunks become
+    empty sub-batches (all-masked-out), so every step has static shape."""
+    assert batches, "need at least one sub-batch"
+    ref = batches[0]
+    while len(batches) < n_devices:
+        empty = type(ref)(
+            nodes=[np.zeros_like(a) for a in ref.nodes],
+            node_mask=[np.zeros_like(a) for a in ref.node_mask],
+            edge_src=[np.zeros_like(a) for a in ref.edge_src],
+            edge_dst=[np.zeros_like(a) for a in ref.edge_dst],
+            edge_val=[np.zeros_like(a) for a in ref.edge_val],
+            targets=np.zeros_like(ref.targets),
+            target_mask=np.zeros_like(ref.target_mask),
+        )
+        batches = list(batches) + [empty]
+    out = {
+        "nodes": [
+            np.stack([np.asarray(b.nodes[l], np.int32) for b in batches])
+            for l in range(len(ref.nodes))
+        ],
+        "edge_src": [
+            np.stack([np.asarray(b.edge_src[l], np.int32) for b in batches])
+            for l in range(len(ref.edge_src))
+        ],
+        "edge_dst": [
+            np.stack([np.asarray(b.edge_dst[l], np.int32) for b in batches])
+            for l in range(len(ref.edge_dst))
+        ],
+        "edge_val": [
+            np.stack([np.asarray(b.edge_val[l], np.float32) for b in batches])
+            for l in range(len(ref.edge_val))
+        ],
+        "targets": np.stack([np.asarray(b.targets, np.int32) for b in batches]),
+        "target_mask": np.stack(
+            [np.asarray(b.target_mask, np.float32) for b in batches]
+        ),
+    }
+    return out
+
+
+def dist_sampled_loss(params, cfg, x_ell, stacked, y_stacked, mesh, *, rng=None, train=True):
+    """Global mean masked CE over the sharded batch axis (+ replicated L2)."""
+
+    def body(p, xe, nodes, es, ed, ev, tmask, yb, key):
+        local = {
+            "nodes": [a[0] for a in nodes],
+            "edge_src": [a[0] for a in es],
+            "edge_dst": [a[0] for a in ed],
+            "edge_val": [a[0] for a in ev],
+        }
+        k = None
+        if key is not None:
+            # decorrelate per-device dropout streams
+            k = jax.random.fold_in(key, jax.lax.axis_index(GRAPH_AXIS))
+        logits = sampled_forward(p, cfg, xe, local, train=train, rng=k)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ce = -jnp.take_along_axis(logp, yb[0][:, None], axis=-1)[:, 0]
+        num = jax.lax.psum(jnp.sum(ce * tmask[0]), GRAPH_AXIS)
+        den = jax.lax.psum(jnp.sum(tmask[0]), GRAPH_AXIS)
+        return num / jnp.maximum(den, 1.0)
+
+    def lspec(leaf):
+        return P(GRAPH_AXIS, *([None] * (leaf.ndim - 1)))
+
+    nodes, es, ed, ev = (
+        stacked["nodes"], stacked["edge_src"], stacked["edge_dst"], stacked["edge_val"]
+    )
+    in_specs = (
+        P(),  # params (replicated)
+        P(),  # x_ell
+        [lspec(a) for a in nodes],
+        [lspec(a) for a in es],
+        [lspec(a) for a in ed],
+        [lspec(a) for a in ev],
+        lspec(stacked["target_mask"]),
+        lspec(y_stacked),
+        P(),  # rng key (replicated; folded per device)
+    )
+    loss = shard_map(
+        body, mesh=mesh, in_specs=in_specs, out_specs=P(),
+    )(params, x_ell, nodes, es, ed, ev, stacked["target_mask"], y_stacked, rng)
+    if cfg.l2 > 0.0:
+        loss = loss + cfg.l2 * l2_penalty(params)
+    return loss
+
+
+class DistSampledTrainer:
+    """SampledTrainer semantics with the batch axis sharded over ``mesh``.
+
+    ``model`` is the single-chip :class:`HighwayGCN` (it owns the config, the
+    X/Â operands for full-graph eval, and the parameter pytree — sampled and
+    full-graph execution share it)."""
+
+    def __init__(self, model, sampler, mesh, cfg: TrainConfig = TrainConfig()):
+        self.model = model
+        self.sampler = sampler
+        self.mesh = mesh
+        self.cfg = cfg
+        self.n_devices = int(np.prod(mesh.devices.shape))
+        self.optimizer = optax.adam(cfg.learning_rate)
+        mcfg = model.cfg
+
+        def step(params, opt_state, x_ell, stacked, y_stacked, key):
+            def loss_fn(p):
+                return dist_sampled_loss(
+                    p, mcfg, x_ell, stacked, y_stacked, mesh, rng=key, train=True
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        self._step = jax.jit(step, donate_argnums=(0, 1))
+        self._predict_jit = jax.jit(
+            lambda p, arrays: jnp.argmax(model.apply(p, arrays, train=False), axis=-1)
+        )
+        self._repl = NamedSharding(mesh, P())
+
+    def _shard(self, tree):
+        def put(leaf):
+            sh = NamedSharding(self.mesh, P(GRAPH_AXIS, *([None] * (leaf.ndim - 1))))
+            return jax.device_put(leaf, sh)
+
+        return jax.tree.map(put, tree)
+
+    def _stacked_epoch(self, train_idx, rng_np):
+        """Yield (stacked_batch, y_stacked) covering the epoch, D sub-batches
+        per step."""
+        ids = np.array(train_idx)
+        rng_np.shuffle(ids)
+        bsz = self.sampler.batch_size
+        step_span = bsz * self.n_devices
+        for i in range(0, len(ids), step_span):
+            chunk = ids[i : i + step_span]
+            subs = [
+                self.sampler.sample(chunk[j : j + bsz])
+                for j in range(0, len(chunk), bsz)
+            ]
+            yield stack_batches(subs, self.n_devices, bsz)
+
+    def fit(
+        self,
+        y: np.ndarray,
+        train_idx: np.ndarray,
+        dev_idx: np.ndarray,
+        *,
+        lat: np.ndarray,
+        lon: np.ndarray,
+        class_lat_median: np.ndarray,
+        class_lon_median: np.ndarray,
+        params: Optional[dict] = None,
+        label_fraction: float = 1.0,
+    ) -> dict:
+        cfg = self.cfg
+        rng_np = np.random.default_rng(cfg.seed)
+        if label_fraction < 1.0:
+            keep = rng_np.random(len(train_idx)) < label_fraction
+            train_idx = train_idx[keep]
+        rng = jax.random.key(cfg.seed)
+        rng, init_key = jax.random.split(rng)
+        if params is None:
+            params = self.model.init(init_key)
+        params = jax.device_put(params, self._repl)
+        opt_state = jax.device_put(self.optimizer.init(params), self._repl)
+        y_np = np.asarray(y)
+        x_ell = jax.device_put(self.model.x.ell(), self._repl)
+        sign = 1.0 if cfg.monitor == "acc_at_161" else -1.0
+        best_score, best_epoch = -np.inf, 0
+        best_params = jax.tree.map(np.asarray, params)
+        history = []
+        t0 = time.time()
+        for epoch in range(cfg.epochs):
+            losses = []
+            for stacked in prefetch(self._stacked_epoch(train_idx, rng_np)):
+                yb = y_np[stacked["targets"]].astype(np.int32)
+                rng, k = jax.random.split(rng)
+                params, opt_state, loss = self._step(
+                    params, opt_state, x_ell,
+                    self._shard(stacked), self._shard(yb), k,
+                )
+                losses.append(float(loss))
+            pred = np.asarray(self._predict_jit(params, self.model.arrays))
+            m = geo_eval(pred[dev_idx], lat[dev_idx], lon[dev_idx],
+                         class_lat_median, class_lon_median)
+            history.append(
+                {"epoch": epoch, "loss": float(np.mean(losses)),
+                 "dev_acc_at_161": m["acc_at_161"], "dev_median_km": m["median_km"],
+                 "seconds": round(time.time() - t0, 2)}
+            )
+            score = sign * m[cfg.monitor]
+            if score > best_score:
+                best_score, best_epoch = score, epoch
+                best_params = jax.tree.map(np.asarray, params)
+            if cfg.verbose and epoch % cfg.log_every == 0:
+                h = history[-1]
+                print(
+                    f"epoch {epoch:4d} loss {h['loss']:.4f} dev acc@161 "
+                    f"{h['dev_acc_at_161']:.3f} ({h['seconds']:.1f}s) "
+                    f"[dp x{self.n_devices}]"
+                )
+            if epoch >= cfg.min_epochs and epoch - best_epoch >= cfg.patience:
+                break
+        return {
+            "params": jax.tree.map(jnp.asarray, best_params),
+            "history": history,
+            "best_epoch": best_epoch,
+        }
+
+    def evaluate(
+        self, params, idx, *, lat, lon, class_lat_median, class_lon_median
+    ) -> dict:
+        pred = np.asarray(self._predict_jit(params, self.model.arrays))
+        m = geo_eval(pred[idx], lat[idx], lon[idx], class_lat_median, class_lon_median)
+        m.pop("distances")
+        return m

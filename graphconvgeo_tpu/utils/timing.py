@@ -21,17 +21,20 @@ import jax
 import jax.numpy as jnp
 
 
-def device_seconds_per_iter(
+def device_trial_seconds(
     step: Callable,
     x0,
     *step_args,
     iters_lo: int = 2,
     iters_hi: int = 18,
     trials: int = 3,
-) -> float:
+) -> list:
     """Per-iteration device seconds for ``x -> step(x, *step_args)``
-    (shape-preserving in x). ``step_args`` (e.g. sparse operand pytrees) are
-    threaded through jit as arguments, never closures."""
+    (shape-preserving in x), one measurement per trial (compile/warm once,
+    then ``trials`` independent lo/hi differenced timings — the per-trial
+    list lets callers report median AND spread, VERDICT r2 #6).
+    ``step_args`` (e.g. sparse operand pytrees) are threaded through jit as
+    arguments, never closures."""
 
     def mk(k: int):
         @jax.jit
@@ -46,7 +49,7 @@ def device_seconds_per_iter(
     f_lo, f_hi = mk(iters_lo), mk(iters_hi)
     float(f_lo(x0, *step_args))  # compile + warm
     float(f_hi(x0, *step_args))
-    best = float("inf")
+    out = []
     for _ in range(trials):
         t0 = time.time()
         float(f_lo(x0, *step_args))
@@ -54,5 +57,21 @@ def device_seconds_per_iter(
         t0 = time.time()
         float(f_hi(x0, *step_args))
         t_hi = time.time() - t0
-        best = min(best, (t_hi - t_lo) / (iters_hi - iters_lo))
-    return max(best, 1e-12)
+        out.append(max((t_hi - t_lo) / (iters_hi - iters_lo), 1e-12))
+    return out
+
+
+def device_seconds_per_iter(
+    step: Callable,
+    x0,
+    *step_args,
+    iters_lo: int = 2,
+    iters_hi: int = 18,
+    trials: int = 3,
+) -> float:
+    """Best (min) per-iteration device seconds over ``trials`` measurements."""
+    return min(
+        device_trial_seconds(
+            step, x0, *step_args, iters_lo=iters_lo, iters_hi=iters_hi, trials=trials
+        )
+    )

@@ -81,13 +81,17 @@ def test_cli_sampled_end_to_end():
     assert 0.0 <= report["test"]["acc_at_161"] <= 1.0
 
 
-def test_cli_dist_sampled_exclusive():
-    import pytest
+def test_cli_dist_sampled_end_to_end():
+    """--sampled --dist = data-parallel sampled training over the virtual
+    8-device mesh (VERDICT r2 #3 lifted the old mutual exclusion)."""
+    from graphconvgeo_tpu.cli import main
 
-    from graphconvgeo_tpu.cli import parse_args
-
-    with pytest.raises(SystemExit):
-        parse_args(["--dist", "--sampled"])
+    report = main([
+        "--preset", "synthetic", "--sampled", "--dist", "--batch", "64",
+        "--fanout", "4", "4", "--epochs", "8", "--patience", "8",
+        "--quiet", "--hidden", "16", "16",
+    ])
+    assert 0.0 <= report["test"]["acc_at_161"] <= 1.0
 
 
 def test_cli_tune_searches_hidden_sizes(capsys):
