@@ -1,0 +1,54 @@
+"""A/B: clique-grouped within-community ordering for the factorized operand.
+
+Secondary sort by primary hub should raise B'/R' tile fill → fewer tiles +
+fewer rest slots for the same edges (the per-tile cost is DMA-proportional,
+so tile-count reduction at fixed block size is real wall-clock)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax.numpy as jnp
+
+from graphconvgeo_tpu.data.synthetic import random_mention_projection_graph
+from graphconvgeo_tpu.sparse.factorized import FactorizedAdjacency, spmm_factorized
+from graphconvgeo_tpu.sparse.reorder import bipartite_reordering
+from graphconvgeo_tpu.utils.timing import device_seconds_per_iter
+
+N, N_COMM, FEAT = 262_144, 1024, 512
+GD = jnp.bfloat16
+
+adj, groups0 = random_mention_projection_graph(N, N_COMM, seed=7, return_structure=True)
+edges = int(adj.nnz)
+del adj
+perm = np.random.default_rng(1).permutation(N)
+inv = np.empty(N, dtype=np.int64)
+inv[perm] = np.arange(N)
+groups0 = {g: inv[np.asarray(m)] for g, m in groups0.items()}
+
+clique = os.environ.get("CLIQUE", "1") == "1"
+combined = os.environ.get("WHICH", "separate") == "combined"
+block = int(os.environ.get("BLOCK", "128"))
+min_nnz = int(os.environ.get("MINNNZ", "48"))
+ro = bipartite_reordering(groups0, N, clique_group=clique)
+groups = {g: ro.to_new(np.asarray(m)) for g, m in groups0.items()}
+fa = FactorizedAdjacency.from_groups(
+    groups, N, combined_rest=combined, block=block, min_tile_nnz=min_nnz
+)
+print(f"block={block} min_nnz={min_nnz}")
+
+stats = []
+for nm in ("bt", "b", "r"):
+    t = getattr(fa, f"{nm}_tiles")
+    stats.append(f"{nm}_tiles={0 if t is None else t.n_tiles}")
+for nm in ("bt_rest", "b_rest", "r_rest", "br_rest"):
+    r = getattr(fa, nm)
+    if r is not None:
+        stats.append(f"{nm}: rows={int(r.rows.shape[0])} slots={r.bell.padded_slots}")
+print(f"clique_group={clique} combined={combined}  " + "  ".join(stats), flush=True)
+
+h = jnp.asarray(np.random.default_rng(0).normal(size=(N, FEAT)).astype(np.float32))
+step = lambda x, f: spmm_factorized(f, x, gather_dtype=GD) * 0.25 + 0.01
+dt = device_seconds_per_iter(step, h, fa, iters_lo=1, iters_hi=9, trials=3)
+print(f"FULL: {dt*1e3:.2f} ms  {edges/dt/1e6:.1f} M edges/s", flush=True)

@@ -1,0 +1,37 @@
+"""A/B: combined B'+R' rest (one scatter) vs separate rests, bench scale."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax.numpy as jnp
+
+from graphconvgeo_tpu.data.synthetic import random_mention_projection_graph
+from graphconvgeo_tpu.sparse.factorized import FactorizedAdjacency, spmm_factorized
+from graphconvgeo_tpu.sparse.reorder import bipartite_reordering
+from graphconvgeo_tpu.utils.timing import device_seconds_per_iter
+
+N, N_COMM, FEAT = 262_144, 1024, 512
+GD = jnp.bfloat16
+
+adj, groups = random_mention_projection_graph(N, N_COMM, seed=7, return_structure=True)
+edges = int(adj.nnz)
+del adj
+perm = np.random.default_rng(1).permutation(N)
+inv = np.empty(N, dtype=np.int64)
+inv[perm] = np.arange(N)
+groups = {g: inv[np.asarray(m)] for g, m in groups.items()}
+ro = bipartite_reordering(groups, N)
+groups = {g: ro.to_new(np.asarray(m)) for g, m in groups.items()}
+
+h = jnp.asarray(np.random.default_rng(0).normal(size=(N, FEAT)).astype(np.float32))
+
+which = os.environ.get("WHICH", "combined")
+fa = FactorizedAdjacency.from_groups(groups, N, combined_rest=(which == "combined"))
+if fa.br_rest is not None:
+    print(f"combined rest: rows={int(fa.br_rest.rows.shape[0])} "
+          f"slots={fa.br_rest.bell.padded_slots}")
+step = lambda x, f: spmm_factorized(f, x, gather_dtype=GD) * 0.25 + 0.01
+dt = device_seconds_per_iter(step, h, fa, iters_lo=1, iters_hi=9, trials=3)
+print(f"{which}: {dt*1e3:.2f} ms  {edges/dt/1e6:.1f} M edges/s", flush=True)

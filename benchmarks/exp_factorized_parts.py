@@ -59,51 +59,43 @@ y0 = jnp.asarray(
 
 
 def tm(name, fn, x, *ops):
-    dt = device_seconds_per_iter(fn, x, *ops, iters_lo=2, iters_hi=12, trials=2)
+    dt = device_seconds_per_iter(fn, x, *ops, iters_lo=1, iters_hi=7, trials=2)
     print(f"{name:40s} {dt*1e3:8.3f} ms", flush=True)
     return dt
 
 
-full = tm("FULL apply", lambda x, f: spmm_factorized(f, x, gather_dtype=GD) * 0.25 + 0.01, h, fa)
+PART = int(os.environ.get("PART", "1"))
 
-# --- per factor: tiles+rest vs tiles-only ------------------------------
-tm("bt (B'T h) tiles+rest", lambda x, f: _apply_factor(
-    f.bt_tiles, f.bt_rest, x, n_out=f.n_groups, gather_dtype=GD
-).sum(0, keepdims=True) * 0.0 + x, h, fa)
-tm("bt tiles only", lambda x, f: _apply_factor(
-    f.bt_tiles, None, x, n_out=f.n_groups, gather_dtype=GD
-).sum(0, keepdims=True) * 0.0 + x, h, fa)
-tm("b (B' y) tiles+rest", lambda y, f: _apply_factor(
-    f.b_tiles, f.b_rest, y, n_out=f.n_rows, gather_dtype=GD
-).sum(0, keepdims=True)[:, : y.shape[1]] * 0.0 + y, y0, fa)
-tm("b tiles only", lambda y, f: _apply_factor(
-    f.b_tiles, None, y, n_out=f.n_rows, gather_dtype=GD
-).sum(0, keepdims=True)[:, : y.shape[1]] * 0.0 + y, y0, fa)
-tm("r (R' h) tiles+rest", lambda x, f: _apply_factor(
-    f.r_tiles, f.r_rest, x, n_out=f.n_rows, gather_dtype=GD
-) * 0.25 + 0.01, h, fa)
-tm("r tiles only", lambda x, f: _apply_factor(
-    f.r_tiles, None, x, n_out=f.n_rows, gather_dtype=GD
-) * 0.25 + 0.01, h, fa)
-
-# --- rest sub-costs: bell gather vs scatter-add ------------------------
-for name, src in (("b", y0), ("r", h)):
-    rest = getattr(fa, f"{name}_rest")
-    if rest is None:
-        continue
-    kr = int(rest.rows.shape[0])
-    tm(f"{name}_rest bell gather only", lambda x, f, s=src, rn=name: (
-        _bell_raw(getattr(f, f"{rn}_rest").bell, s, GD)[
-            : getattr(f, f"{rn}_rest").rows.shape[0]
-        ].sum(0, keepdims=True) * 0.0 + x
-    ), h, fa)
-    sub = jnp.asarray(
-        np.random.default_rng(3).normal(size=(kr, FEAT)).astype(np.float32)
-    )
-    tm(f"{name}_rest scatter only ({kr} rows)", lambda x, f, s=sub, rn=name: (
-        x.at[getattr(f, f"{rn}_rest").rows].add(s, indices_are_sorted=True, unique_indices=True)
-        * 0.25 + 0.01
-    ), h, fa)
-
-tm("diag only", lambda x, f: f.diag[:, None] * x * 0.25 + 0.01, h, fa)
-print(f"\nFULL = {full*1e3:.2f} ms -> {edges/full/1e6:.1f} M edges/s")
+if PART == 1:
+    full = tm("FULL apply", lambda x, f: spmm_factorized(f, x, gather_dtype=GD) * 0.25 + 0.01, h, fa)
+    tm("bt (B'T h) tiles+rest", lambda x, f: _apply_factor(
+        f.bt_tiles, f.bt_rest, x, n_out=f.n_groups, gather_dtype=GD
+    ).sum(0, keepdims=True) * 0.0 + x, h, fa)
+    tm("b (B' y) tiles+rest", lambda y, f: _apply_factor(
+        f.b_tiles, f.b_rest, y, n_out=f.n_rows, gather_dtype=GD
+    ).sum(0, keepdims=True)[:, : y.shape[1]] * 0.0 + y, y0, fa)
+    tm("r (R' h) tiles+rest", lambda x, f: _apply_factor(
+        f.r_tiles, f.r_rest, x, n_out=f.n_rows, gather_dtype=GD
+    ) * 0.25 + 0.01, h, fa)
+    print(f"\nFULL = {full*1e3:.2f} ms -> {edges/full/1e6:.1f} M edges/s")
+else:
+    tm("r tiles only", lambda x, f: _apply_factor(
+        f.r_tiles, None, x, n_out=f.n_rows, gather_dtype=GD
+    ) * 0.25 + 0.01, h, fa)
+    for name, src in (("b", y0), ("r", h)):
+        rest = getattr(fa, f"{name}_rest")
+        if rest is None:
+            continue
+        kr = int(rest.rows.shape[0])
+        tm(f"{name}_rest bell gather only", lambda x, f, s=src, rn=name: (
+            _bell_raw(getattr(f, f"{rn}_rest").bell, s, GD)[
+                : getattr(f, f"{rn}_rest").rows.shape[0]
+            ].sum(0, keepdims=True) * 0.0 + x
+        ), h, fa)
+        sub = jnp.asarray(
+            np.random.default_rng(3).normal(size=(kr, FEAT)).astype(np.float32)
+        )
+        tm(f"{name}_rest scatter only ({kr} rows)", lambda x, f, s=sub, rn=name: (
+            x.at[getattr(f, f"{rn}_rest").rows].add(s, indices_are_sorted=True, unique_indices=True)
+            * 0.25 + 0.01
+        ), h, fa)

@@ -1,0 +1,86 @@
+"""Probe: what IS the ~3.2 ms fixed cost per scatter-add op?
+
+If it scales with the TARGET size it is the functional-update copy of the
+output operand; if it is flat it is scatter machinery. Decides whether
+compact-target scattering can beat the current two [N, F] scatters, and
+what the bench attainable model must charge per op (VERDICT r2 #1).
+Also probes: can a <=16k-row standalone slice of the hub table reach the
+warm gather rate behind an optimization_barrier (PERF.md says plain slices
+fuse into the gather and stay at the big-table rate)?
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from graphconvgeo_tpu.utils.timing import device_seconds_per_iter
+
+N, FEAT = 262_144, 512
+G = 24_576
+rng = np.random.default_rng(0)
+
+
+def tm(name, fn, x, *ops):
+    dt = device_seconds_per_iter(fn, x, *ops, iters_lo=1, iters_hi=7, trials=2)
+    print(f"{name:48s} {dt*1e3:8.3f} ms", flush=True)
+    return dt
+
+
+h = jnp.asarray(rng.normal(size=(N, FEAT)).astype(np.float32))
+KR = 65_536
+rows = jnp.asarray(np.sort(rng.choice(N, KR, replace=False)).astype(np.int32))
+sub = jnp.asarray(rng.normal(size=(KR, FEAT)).astype(np.float32))
+rows_small = jnp.asarray(np.sort(rng.choice(KR, KR // 2, replace=False)).astype(np.int32))
+
+PART = int(os.environ.get("PART", "1"))
+if PART == 1:
+    # (a) scatter 64k rows into the FULL [262k, F] target
+    tm("scatter 64k -> [262k, F]", lambda x, r, s: (
+        x.at[r].add(s, indices_are_sorted=True, unique_indices=True) * 0.25 + 0.01
+    ), h, rows, sub)
+    # (b) scatter 32k rows into a COMPACT [64k, F] target
+    tm("scatter 32k -> [64k, F]", lambda x, r, s: (
+        x.at[r].add(s[: KR // 2], indices_are_sorted=True, unique_indices=True) * 0.25 + 0.01
+    ), sub, rows_small, sub)
+    # (c) same rows, target built fresh from zeros (does XLA skip the copy?)
+    tm("scatter 64k -> zeros[262k, F] (+h)", lambda x, r, s: (
+        (jnp.zeros((N, FEAT), jnp.float32).at[r].add(
+            s, indices_are_sorted=True, unique_indices=True) + x) * 0.25 + 0.01
+    ), h, rows, sub)
+elif PART == 2:
+    # (d) gather-expand alternative: take from [kr+1, F] with a zero row
+    inv = np.full(N, KR, np.int32)
+    inv[np.asarray(rows)] = np.arange(KR, dtype=np.int32)
+    inv_j = jnp.asarray(inv)
+    tm("gather-expand take([64k+1,F])[N] + add", lambda x, iv, s: (
+        (x + jnp.take(jnp.concatenate([s, jnp.zeros((1, FEAT), s.dtype)]), iv, axis=0))
+        * 0.25 + 0.01
+    ), h, inv_j, sub)
+else:
+    # (e) warm-rate hub-table split: gather 135k slots from one [24.6k, F]
+    # table vs two [12.3k, F] halves behind optimization_barrier
+    y = jnp.asarray(rng.normal(size=(G, FEAT)).astype(np.float32))
+    slots = jnp.asarray(rng.integers(0, G, 135_000).astype(np.int32))
+    # the gather must DEPEND on the loop carry or XLA hoists it out of the
+    # timing fori_loop as loop-invariant (measured "0.000 ms")
+    def dep(x, i):
+        return i + (x[0, 0] * 0.0).astype(jnp.int32)
+
+    tm("gather 135k from [24.6k, F]", lambda x, t, i: (
+        x * 0.5 + jnp.take(t, dep(x, i), axis=0).sum(0, keepdims=True) * 1e-20
+    ), y[:1], y, slots)
+
+    def split_gather(x, t, i):
+        half = G // 2
+        i = dep(x, i)
+        lo, hi = jax.lax.optimization_barrier((t[:half], t[half:]))
+        pick_lo = jnp.take(lo, jnp.minimum(i, half - 1), axis=0)
+        pick_hi = jnp.take(hi, jnp.maximum(i - half, 0), axis=0)
+        v = jnp.where((i < half)[:, None], pick_lo, pick_hi)
+        return x * 0.5 + v.sum(0, keepdims=True) * 1e-20
+
+    tm("gather 2x135k from two [12.3k, F] halves", split_gather, y[:1], y, slots)

@@ -1,0 +1,60 @@
+"""A/B: flat-BSR tile kernel with f32 vs bf16 dense-operand (h) streaming.
+
+The kernel is DMA-pipeline-bound and the [128, 512] h-block is ~80% of each
+tile step's bytes. PERF.md measured bf16 TILE storage as a loss (layout
+conversions) — this probes bf16 on the DENSE side only, tiles staying f32,
+MXU f32 (HIGHEST).
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax.numpy as jnp
+
+from graphconvgeo_tpu.data.synthetic import random_mention_projection_graph
+from graphconvgeo_tpu.ops.spmm_pallas import spmm_bsr_flat
+from graphconvgeo_tpu.sparse.factorized import FactorizedAdjacency
+from graphconvgeo_tpu.sparse.reorder import bipartite_reordering
+from graphconvgeo_tpu.utils.timing import device_seconds_per_iter
+
+N, N_COMM, FEAT = 262_144, 1024, 512
+
+adj, groups = random_mention_projection_graph(N, N_COMM, seed=7, return_structure=True)
+del adj
+perm = np.random.default_rng(1).permutation(N)
+inv = np.empty(N, dtype=np.int64)
+inv[perm] = np.arange(N)
+groups = {g: inv[np.asarray(m)] for g, m in groups.items()}
+ro = bipartite_reordering(groups, N)
+groups = {g: ro.to_new(np.asarray(m)) for g, m in groups.items()}
+fa = FactorizedAdjacency.from_groups(groups, N)
+tiles = fa.r_tiles
+print(f"r_tiles: {tiles.n_tiles} tiles")
+
+h = jnp.asarray(np.random.default_rng(0).normal(size=(N, FEAT)).astype(np.float32))
+h16 = h.astype(jnp.bfloat16)
+
+
+def tm(name, fn, x, *ops):
+    dt = device_seconds_per_iter(fn, x, *ops, iters_lo=1, iters_hi=9, trials=3)
+    us = dt * 1e6 / tiles.n_tiles
+    print(f"{name:34s} {dt*1e3:8.3f} ms  ({us:.2f} us/tile)", flush=True)
+
+
+import dataclasses
+
+tiles16 = dataclasses.replace(tiles, tiles=tiles.tiles.astype(jnp.bfloat16))
+
+tm("f32 h blocks", lambda x, t: spmm_bsr_flat(t, t, x) * 0.25 + 0.01, h, tiles)
+# cast inside the step: models the operator, where the bf16 copy of h
+# already exists for the gather path (the cast would be free there)
+tm("bf16 h blocks", lambda x, t: (
+    spmm_bsr_flat(t, t, x.astype(jnp.bfloat16), h_dtype=jnp.bfloat16)
+    * 0.25 + 0.01
+), h, tiles)
+tm("bf16 h + bf16 tiles", lambda x, t: (
+    spmm_bsr_flat(t, t, x.astype(jnp.bfloat16), h_dtype=jnp.bfloat16)
+    * 0.25 + 0.01
+), h, tiles16)

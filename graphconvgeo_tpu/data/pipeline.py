@@ -95,7 +95,11 @@ class Dataset:
         """
         from graphconvgeo_tpu.sparse.reorder import best_reordering
 
-        ro = best_reordering(self.adj)
+        groups = None
+        if self.groups_offsets is not None and len(self.groups_offsets) > 1:
+            off, mem = self.groups_offsets, self.groups_members
+            groups = {g: mem[off[g] : off[g + 1]] for g in range(len(off) - 1)}
+        ro = best_reordering(self.adj, groups=groups)
         remap_ids = lambda a: None if a is None else ro.to_new(a).astype(a.dtype)
         ds = dataclasses.replace(
             self,

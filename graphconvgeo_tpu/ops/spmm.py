@@ -288,7 +288,13 @@ def spmm_operands(fmt, fmt_t, h: jax.Array, *, n_rows: int, gather_dtype=None) -
     from graphconvgeo_tpu.sparse.factorized import FactorizedAdjacency, spmm_factorized
 
     if isinstance(fmt, FactorizedAdjacency):
-        return spmm_factorized(fmt, h, gather_dtype=gather_dtype)[:n_rows]
+        # bf16 gathers imply bf16 MXU tiles (1-pass vs 3-pass HIGHEST):
+        # both round operator inputs to bf16, so pairing them keeps one
+        # precision class across the whole factored apply (measured -1.1 ms
+        # at bench scale, PERF.md round 3)
+        return spmm_factorized(
+            fmt, h, gather_dtype=gather_dtype, mxu_dtype=gather_dtype
+        )[:n_rows]
     if isinstance(fmt, SlabbedBell):
         return spmm_slabbed(fmt, h, gather_dtype=gather_dtype)[:n_rows]
     if isinstance(fmt, CachedBell):

@@ -163,11 +163,17 @@ def _flat_kernel(first_ref, rowblk_ref, colblk_ref, tile_ref, h_ref, o_ref, *, m
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
+    # HIGHEST (3-pass true f32) only makes sense for f32 contraction;
+    # Mosaic rejects fp32 contract_precision on bf16 operands
     o_ref[:] += jnp.dot(
         tile_ref[0].astype(mxu_dtype),
         h_ref[:].astype(mxu_dtype),
         preferred_element_type=o_ref.dtype,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=(
+            jax.lax.Precision.HIGHEST
+            if jnp.dtype(mxu_dtype) == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        ),
     )
 
 
@@ -240,10 +246,23 @@ def _bsr_flat_matmul(
 
 
 def spmm_bsr_flat(
-    mat: BsrFlat, mat_t: BsrFlat, h: jax.Array, *, fblk: int = 512, mxu_dtype=jnp.float32
+    mat: BsrFlat,
+    mat_t: BsrFlat,
+    h: jax.Array,
+    *,
+    fblk: int = 512,
+    mxu_dtype=jnp.float32,
+    h_dtype=None,
 ) -> jax.Array:
     """Flat-tile block-sparse SpMM with custom VJP (``mat_t`` drives the
-    backward ``Âᵀ·G``; symmetric operators pass the same operand twice)."""
+    backward ``Âᵀ·G``; symmetric operators pass the same operand twice).
+
+    ``h_dtype`` sets the dense operand's DMA/storage dtype (default: the
+    tiles' dtype). The kernel is DMA-pipeline-bound and the h-block is ~80%
+    of per-tile bytes, so streaming h in bf16 is the byte lever that tile
+    storage wasn't (PERF.md measured bf16 TILE storage a loss); accumulation
+    stays f32 via ``mxu_dtype``. Callers that already hold a bf16 copy of h
+    (the factorized operator's ``gather_dtype`` path) pass it here for free."""
     f = h.shape[1]
     f_pad = _round_up(f, 128)
     rows_needed = mat.n_cols_padded
@@ -265,7 +284,7 @@ def spmm_bsr_flat(
         mat_t.rowblk,
         mat_t.colblk,
         mat_t.first,
-        h_p.astype(mat.tiles.dtype),
+        h_p.astype(jnp.dtype(h_dtype) if h_dtype is not None else mat.tiles.dtype),
         mat.n_row_blocks,
         mat_t.n_row_blocks,
         fblk,

@@ -98,19 +98,25 @@ def _apply_factor(
     *,
     n_out: int,
     gather_dtype=None,
+    rest_src: Optional[jax.Array] = None,
+    mxu_dtype=None,
 ) -> jax.Array:
     """(tiles + rest)·h for one factor — raw (differentiated at the operator
-    level, not per op)."""
+    level, not per op). ``rest_src`` lets the caller hand the bell a
+    PRE-CAST copy of ``h`` so one bf16 cast pass is shared across ops
+    (each ``_bell_raw`` would otherwise re-cast the full [N, F] source)."""
     from graphconvgeo_tpu.ops.spmm_pallas import spmm_bsr_flat
 
     out = None
     if tiles is not None:
-        out = spmm_bsr_flat(tiles, tiles, h)[:n_out]
+        out = spmm_bsr_flat(
+            tiles, tiles, h, mxu_dtype=mxu_dtype or jnp.float32
+        )[:n_out]
     if rest is not None:
         kr = rest.rows.shape[0]
-        sub = _bell_raw(rest.bell, h, gather_dtype)[:kr]
+        sub = _bell_raw(rest.bell, h if rest_src is None else rest_src, gather_dtype)[:kr]
         if out is None:
-            out = jnp.zeros((n_out, h.shape[1]), sub.dtype)
+            out = jnp.zeros((n_out, h.shape[1]), h.dtype)
         out = out.at[rest.rows].add(
             sub.astype(out.dtype), indices_are_sorted=True, unique_indices=True
         )
@@ -136,6 +142,14 @@ class FactorizedAdjacency:
     b_rest: Optional[TrimmedBell]
     r_tiles: Optional[BsrFlat]  # dense tiles of R'  [N, N] (symmetric)
     r_rest: Optional[TrimmedBell]
+    # COMBINED rest of B' and R' over the stacked source z = [h; y]
+    # ([N+G, F]): one bell + ONE output scatter instead of two. Measured
+    # (exp_scatter_fixed.py): a scatter-add op costs a full rewrite of its
+    # TARGET (~3.2 ms at [262k, 512] f32, proportional to target bytes,
+    # zeros target included), so the second [N, F] scatter was pure fixed
+    # cost; merging also shares one bf16 cast pass and one bell op's bucket
+    # machinery. When set, b_rest/r_rest are None (and vice versa).
+    br_rest: Optional[TrimmedBell]
     diag: jax.Array  # [N] float32 — (1 − mᵢ)/dᵢ elementwise term
     n_rows: int = dataclasses.field(metadata=dict(static=True))
     n_groups: int = dataclasses.field(metadata=dict(static=True))
@@ -149,6 +163,7 @@ class FactorizedAdjacency:
         dtype=jnp.float32,
         block: int = 128,
         min_tile_nnz: int = 48,
+        combined_rest: bool = True,
     ) -> "FactorizedAdjacency":
         """Build from the mention structure (``data/graph.py ::
         mention_structure``'s ``groups`` dict hub → member ids, plus optional
@@ -159,26 +174,41 @@ class FactorizedAdjacency:
         Hubs are ordered by their audience's median position, so when users
         arrive community-contiguous (``sparse/reorder.py``) the incidence is
         near block-diagonal and most of its mass lands in MXU tiles.
+
+        ``combined_rest`` merges the B' and R' residuals into one bell over
+        the stacked gather source [h; y] — one [N, F] output scatter instead
+        of two (see the field comment); ``False`` keeps the separate-rest
+        layout for A/B measurement.
         """
         b_scaled, r_csr, diag, g_count = host_factors(groups, n, direct=direct)
 
         def hybrid_split(csr):
             dense, resid = split_dense_tiles(csr, block=block, min_tile_nnz=min_tile_nnz)
             tiles = BsrFlat.from_scipy(dense, block=block, dtype=dtype) if dense.nnz else None
-            rest = TrimmedBell.from_scipy(resid, dtype=dtype)
-            return tiles, rest
+            return tiles, resid
 
-        bt_tiles, bt_rest = hybrid_split(b_scaled.T.tocsr())
-        b_tiles, b_rest = hybrid_split(b_scaled)
-        r_tiles, r_rest = hybrid_split(r_csr)
+        bt_tiles, bt_resid = hybrid_split(b_scaled.T.tocsr())
+        b_tiles, b_resid = hybrid_split(b_scaled)
+        r_tiles, r_resid = hybrid_split(r_csr)
+
+        b_rest = r_rest = br_rest = None
+        if combined_rest:
+            # column space of z = [h; y]: R' entries keep their column (h
+            # rows), B' entries shift by n (y rows)
+            combined = sp.hstack([r_resid.tocsr(), b_resid.tocsr()], format="csr")
+            br_rest = TrimmedBell.from_scipy(combined, dtype=dtype)
+        else:
+            b_rest = TrimmedBell.from_scipy(b_resid, dtype=dtype)
+            r_rest = TrimmedBell.from_scipy(r_resid, dtype=dtype)
 
         return FactorizedAdjacency(
             bt_tiles=bt_tiles,
-            bt_rest=bt_rest,
+            bt_rest=TrimmedBell.from_scipy(bt_resid, dtype=dtype),
             b_tiles=b_tiles,
             b_rest=b_rest,
             r_tiles=r_tiles,
             r_rest=r_rest,
+            br_rest=br_rest,
             diag=jnp.asarray(diag),
             n_rows=n,
             n_groups=max(g_count, 1),
@@ -188,7 +218,7 @@ class FactorizedAdjacency:
     def nnz_factored(self) -> int:
         """Device-side work: padded bell slots + dense-tile cells."""
         total = 0
-        for rest in (self.bt_rest, self.b_rest, self.r_rest):
+        for rest in (self.bt_rest, self.b_rest, self.r_rest, self.br_rest):
             if rest is not None:
                 total += rest.bell.padded_slots
         for tiles in (self.bt_tiles, self.b_tiles, self.r_tiles):
@@ -317,37 +347,68 @@ def materialize_projection(
     return a.astype(np.float32)
 
 
-def _raw_apply(fa: FactorizedAdjacency, h: jax.Array, gather_dtype) -> jax.Array:
-    """Â·h in factored form: B'(B'ᵀh) + R'h + diag⊙h (no VJP wrapping)."""
+def _raw_apply(
+    fa: FactorizedAdjacency, h: jax.Array, gather_dtype, mxu_dtype=None
+) -> jax.Array:
+    """Â·h in factored form: B'(B'ᵀh) + R'h + diag⊙h (no VJP wrapping).
+
+    ``mxu_dtype=bfloat16`` runs the tile contractions 1-pass (vs 3-pass
+    HIGHEST f32) — precision-consistent with ``gather_dtype=bfloat16``,
+    which already rounds every rest edge's operand to bf16."""
+    if fa.br_rest is not None:
+        # combined-rest layout: one bf16 cast of h shared by every bell, one
+        # stacked gather source z = [h_cast; y_cast], ONE output scatter
+        # (scatter ops rewrite their whole target — exp_scatter_fixed.py)
+        gd = gather_dtype
+        h_cast = h.astype(gd) if gd is not None and h.dtype != jnp.dtype(gd) else h
+        y = _apply_factor(
+            fa.bt_tiles, fa.bt_rest, h, n_out=fa.n_groups,
+            gather_dtype=gd, rest_src=h_cast, mxu_dtype=mxu_dtype,
+        )
+        out = _apply_factor(fa.b_tiles, None, y, n_out=fa.n_rows, mxu_dtype=mxu_dtype)
+        if fa.r_tiles is not None:
+            out = out + _apply_factor(
+                fa.r_tiles, None, h, n_out=fa.n_rows, mxu_dtype=mxu_dtype
+            )
+        z = jnp.concatenate([h_cast[: fa.n_rows], y.astype(h_cast.dtype)], axis=0)
+        kr = fa.br_rest.rows.shape[0]
+        sub = _bell_raw(fa.br_rest.bell, z, gd)[:kr]
+        out = out.at[fa.br_rest.rows].add(
+            sub.astype(out.dtype), indices_are_sorted=True, unique_indices=True
+        )
+        return out + fa.diag[:, None] * h[: fa.n_rows]
     y = _apply_factor(
-        fa.bt_tiles, fa.bt_rest, h, n_out=fa.n_groups, gather_dtype=gather_dtype
+        fa.bt_tiles, fa.bt_rest, h, n_out=fa.n_groups, gather_dtype=gather_dtype,
+        mxu_dtype=mxu_dtype,
     )
     out = _apply_factor(
-        fa.b_tiles, fa.b_rest, y, n_out=fa.n_rows, gather_dtype=gather_dtype
+        fa.b_tiles, fa.b_rest, y, n_out=fa.n_rows, gather_dtype=gather_dtype,
+        mxu_dtype=mxu_dtype,
     )
     if fa.r_tiles is not None or fa.r_rest is not None:
         out = out + _apply_factor(
-            fa.r_tiles, fa.r_rest, h, n_out=fa.n_rows, gather_dtype=gather_dtype
+            fa.r_tiles, fa.r_rest, h, n_out=fa.n_rows, gather_dtype=gather_dtype,
+            mxu_dtype=mxu_dtype,
         )
     return out + fa.diag[:, None] * h[: fa.n_rows]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _factorized_core(fa, h, gather_dtype):
-    return _raw_apply(fa, h, gather_dtype)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _factorized_core(fa, h, gather_dtype, mxu_dtype):
+    return _raw_apply(fa, h, gather_dtype, mxu_dtype)
 
 
-def _factorized_fwd(fa, h, gather_dtype):
+def _factorized_fwd(fa, h, gather_dtype, mxu_dtype):
     # zero-size dtype marker so bwd casts dh back to the primal h dtype
-    return _raw_apply(fa, h, gather_dtype), (fa, jnp.zeros((0,), h.dtype), h.shape[0])
+    return _raw_apply(fa, h, gather_dtype, mxu_dtype), (fa, jnp.zeros((0,), h.dtype), h.shape[0])
 
 
-def _factorized_bwd(gather_dtype, res, g):
+def _factorized_bwd(gather_dtype, mxu_dtype, res, g):
     fa, marker, n_in = res
     # the composed operator is SYMMETRIC (Â = Âᵀ), so the input cotangent is
     # the same factored apply on g — the backward reuses every forward layout
     # choice (tiles for big-table sides, bell for the small-table side)
-    dh = _raw_apply(fa, g.astype(marker.dtype), gather_dtype).astype(marker.dtype)
+    dh = _raw_apply(fa, g.astype(marker.dtype), gather_dtype, mxu_dtype).astype(marker.dtype)
     if n_in != dh.shape[0]:  # h may carry extra (padding) rows — zero cotangent
         dh = jnp.zeros((n_in, dh.shape[1]), dh.dtype).at[: dh.shape[0]].set(dh)
     f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
@@ -362,13 +423,18 @@ _factorized_core.defvjp(_factorized_fwd, _factorized_bwd)
 
 
 def spmm_factorized(
-    fa: FactorizedAdjacency, h: jax.Array, *, gather_dtype=None
+    fa: FactorizedAdjacency, h: jax.Array, *, gather_dtype=None, mxu_dtype=None
 ) -> jax.Array:
     """Â·h in factored form: B'(B'ᵀh) + R'h + diag⊙h.
 
     One custom VJP covers the WHOLE composition: Â is symmetric, so the
     backward is the identical factored apply on the cotangent — no per-op
     transpose operands, restores, or scatter-adds beyond the forward's own.
+
+    ``mxu_dtype=bfloat16`` contracts the MXU tiles 1-pass instead of 3-pass
+    HIGHEST f32 — same rounding class as ``gather_dtype=bfloat16`` applies
+    to every rest edge, so pair them (or leave both None for f32 parity).
     """
     gd = None if gather_dtype is None else jnp.dtype(gather_dtype)
-    return _factorized_core(fa, h, gd)
+    md = None if mxu_dtype is None else jnp.dtype(mxu_dtype)
+    return _factorized_core(fa, h, gd, md)

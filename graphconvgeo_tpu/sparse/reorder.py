@@ -99,13 +99,21 @@ def _grouped_mode(group_ids, labels, n_groups, *, default=None):
     return out
 
 
-def bipartite_reordering(groups: dict, n: int, *, iters: int = 10) -> Reordering:
+def bipartite_reordering(
+    groups: dict, n: int, *, iters: int = 10, clique_group: bool = False
+) -> Reordering:
     """Community-contiguous USER ordering computed from the mention structure
     alone — no projected adjacency needed (the point of the factorized path:
     the projection is never materialized). Label propagation runs on the
     user∪hub bipartite graph (nnz = 2·Σ|audience|, tens of times smaller than
     the projection); users sharing hubs converge to one label and become
-    contiguous, which makes the scaled incidence B' near block-diagonal."""
+    contiguous, which makes the scaled incidence B' near block-diagonal.
+
+    ``clique_group`` adds a within-community secondary sort by each user's
+    PRIMARY hub (its largest-audience group): one clique per user becomes a
+    contiguous row-run, so B' columns get dense vertical strips and R'
+    entries (pairs sharing ≥2 hubs) concentrate — higher 128² tile fill,
+    fewer tiles and fewer rest slots for the same edge mass."""
     member_lists = [np.asarray(list(m), dtype=np.int64) for m in groups.values()]
     member_lists = [m for m in member_lists if len(m) >= 2]
     g_count = len(member_lists)
@@ -130,7 +138,20 @@ def bipartite_reordering(groups: dict, n: int, *, iters: int = 10) -> Reordering
     touched = np.zeros(n, dtype=bool)
     touched[users] = True
     sort_key = np.where(touched, user_labels, n + np.arange(n, dtype=np.int64))
-    perm = np.argsort(sort_key, kind="stable").astype(np.int64)
+    if clique_group:
+        # primary hub per user = its largest-audience group (break ties by
+        # hub id); members of one big clique become one contiguous row-run
+        aud = np.asarray([len(m) for m in member_lists], dtype=np.int64)
+        order = np.lexsort((hubs, -aud[hubs], users))
+        u_sorted = users[order]
+        first = np.ones(len(u_sorted), dtype=bool)
+        first[1:] = u_sorted[1:] != u_sorted[:-1]
+        primary = np.zeros(n, dtype=np.int64)
+        primary[u_sorted[first]] = hubs[order][first]
+        perm = np.lexsort((np.arange(n, dtype=np.int64), primary, sort_key))
+    else:
+        perm = np.argsort(sort_key, kind="stable")
+    perm = perm.astype(np.int64)
     inv = np.empty_like(perm)
     inv[perm] = np.arange(n)
     return Reordering(perm=perm, inv=inv)
@@ -142,10 +163,12 @@ def best_reordering(
     seed: int = 0,
     target_coverage: float = 0.5,
     louvain_max_nodes: int = 300_000,
+    groups: dict | None = None,
 ) -> Reordering:
-    """Pick the best of {identity, labelprop, louvain, rcm} by tile coverage.
-    Louvain is skipped above ``louvain_max_nodes`` (O(minutes) there; the
-    native label propagation covers that regime)."""
+    """Pick the best of {identity, bipartite-clique (when ``groups`` is
+    given), labelprop, louvain, rcm} by tile coverage. Louvain is skipped
+    above ``louvain_max_nodes`` (O(minutes) there; the native label
+    propagation covers that regime)."""
     adj = sp.csr_matrix(adj)
     n = adj.shape[0]
     ident = Reordering(perm=np.arange(n, dtype=np.int64), inv=np.arange(n, dtype=np.int64))
@@ -153,6 +176,14 @@ def best_reordering(
     if best_cov >= target_coverage:
         return ident
     def candidates():
+        if groups is not None:
+            # mention-structure ordering: clique-grouped communities from the
+            # bipartite incidence (also the best order for the factorized
+            # operand's B'/R' fill — measured in PERF.md round 3)
+            try:
+                yield bipartite_reordering(groups, n, clique_group=True)
+            except Exception:
+                pass
         try:
             yield labelprop_reordering(adj)
         except Exception:
