@@ -33,11 +33,15 @@ def _kernel(trow_ref, tcol_ref, h1_ref, h2_ref, o_ref):
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
+    # HIGHEST: DEFAULT rounds f32 inputs to bf16 on the MXU (the precision
+    # trap PERF.md documents for the BSR kernels — caught here by the
+    # on-chip tier, tests_tpu/, round 3; interpret mode cannot see it)
     o_ref[0] += jax.lax.dot_general(
         h1_ref[:],
         h2_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=o_ref.dtype,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

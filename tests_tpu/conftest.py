@@ -1,0 +1,38 @@
+"""On-chip kernel test tier (VERDICT r2 #2).
+
+Everything under ``tests_tpu/`` runs the Pallas kernels FOR REAL on the TPU
+— no interpret mode, no virtual CPU mesh. This is the tier that catches the
+bug class interpret mode cannot: Mosaic miscompiles that only appear when a
+kernel is jitted in composition with other ops (PERF.md, 2026-08-20 "TPU
+backend error (Internal)" in the tiled-attention transpose sweep).
+
+Run it separately from the CPU suite (the jax platform is process-global,
+so one pytest process cannot host both tiers):
+
+    /opt/venv/bin/python -m pytest tests_tpu -q        # on the chip
+    /opt/venv/bin/python -m pytest tests_tpu -m tpu -q # equivalent
+
+On a machine without a TPU every test here SKIPS (the CPU suite under
+``tests/`` is unaffected — its conftest pins the cpu backend and an
+8-device virtual mesh).
+"""
+
+import jax
+import pytest
+
+ON_TPU = jax.default_backend() == "tpu"
+
+
+def pytest_collection_modifyitems(config, items):
+    skip = pytest.mark.skip(reason="needs a real TPU (jax.default_backend() != 'tpu')")
+    for item in items:
+        item.add_marker(pytest.mark.tpu)
+        if not ON_TPU:
+            item.add_marker(skip)
+
+
+@pytest.fixture
+def rng():
+    import numpy as np
+
+    return np.random.default_rng(0)

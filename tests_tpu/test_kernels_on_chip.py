@@ -1,0 +1,275 @@
+"""Every Pallas kernel on the REAL chip, allclose vs jnp/scipy oracles —
+forward, backward, and in jit COMPOSITION with other ops (the exact
+configuration class of the 2026-08-20 Mosaic miscompile, PERF.md)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+
+def _random_csr(rng, n_rows, n_cols, avg_deg):
+    deg = rng.poisson(avg_deg, size=n_rows)
+    rows = np.repeat(np.arange(n_rows), deg)
+    cols = rng.integers(0, n_cols, size=rows.shape[0])
+    vals = rng.normal(size=rows.shape[0]).astype(np.float32)
+    m = sp.coo_matrix((vals, (rows, cols)), shape=(n_rows, n_cols)).tocsr()
+    m.sum_duplicates()
+    return m
+
+
+def _blocky_csr(rng, n, c, *, dense_blocks=2):
+    """Skewed pattern: a few dense 128² blocks + scattered edges + one empty
+    row block (rows 128..255) — exercises accumulator resets and padding."""
+    rs, cs = [], []
+    for b in range(dense_blocks):
+        r0 = 256 + 128 * (2 * b)
+        nd = 3000
+        rs.append(r0 + rng.integers(0, 128, nd))
+        cs.append(128 * b + rng.integers(0, 128, nd))
+    rs.append(rng.integers(256, n, 800))
+    cs.append(rng.integers(0, c, 800))
+    rs.append(rng.integers(0, 128, 200))
+    cs.append(rng.integers(0, c, 200))
+    rs, cs = np.concatenate(rs), np.concatenate(cs)
+    m = sp.coo_matrix(
+        (rng.normal(size=len(rs)).astype(np.float32), (rs, cs)), shape=(n, c)
+    ).tocsr()
+    m.sum_duplicates()
+    return m
+
+
+def test_spmm_bsr_flat_on_chip(rng):
+    from graphconvgeo_tpu.ops.spmm_pallas import spmm_bsr_flat
+    from graphconvgeo_tpu.sparse.formats import BsrFlat
+
+    n = c = 1024
+    m = _blocky_csr(rng, n, c)
+    mat = BsrFlat.from_scipy(m, block=128)
+    mat_t = BsrFlat.from_scipy(m.T.tocsr(), block=128)
+    h = jnp.asarray(rng.normal(size=(c, 256)).astype(np.float32))
+    got = spmm_bsr_flat(mat, mat_t, h)
+    np.testing.assert_allclose(np.asarray(got), m @ np.asarray(h), rtol=2e-5, atol=2e-5)
+    assert np.allclose(np.asarray(got)[128:256], 0.0)  # empty row block zeroed
+    w = jnp.asarray(rng.normal(size=(n, 256)).astype(np.float32))
+    dh = jax.grad(lambda x: jnp.sum(spmm_bsr_flat(mat, mat_t, x) * w))(h)
+    np.testing.assert_allclose(np.asarray(dh), m.T @ np.asarray(w), rtol=2e-5, atol=2e-5)
+
+
+def test_spmm_bsr_flat_bf16_mxu_on_chip(rng):
+    """bf16 MXU contraction (1-pass) — the factorized operator's tile mode
+    when gather_dtype=bfloat16; Mosaic must pick DEFAULT contract precision."""
+    from graphconvgeo_tpu.ops.spmm_pallas import spmm_bsr_flat
+    from graphconvgeo_tpu.sparse.formats import BsrFlat
+
+    n = c = 1024
+    m = _blocky_csr(rng, n, c)
+    mat = BsrFlat.from_scipy(m, block=128)
+    h = jnp.asarray(rng.normal(size=(c, 128)).astype(np.float32))
+    got = np.asarray(spmm_bsr_flat(mat, mat, h, mxu_dtype=jnp.bfloat16))
+    want = m @ np.asarray(h)
+    scale = np.abs(want).max() + 1e-6
+    assert np.abs(got - want).max() / scale < 2e-2  # bf16 input rounding
+
+
+def test_spmm_bsr_grid_on_chip(rng):
+    from graphconvgeo_tpu.ops.spmm_pallas import spmm_bsr
+    from graphconvgeo_tpu.sparse.formats import BsrMatrix
+
+    n, c = 768, 896
+    m = _random_csr(rng, n, c, 12)
+    mat = BsrMatrix.from_scipy(m, block=128)
+    mat_t = BsrMatrix.from_scipy(m.T.tocsr(), block=128)
+    h = jnp.asarray(rng.normal(size=(c, 192)).astype(np.float32))
+    got = spmm_bsr(mat, mat_t, h)
+    np.testing.assert_allclose(np.asarray(got), m @ np.asarray(h), rtol=2e-5, atol=2e-5)
+
+
+def test_sddmm_bsr_on_chip(rng):
+    from graphconvgeo_tpu.ops.sddmm_pallas import sddmm_bsr
+    from graphconvgeo_tpu.sparse.formats import BsrMatrix
+
+    n, c = 512, 640
+    m = _random_csr(rng, n, c, 8)
+    pattern = BsrMatrix.from_scipy(m, block=128)
+    h1 = rng.normal(size=(n, 128)).astype(np.float32)
+    h2 = rng.normal(size=(c, 128)).astype(np.float32)
+    scores = np.asarray(sddmm_bsr(pattern, jnp.asarray(h1), jnp.asarray(h2)))
+    cb = -(-c // 128)
+    full = np.pad(h1 @ h2.T, ((0, pattern.n_row_blocks * 128 - n), (0, cb * 128 - c)))
+    tiles = np.asarray(pattern.tiles)
+    tidx, tcol = np.asarray(pattern.tile_idx), np.asarray(pattern.tile_col)
+    checked = 0
+    for r in range(pattern.n_row_blocks):
+        for k in range(tidx.shape[1]):
+            t = tidx[r, k]
+            if t == 0:
+                continue
+            cblk = tcol[r, k]
+            mask = tiles[t] != 0
+            want = np.where(mask, full[r * 128:(r + 1) * 128, cblk * 128:(cblk + 1) * 128], 0.0)
+            np.testing.assert_allclose(scores[t], want, rtol=1e-4, atol=1e-4)
+            checked += mask.sum()
+    assert checked == m.nnz
+
+
+def _attention_setup(rng, n=512, heads=2, f=64):
+    a = sp.random(n, n, density=0.004, format="csr", random_state=7)
+    a.data[:] = 1.0
+    a = a.tolil()
+    a[:128, :128] = np.ones((128, 128))  # one fully dense tile
+    a = a.tocsr()
+    a = a + a.T + sp.identity(n, format="csr")
+    a.data[:] = 1.0
+    a.sort_indices()
+    z = jnp.asarray(rng.normal(size=(n, heads * f)).astype(np.float32)) * 0.5
+    a_src = jnp.asarray(rng.normal(size=(heads, f)).astype(np.float32)) * 0.3
+    a_dst = jnp.asarray(rng.normal(size=(heads, f)).astype(np.float32)) * 0.3
+    return a, z, a_src, a_dst
+
+
+def _dense_attention_oracle(adj_mask, z, a_src, a_dst, slope=0.2):
+    heads, f = a_src.shape
+    zh = z.reshape(z.shape[0], heads, f)
+    n = adj_mask.shape[0]
+    s = jnp.einsum("nhf,hf->nh", zh[:n], a_src)
+    d = jnp.einsum("nhf,hf->nh", zh, a_dst)
+    raw = s[:, None, :] + d[None, :, :]
+    sc = jnp.where(raw >= 0, raw, slope * raw)
+    sc = jnp.where(adj_mask[:, :, None] > 0, sc, -1e30)
+    alpha = jax.nn.softmax(sc, axis=1)
+    alpha = alpha * (adj_mask[:, :, None] > 0)
+    return jnp.einsum("nmh,mhf->nhf", alpha, zh).reshape(n, heads * f)
+
+
+def test_tiled_attention_fwd_bwd_on_chip(rng):
+    """All four tiled-attention Pallas passes (max / fwd / bwd-row / bwd-col)
+    at TPU-legal block 128, tiles + bucketed rest both engaged."""
+    from graphconvgeo_tpu.ops.attention_tiled import gat_attention_tiled
+    from graphconvgeo_tpu.sparse.attention_tiles import TiledAttentionPattern
+
+    a, z, a_src, a_dst = _attention_setup(rng)
+    # min_tile_nnz above the off-diagonal blocks' ~190 edges: the dense
+    # clique + identity-diagonal tiles stay tiled, the rest goes bucketed —
+    # both code paths engaged
+    att = TiledAttentionPattern.from_scipy(a, block=128, min_tile_nnz=256)
+    assert att.n_tiles > 0 and att.rest is not None
+    # pin default matmul precision: the comparison targets KERNEL behavior,
+    # and the surrounding einsums (score projections, the dense oracle) would
+    # otherwise run at TPU DEFAULT = bf16 rounding on both sides
+    with jax.default_matmul_precision("highest"):
+        out = gat_attention_tiled(att, z, a_src, a_dst, negative_slope=0.2)
+        want = _dense_attention_oracle(jnp.asarray(a.toarray()), z, a_src, a_dst)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=3e-4, atol=3e-4)
+
+        tgt = jnp.asarray(rng.normal(size=np.asarray(out).shape).astype(np.float32))
+
+        def loss(fn):
+            return lambda z_, s_, d_: jnp.sum((fn(z_, s_, d_) - tgt) ** 2)
+
+        g_t = jax.grad(loss(lambda z_, s_, d_: gat_attention_tiled(
+            att, z_, s_, d_, negative_slope=0.2)), argnums=(0, 1, 2))(z, a_src, a_dst)
+        g_o = jax.grad(loss(lambda z_, s_, d_: _dense_attention_oracle(
+            jnp.asarray(a.toarray()), z_, s_, d_)), argnums=(0, 1, 2))(z, a_src, a_dst)
+    for got_g, want_g in zip(g_t, g_o):
+        np.testing.assert_allclose(
+            np.asarray(got_g), np.asarray(want_g), rtol=2e-3, atol=2e-3
+        )
+
+
+def test_tiled_attention_dropout_kernel_on_chip(rng):
+    """In-kernel hashed attention-dropout masks compile and run on chip."""
+    from graphconvgeo_tpu.ops.attention_tiled import gat_attention_tiled
+    from graphconvgeo_tpu.sparse.attention_tiles import TiledAttentionPattern
+
+    a, z, a_src, a_dst = _attention_setup(rng, n=384)
+    att = TiledAttentionPattern.from_scipy(a, block=128, min_tile_nnz=64)
+    out = gat_attention_tiled(
+        att, z, a_src, a_dst, negative_slope=0.2,
+        attn_dropout=0.3, rng=jax.random.key(7),
+    )
+    base = gat_attention_tiled(att, z, a_src, a_dst, negative_slope=0.2)
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.abs(np.asarray(out) - np.asarray(base)).max() > 1e-4  # masks engaged
+
+
+def test_factorized_operator_composition_on_chip(rng):
+    """The factorized Â apply: three flat-BSR Pallas kernels + bucketed
+    gathers + scatter-adds + concat, fwd AND bwd, in ONE jitted program —
+    the multiple-pallas-calls-plus-other-ops composition class that the
+    2026-08-20 interpret-mode-invisible miscompile lived in."""
+    from graphconvgeo_tpu.sparse.factorized import (
+        FactorizedAdjacency,
+        materialize_projection,
+        spmm_factorized,
+    )
+    from graphconvgeo_tpu.sparse.formats import normalize_adjacency
+
+    n = 2048
+    groups = {
+        g: rng.choice(n, size=int(rng.integers(2, 20)), replace=False)
+        for g in range(600)
+    }
+    direct = (rng.integers(0, n, 300), rng.integers(0, n, 300))
+    fa = FactorizedAdjacency.from_groups(groups, n, direct=direct)
+    assert fa.br_rest is not None  # combined-rest layout engaged
+    a_hat = normalize_adjacency(
+        materialize_projection(groups, n, direct=direct), add_self_loops=True
+    )
+    h = jnp.asarray(rng.normal(size=(n, 256)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(n, 256)).astype(np.float32))
+
+    @jax.jit
+    def fwd_and_grad(h_):
+        val = spmm_factorized(fa, h_)
+        g = jax.grad(lambda x: jnp.sum(spmm_factorized(fa, x) * w))(h_)
+        return val, g
+
+    got, got_g = fwd_and_grad(h)
+    want = a_hat @ np.asarray(h)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-5, atol=3e-5)
+    # symmetric operator: grad = Â·w
+    np.testing.assert_allclose(np.asarray(got_g), a_hat @ np.asarray(w), rtol=3e-5, atol=3e-5)
+
+    # and the production precision mode (bf16 gathers + bf16 MXU tiles)
+    got16 = np.asarray(
+        jax.jit(lambda x: spmm_factorized(
+            fa, x, gather_dtype=jnp.bfloat16, mxu_dtype=jnp.bfloat16
+        ))(h)
+    )
+    scale = np.abs(want).max() + 1e-6
+    assert np.abs(got16 - want).max() / scale < 2e-2
+
+
+def test_cross_kernel_composition_on_chip(rng):
+    """Two DIFFERENT Pallas kernels (flat-BSR SpMM + the four tiled-attention
+    passes) plus scatters and gathers in one jitted value-and-grad program,
+    checked against the same ops run in separate programs."""
+    from graphconvgeo_tpu.ops.attention_tiled import gat_attention_tiled
+    from graphconvgeo_tpu.ops.spmm_pallas import spmm_bsr_flat
+    from graphconvgeo_tpu.sparse.attention_tiles import TiledAttentionPattern
+    from graphconvgeo_tpu.sparse.formats import BsrFlat
+
+    a, z, a_src, a_dst = _attention_setup(rng, n=384)
+    att = TiledAttentionPattern.from_scipy(a, block=128, min_tile_nnz=64)
+    m = _blocky_csr(rng, 512, 384, dense_blocks=1)
+    mat = BsrFlat.from_scipy(m, block=128)
+    mat_t = BsrFlat.from_scipy(m.T.tocsr(), block=128)
+    rows = jnp.asarray(np.sort(rng.choice(512, 100, replace=False)).astype(np.int32))
+
+    def combined(z_):
+        att_out = gat_attention_tiled(att, z_, a_src, a_dst, negative_slope=0.2)
+        sp_out = spmm_bsr_flat(mat, mat_t, att_out)
+        upd = sp_out.at[rows].add(att_out[:100], indices_are_sorted=True,
+                                  unique_indices=True)
+        return jnp.sum(upd ** 2)
+
+    with jax.default_matmul_precision("highest"):
+        v_joint, g_joint = jax.jit(jax.value_and_grad(combined))(z)
+        att_out = gat_attention_tiled(att, z, a_src, a_dst, negative_slope=0.2)
+        sp_out = spmm_bsr_flat(mat, mat_t, att_out)
+        upd = sp_out.at[rows].add(att_out[:100], indices_are_sorted=True,
+                                  unique_indices=True)
+        np.testing.assert_allclose(float(v_joint), float(jnp.sum(upd ** 2)), rtol=1e-5)
+        g_sep = jax.grad(combined)(z)  # un-jitted composition as reference
+    np.testing.assert_allclose(np.asarray(g_joint), np.asarray(g_sep), rtol=1e-4, atol=1e-4)
