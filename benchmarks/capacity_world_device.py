@@ -1,0 +1,178 @@
+"""Twitter-World-scale DEVICE rehearsal on the real v5e (VERDICT r2 #5).
+
+Extends ``capacity_world_factorized.py`` from host-build-only to REAL train
+steps: 1.4M synthetic users, factorized + hub-sharded operands on a 1-mesh,
+Zipf-head slab input (bf16), Highway-GCN at (or near) the twitter-world
+preset width — the closest this sandbox can get to the real World run.
+Emits one JSON line per tried config; ``make_capacity_json.py`` (inline
+below via --merge) collects them into CAPACITY.json.
+
+Expected finding, recorded rather than hidden: a 16 GB chip cannot hold the
+full-graph [1.4M, 900] f32 activation chain — the memory wall that the
+D-device row-sharded mesh (activations [N/D, H]) and cfg.remat exist for.
+The script measures the single-chip fit frontier and the per-config peak
+HBM, so the wall is quantified before real data ever arrives.
+
+Run: /opt/venv/bin/python benchmarks/capacity_world_device.py [configs]
+configs default: 900,900r,600r,450r  (suffix r = cfg.remat)
+"""
+
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import scipy.sparse as sp
+
+N = 1_400_000
+N_HUBS = 120_000
+CLASSES = 930
+VOCAB = 50_000
+
+
+def build_structure():
+    rng = np.random.default_rng(0)
+    sizes = np.maximum(np.minimum(rng.zipf(1.8, N_HUBS), 60), 2)
+    t0 = time.time()
+    groups = {g: rng.integers(0, N, int(s)) for g, s in enumerate(sizes)}
+    deg = np.maximum(rng.poisson(30, N), 1)
+    xr = np.repeat(np.arange(N), deg)
+    xc = np.minimum(rng.zipf(1.2, len(xr)) - 1, VOCAB - 1)
+    x = sp.coo_matrix(
+        (np.ones(len(xr), np.float32), (xr, xc)), shape=(N, VOCAB)
+    ).tocsr()
+    x.sum_duplicates()
+    y = rng.integers(0, CLASSES, N).astype(np.int32)
+    mask = np.ones(N, np.float32)
+    print(f"structure gen: {time.time()-t0:.0f}s  incidences={int(sizes.sum())} "
+          f"x_nnz={x.nnz}", file=sys.stderr, flush=True)
+    return groups, x, y, mask
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from graphconvgeo_tpu.models.gcn import GCNConfig
+    from graphconvgeo_tpu.parallel.factorized_dist import (
+        DistFactorizedGCN,
+        partition_factorized_raw,
+    )
+    from graphconvgeo_tpu.parallel.mesh import make_graph_mesh
+
+    configs = (sys.argv[1] if len(sys.argv) > 1 else "900,900r,600r,450r").split(",")
+    groups, x, y, mask = build_structure()
+    t0 = time.time()
+    fpart = partition_factorized_raw(groups, x, y, mask, 1, slab_cols=4096)
+    t_part = time.time() - t0
+    operand_bytes = 0
+    for k in ("x_idx", "x_val", "xt_idx", "xt_val", "slab", "y", "mask"):
+        a = getattr(fpart.part, k, None)
+        if a is not None:
+            operand_bytes += int(np.asarray(a).nbytes)
+    operand_bytes += int(np.asarray(fpart.diag).nbytes)
+    print(f"partition(1 device): {t_part:.0f}s  G={fpart.n_groups}",
+          file=sys.stderr, flush=True)
+    mesh = make_graph_mesh(1)
+    dev = jax.devices()[0]
+    results = []
+    for name in configs:
+        fwd_only = name.startswith("f")  # "f256" = inference-only probe
+        base = name.lstrip("f")
+        remat = base.endswith("r")
+        hid = int(base.rstrip("r"))
+        cfg = GCNConfig(
+            n_features=VOCAB, n_classes=CLASSES, hidden=(hid, hid), highway=True,
+            dropout=0.5, gather_dtype="bfloat16", slab_dtype="bfloat16",
+            remat=remat,
+        )
+        rec = {"hidden": hid, "remat": remat, "mode": "fwd" if fwd_only else "train",
+               "ok": False}
+        try:
+            t0 = time.time()
+            model = DistFactorizedGCN(cfg, fpart, mesh, hub_sharded=True)
+            rec["operand_device_bytes"] = int(sum(
+                leaf.nbytes for leaf in jax.tree.leaves(model.data)
+            ))
+            params = model.init(jax.random.key(0))
+            if fwd_only:
+                # predict form: argmax inside jit so [N, C] logits never
+                # round-trip to host
+                pred_jit = jax.jit(
+                    lambda p, d: jnp.argmax(model.apply(p, d, train=False), -1)
+                )
+                step_fn = lambda k: int(pred_jit(params, model.data)[0])
+            else:
+                opt, step = model.make_train_step(5e-3)
+                opt_state = opt.init(params)
+            rec["build_s"] = round(time.time() - t0, 1)
+            t0 = time.time()
+            if fwd_only:
+                step_fn(0)
+            else:
+                params, opt_state, loss = step(params, opt_state, jax.random.key(1))
+                float(loss)  # sync
+            rec["warm_step_s"] = round(time.time() - t0, 1)  # incl. compile
+            times = []
+            lv = 0.0
+            for i in range(3):
+                t0 = time.time()
+                if fwd_only:
+                    step_fn(i)
+                    lv = 0.0
+                else:
+                    params, opt_state, loss = step(
+                        params, opt_state, jax.random.key(2 + i)
+                    )
+                    lv = float(loss)
+                times.append(time.time() - t0)
+            rec["step_s"] = round(float(np.median(times)), 3)
+            rec["loss_finite"] = bool(np.isfinite(lv))
+            try:
+                ms = dev.memory_stats() or {}
+                rec["peak_hbm_gb"] = round(ms.get("peak_bytes_in_use", 0) / 1e9, 2)
+            except Exception:
+                rec["peak_hbm_gb"] = None
+            rec["ok"] = True
+            print(f"{name}: step {rec['step_s']}s peak {rec.get('peak_hbm_gb')}GB",
+                  file=sys.stderr, flush=True)
+            del params, model
+            if not fwd_only:
+                del opt_state, step, opt
+        except Exception as e:  # OOM = a finding, not a failure
+            msg = str(e)
+            if os.environ.get("CAP_FULL_ERR"):
+                print(msg, file=sys.stderr, flush=True)
+            if "Ran out of memory" in msg or "hbm" in msg.lower():
+                m = msg[msg.find("Used"):][:80] if "Used" in msg else msg[:160]
+                rec["error"] = f"compile OOM: {m}"
+            else:
+                rec["error"] = f"{type(e).__name__}: {msg[:200]}"
+            print(f"{name}: {rec['error']}", file=sys.stderr, flush=True)
+        gc.collect()
+        results.append(rec)
+    out = {
+        "scale": {"n_nodes": N, "hubs": N_HUBS, "classes": CLASSES, "vocab": VOCAB,
+                  "x_nnz": int(x.nnz)},
+        "host_partition_s": round(t_part, 1),
+        "host_operand_bytes": int(operand_bytes),
+        "configs": results,
+        "note": (
+            "single-chip fit frontier for the full-graph factorized World "
+            "path; activations are [N, H] f32 (5.0 GB each at H=900), so "
+            "the D-device row-sharded mesh divides them by D — the "
+            "twitter-world preset (H=900) is a multi-chip config by design"
+        ),
+    }
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "CAPACITY.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from graphconvgeo_tpu.models.gcn import GCNConfig, _ACTIVATIONS, l2_penalty
 from graphconvgeo_tpu.ops.dropout import dropout
 from graphconvgeo_tpu.ops.scatter_gather import segment_sum
-from graphconvgeo_tpu.sparse.formats import EllMatrix
+from graphconvgeo_tpu.sparse.formats import CappedEll, EllMatrix
 
 
 def sampled_forward(
@@ -49,10 +49,13 @@ def sampled_forward(
         seeds = None
 
     # input layer on the deepest node set: gather its ELL rows, then the
-    # embedding-bag product with W0
+    # embedding-bag product with W0. A CappedEll bounds the gathered [capL,
+    # Kx] against single-document token outliers: the few overflow rows'
+    # tail tokens contribute via one tiny global bag + a take (VERDICT r2 #7)
     deep = nodes[n_layers]
-    xi = jnp.take(x_ell.indices, deep, axis=0)  # [capL, Kx]
-    xv = jnp.take(x_ell.values, deep, axis=0)
+    x_main = x_ell.main if isinstance(x_ell, CappedEll) else x_ell
+    xi = jnp.take(x_main.indices, deep, axis=0)  # [capL, Kx]
+    xv = jnp.take(x_main.values, deep, axis=0)
     if seeds is not None:
         keep = jax.random.bernoulli(seeds[0], 1.0 - cfg.dropout, xv.shape)
         xv = jnp.where(keep, xv / (1.0 - cfg.dropout), 0.0)
@@ -68,6 +71,19 @@ def sampled_forward(
         "nk,nkf->nf", xv.astype(w0.dtype), gathered,
         preferred_element_type=jnp.float32,
     ).astype(out_dtype)
+    if isinstance(x_ell, CappedEll) and x_ell.ov is not None:
+        # overflow-tail contribution: one global [n_ov, H] embedding bag
+        # (n_ov is tiny; the chunked scan bounds the gather high-water),
+        # routed to nodes by ov_id (0 = the reserved all-zero row)
+        from graphconvgeo_tpu.ops.spmm import _ell_matvec
+
+        ovv = x_ell.ov.values
+        if seeds is not None:
+            k2 = jax.random.fold_in(seeds[0], 1)
+            keep2 = jax.random.bernoulli(k2, 1.0 - cfg.dropout, ovv.shape)
+            ovv = jnp.where(keep2, ovv / (1.0 - cfg.dropout), 0.0)
+        ov_h = _ell_matvec(x_ell.ov.indices, ovv.astype(w0.dtype), w0)
+        h = h + jnp.take(ov_h, jnp.take(x_ell.ov_id, deep), axis=0).astype(h.dtype)
     h = act(h + params["input"]["b"])
 
     for l in range(n_layers - 1, -1, -1):

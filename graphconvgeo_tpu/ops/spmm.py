@@ -48,6 +48,13 @@ Backend = Literal["auto", "ell", "bell", "bsr", "hybrid", "oracle"]
 # Number of ELL slots folded into one scan step. 8 keeps the gather large
 # enough to saturate HBM reads while bounding the [N, CHUNK, F] temporary.
 _ELL_CHUNK = 8
+# cap on the [N, chunk, F] gather high-water (floats): at Twitter-World
+# scale (1.4M rows × F 256+) chunk=8 materializes a >10 GB temp — the
+# single allocation that OOM'ed the World capacity rehearsal
+# (benchmarks/capacity_world_device.py, XLA allocation table). 2^30 floats
+# = 4 GB f32, which leaves room for operands + activations on a 16 GB chip
+# while keeping bucket-sized ops (small n) at the full chunk width.
+_ELL_BUDGET_FLOATS = 1 << 30
 
 
 def spmm_oracle(indices: jax.Array, values: jax.Array, h: jax.Array) -> jax.Array:
@@ -71,6 +78,8 @@ def _ell_matvec(indices: jax.Array, values: jax.Array, h: jax.Array) -> jax.Arra
     h = jnp.asarray(h)
     n, k = indices.shape
     chunk = min(max(_ELL_CHUNK, 4096 // max(n, 1)), k)
+    f = int(h.shape[-1])
+    chunk = max(1, min(chunk, _ELL_BUDGET_FLOATS // max(n * f, 1)))
     if k % chunk:
         pad = chunk - k % chunk
         indices = jnp.pad(indices, ((0, 0), (0, pad)))

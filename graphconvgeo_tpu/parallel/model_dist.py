@@ -296,16 +296,28 @@ class DistHighwayGCN:
         h = self._input_layer(params["input"]["w"], data, train=train, seed=x_seed)
         h = act(h + params["input"]["b"])
         h = jax.lax.with_sharding_constraint(h, self._row_sharding)
-        for i, layer in enumerate(params["layers"]):
-            h_in = dropout(h, rate=cfg.dropout, rng=seeds[1 + i]) if seeds is not None else h
+
+        def one_layer(h, layer, seed):
+            # closes over `data` — tracers here (apply runs inside jit with
+            # data as an argument), never committed device arrays
+            h_in = dropout(h, rate=cfg.dropout, rng=seed) if seed is not None else h
             hw = h_in @ layer["w"]
             conv = act(self._conv(hw, data) + layer["b"])
             if "w_t" in layer:
                 gate = jax.nn.sigmoid(h_in @ layer["w_t"] + layer["b_t"])
-                h = gate * conv + (1.0 - gate) * h
+                out = gate * conv + (1.0 - gate) * h
             else:
-                h = conv
-            h = jax.lax.with_sharding_constraint(h, self._row_sharding)
+                out = conv
+            return jax.lax.with_sharding_constraint(out, self._row_sharding)
+
+        if cfg.remat:
+            # rematerialize each conv layer in the backward: one extra
+            # forward SpMM per layer instead of storing its activations —
+            # the [N/D, H] chain is what walls full-graph World-scale fits
+            # (same trade as the single-chip model's GCNConfig.remat)
+            one_layer = jax.checkpoint(one_layer)
+        for i, layer in enumerate(params["layers"]):
+            h = one_layer(h, layer, seeds[1 + i] if seeds is not None else None)
         if seeds is not None:
             h = dropout(h, rate=cfg.dropout, rng=seeds[-1])
         return h @ params["out"]["w"] + params["out"]["b"]

@@ -213,7 +213,7 @@ class DistSampledTrainer:
         params = jax.device_put(params, self._repl)
         opt_state = jax.device_put(self.optimizer.init(params), self._repl)
         y_np = np.asarray(y)
-        x_ell = jax.device_put(self.model.x.ell(), self._repl)
+        x_ell = jax.device_put(self.model.x.ell_capped(), self._repl)
         sign = 1.0 if cfg.monitor == "acc_at_161" else -1.0
         best_score, best_epoch = -np.inf, 0
         best_params = jax.tree.map(np.asarray, params)

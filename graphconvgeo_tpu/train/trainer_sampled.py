@@ -104,7 +104,8 @@ class SampledTrainer:
         # jnp.take's transpose scatters dW0 — no global X transpose needed
         # (a plain-ELL transpose at Zipf vocab would pad every token row to
         # the max document frequency: ~48 GB at 400k users x 50k vocab)
-        x_ell = self.model.x.ell()
+        # row-capped + overflow-bucketed: bounded against token outliers
+        x_ell = self.model.x.ell_capped()
         sign = 1.0 if cfg.monitor == "acc_at_161" else -1.0
         best_score, best_epoch = -np.inf, 0
         best_params = jax.tree.map(np.asarray, params)

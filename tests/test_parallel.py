@@ -444,3 +444,22 @@ def test_dist_gat_trainer(rng, mesh):
     out = tr.fit(np.arange(8), lat=lat, lon=lon,
                  class_lat_median=np.zeros(5) + 30, class_lon_median=np.zeros(5) - 100)
     assert np.isfinite([h["loss"] for h in out["history"]]).all()
+
+
+def test_dist_remat_matches_no_remat(rng, mesh):
+    """cfg.remat on the distributed model: identical loss/grads, just
+    rematerialized backward (the World-scale full-graph memory trade)."""
+    import dataclasses
+
+    a_hat, x, y, mask, cfg = _mk_problem(rng)
+    part = partition_rows(a_hat, x, y, mask, 8)
+    dist = DistHighwayGCN(cfg, part, mesh)
+    dist_r = DistHighwayGCN(dataclasses.replace(cfg, remat=True), part, mesh)
+    params = jax.device_put(
+        dist.init(jax.random.key(0)),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+    )
+    g = jax.jit(jax.grad(lambda p: dist.loss(p, train=False)))(params)
+    g_r = jax.jit(jax.grad(lambda p: dist_r.loss(p, train=False)))(params)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)

@@ -139,3 +139,57 @@ def test_sampled_trainer_learns_geolocation(rng):
     hist = out["history"]
     assert len(hist) == 6
     assert hist[-1]["loss"] < hist[0]["loss"]
+
+
+def test_capped_ell_bounds_outlier_and_preserves_loss(rng):
+    """VERDICT r2 #7: one pathological million-token-class document must not
+    inflate the sampled X operand; the capped+overflow layout keeps shapes
+    bounded and the loss bit-comparable to the uncapped layout."""
+    import scipy.sparse as sp
+
+    from graphconvgeo_tpu.models.gcn import GCNConfig
+    from graphconvgeo_tpu.models.sampled import batch_to_device, sampled_loss
+    from graphconvgeo_tpu.sparse.formats import CappedEll, SparseGraph
+
+    n, v = 120, 300
+    deg = rng.poisson(6, n) + 1
+    deg[7] = 250  # the outlier document (normal rows have ~7 tokens)
+    rows = np.repeat(np.arange(n), deg)
+    cols = np.concatenate([rng.choice(v, d, replace=False) for d in deg])
+    x = sp.coo_matrix(
+        (np.abs(rng.normal(size=len(rows))).astype(np.float32), (rows, cols)),
+        shape=(n, v),
+    ).tocsr()
+    g = SparseGraph(csr=x)
+    # quantile 0.99: at 120 rows the default 0.999 IS the outlier row
+    capped = g.ell_capped(quantile=0.99)
+    assert isinstance(capped, CappedEll) and capped.ov is not None
+    # bounded: main K is quantile-scale, not outlier-scale; overflow holds
+    # only the outlier's tail
+    assert capped.main.k < 64 and g.ell().k >= 250
+    assert capped.ov.n_rows == 2  # zero row + the one outlier
+
+    adj = random_csr(rng, n, n, 3, symmetric=True)
+    adj.data = np.abs(adj.data)
+    from graphconvgeo_tpu.sparse.formats import normalize_adjacency
+
+    a_hat = normalize_adjacency(adj)
+    from graphconvgeo_tpu.data.sampling import NeighborSampler
+
+    sampler = NeighborSampler(a_hat, fanouts=(3, 3), batch_size=16, seed=1)
+    batch = sampler.sample(np.arange(16))  # includes neighborhoods of row 7
+    bd = batch_to_device(batch)
+    cfg = GCNConfig(n_features=v, n_classes=5, hidden=(8, 8), highway=True, dropout=0.0)
+    from graphconvgeo_tpu.models.gcn import init_gcn_params
+
+    params = init_gcn_params(jax.random.key(0), cfg)
+    y = jnp.asarray(rng.integers(0, 5, n)[batch.targets], jnp.int32)
+    mask = jnp.asarray(batch.target_mask)
+    l_cap = sampled_loss(params, cfg, capped, bd, y, mask, train=True)
+    l_unc = sampled_loss(params, cfg, g.ell(), bd, y, mask, train=True)
+    np.testing.assert_allclose(float(l_cap), float(l_unc), rtol=1e-5)
+    # grads through both layouts agree too
+    g_cap = jax.grad(lambda p: sampled_loss(p, cfg, capped, bd, y, mask, train=True))(params)
+    g_unc = jax.grad(lambda p: sampled_loss(p, cfg, g.ell(), bd, y, mask, train=True))(params)
+    for a, b in zip(jax.tree.leaves(g_cap), jax.tree.leaves(g_unc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
