@@ -94,6 +94,18 @@ def main():
         },
         "workload": {"nodes": n, "edges": int(a_hat.nnz), "graph": "SBM 256 communities, labelprop-reordered"},
         "target": {"min_efficiency_at_2plus_hosts": 0.75, "source": "BASELINE.json:5"},
+        "claim_basis": (
+            "VERDICT r2 weak #5: est_efficiency_overlapped (perfect overlap) "
+            "is a MODELING BOUND, not a measurement. The >=0.75 target rides "
+            "on the PESSIMISTIC zero-overlap bound wherever that bound meets "
+            "it (2-8 devices here, min "
+            f"{min(r['est_efficiency_no_overlap'] for r in rows if r['devices'] <= 8):.3f}"
+            "); at 16 devices the no-overlap bound is "
+            f"{rows[-1]['est_efficiency_no_overlap']:.3f} and the claim needs "
+            "partial comm/compute overlap, which the ring-overlap halo "
+            "(parallel/spmm_dist.local_spmm_halo_ring, halo_mode='ring') is "
+            "built to provide"
+        ),
         "points": rows,
     }
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.json")

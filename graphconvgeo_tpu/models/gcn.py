@@ -26,6 +26,7 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 
+from graphconvgeo_tpu.ops.ce_stream import streamed_rows_threshold
 from graphconvgeo_tpu.ops.dropout import bell_dropout, dropout, slab_dropout
 from graphconvgeo_tpu.ops.spmm import (
     _spmm_bell_core,
@@ -335,9 +336,19 @@ class HighwayGCN:
         )
 
     def hidden_states(
-        self, params, arrays=None, *, train: bool = False, rng: Optional[jax.Array] = None
+        self,
+        params,
+        arrays=None,
+        *,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+        with_logits: bool = True,
     ) -> list:
-        """All per-layer activations (the allclose parity surface, §3.2)."""
+        """All per-layer activations (the allclose parity surface, §3.2).
+
+        ``with_logits=False`` stops before the output head (the last state
+        is then the post-dropout final hidden) — the streamed-CE loss path
+        must never build the [N, C] logits."""
         cfg = self.cfg
         if arrays is None:
             arrays = self.arrays
@@ -385,6 +396,9 @@ class HighwayGCN:
         with jax.named_scope("output_layer"):
             if train and cfg.dropout > 0.0:
                 h = dropout(h, rate=cfg.dropout, rng=seeds[-1])
+            if not with_logits:
+                states.append(h)
+                return states
             logits = h @ params["out"]["w"] + params["out"]["b"]
         states.append(logits)
         return states
@@ -398,12 +412,27 @@ class HighwayGCN:
         """Masked cross-entropy + L2 (reference: ``GCN.build`` loss).
 
         y: [n_nodes] int labels; mask: [n_nodes] bool/float (train idx set).
+
+        Above ~1 GB of logits (N × C) the head streams over row blocks so
+        the [N, C] tensor and its CE-backward residual never materialize
+        (``ops/ce_stream.py`` — the World-scale memory wall after the
+        gather-budget fix).
         """
-        logits = self.apply(params, arrays, train=train, rng=rng)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        ce = -jnp.take_along_axis(logp, y[:, None], axis=-1)[:, 0]
-        mask = mask.astype(ce.dtype)
-        loss = jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+        if int(self.x.shape[0]) * self.cfg.n_classes > streamed_rows_threshold():
+            from graphconvgeo_tpu.ops.ce_stream import masked_ce_sums
+
+            h = self.hidden_states(params, arrays, train=train, rng=rng, with_logits=False)[-1]
+            num, den = masked_ce_sums(
+                h, params["out"]["w"], params["out"]["b"], y,
+                mask.astype(jnp.float32),
+            )
+            loss = num / jnp.maximum(den, 1.0)
+        else:
+            logits = self.apply(params, arrays, train=train, rng=rng)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            ce = -jnp.take_along_axis(logp, y[:, None], axis=-1)[:, 0]
+            mask = mask.astype(ce.dtype)
+            loss = jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
         if self.cfg.l2 > 0.0:
             loss = loss + self.cfg.l2 * l2_penalty(params)
         return loss

@@ -1,0 +1,75 @@
+"""Streamed masked cross-entropy head — [N, C] logits never materialize.
+
+At Twitter-World scale the loss head is the memory wall AFTER the gather
+budget fix: the capacity rehearsal's XLA allocation table showed TWO
+[1.4M, 930] f32 buffers (4.88 GB each — the logits and the log-softmax
+residual the CE backward keeps) at the top. Reference semantics
+(``gcnmodel.py`` masked categorical cross-entropy over full-graph logits)
+don't need them: the loss only needs per-row ``logsumexp`` and the label
+logit, and the backward can recompute each row block's logits.
+
+``masked_ce_sums`` scans over row blocks with ``jax.checkpoint`` on the
+block body: forward transients are [block, C]; the backward re-runs each
+block (one extra [block, H] @ [H, C] matmul per block — FLOPs for memory,
+the same trade as activation remat). The weight/bias cotangents accumulate
+through the scan transpose automatically.
+
+Run inside ``shard_map`` for row-sharded h (each device streams its local
+rows; psum the returned sums), or plain for single-device tensors.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def masked_ce_sums(
+    h: jax.Array,
+    w: jax.Array,
+    b: jax.Array,
+    y: jax.Array,
+    mask: jax.Array,
+    *,
+    row_block: int = 65536,
+) -> tuple:
+    """(Σ mask·CE(softmax(h@w+b), y), Σ mask) over row blocks.
+
+    Rows are padded to a multiple of ``row_block`` with zero mask, so the
+    sums are exact. Returns float32 scalars.
+    """
+    n, hd = h.shape
+    nb = -(-n // row_block)
+    pad = nb * row_block - n
+    if pad:
+        h = jnp.concatenate([h, jnp.zeros((pad, hd), h.dtype)], axis=0)
+        y = jnp.concatenate([y, jnp.zeros((pad,), y.dtype)])
+        mask = jnp.concatenate([mask, jnp.zeros((pad,), mask.dtype)])
+    hb = h.reshape(nb, row_block, hd)
+    yb = y.reshape(nb, row_block)
+    mb = mask.reshape(nb, row_block)
+
+    @jax.checkpoint
+    def block(carry, xs):
+        h_i, y_i, m_i = xs
+        logits = jnp.dot(h_i, w, preferred_element_type=jnp.float32) + b
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ce = -jnp.take_along_axis(logp, y_i[:, None], axis=-1)[:, 0]
+        num, den = carry
+        return (num + jnp.sum(ce * m_i), den + jnp.sum(m_i)), None
+
+    # data-derived zero init: under shard_map a constant carry has no
+    # varying mesh axes and scan rejects the carry-type mismatch (same vma
+    # trick as ops/spmm._ell_matvec)
+    z_h = (hb.ravel()[0] * 0.0).astype(jnp.float32)
+    z_m = (mb.ravel()[0] * 0.0).astype(jnp.float32)
+    (num, den), _ = jax.lax.scan(block, (z_h, z_m), (hb, yb, mb))
+    return num, den
+
+
+def streamed_rows_threshold() -> int:
+    """Gate: stream the head when N × C exceeds this many entries (≈1 GB of
+    f32 logits — below it the plain head is cheaper and XLA fuses fine)."""
+    return 1 << 28

@@ -34,6 +34,7 @@ except ImportError:  # pragma: no cover
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from graphconvgeo_tpu.models.gcn import GCNConfig, _ACTIVATIONS, init_gcn_params, l2_penalty
+from graphconvgeo_tpu.ops.ce_stream import masked_ce_sums, streamed_rows_threshold
 from graphconvgeo_tpu.ops.dropout import dropout, ell_dropout_values, slab_dropout
 from graphconvgeo_tpu.parallel.mesh import GRAPH_AXIS, put_host_cast
 from graphconvgeo_tpu.parallel.partition import RowPartition, build_halo
@@ -282,7 +283,15 @@ class DistHighwayGCN:
         )(hw, data["a"], data["at"])
 
     # ---- forward / loss -------------------------------------------------
-    def apply(self, params, data=None, *, train: bool = False, rng: Optional[jax.Array] = None):
+    def apply(
+        self,
+        params,
+        data=None,
+        *,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+        return_hidden: bool = False,
+    ):
         cfg = self.cfg
         act = _ACTIVATIONS[cfg.activation]
         if data is None:
@@ -320,17 +329,40 @@ class DistHighwayGCN:
             h = one_layer(h, layer, seeds[1 + i] if seeds is not None else None)
         if seeds is not None:
             h = dropout(h, rate=cfg.dropout, rng=seeds[-1])
+        if return_hidden:
+            return h
         return h @ params["out"]["w"] + params["out"]["b"]
 
     def loss(self, params, data=None, *, rng=None, train: bool = True):
         if data is None:
             data = self.data
-        logits = self.apply(params, data, train=train, rng=rng)
-        logp = jax.nn.log_softmax(logits, axis=-1)
         y = data["y"]
         mask = data["mask"]
-        ce = -jnp.take_along_axis(logp, y[:, None], axis=-1)[:, 0]
-        loss = jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+        if int(y.shape[0]) * self.cfg.n_classes > streamed_rows_threshold():
+            # World-scale head: [N, C] logits (TWO ~5 GB buffers in the CE
+            # backward at 1.4M×930 — capacity rehearsal allocation table)
+            # never materialize; each device streams its row block
+            h = self.apply(params, data, train=train, rng=rng, return_hidden=True)
+
+            def body(h_l, w, b, y_l, m_l):
+                num, den = masked_ce_sums(h_l, w, b, y_l, m_l)
+                return (
+                    jax.lax.psum(num, GRAPH_AXIS),
+                    jax.lax.psum(den, GRAPH_AXIS),
+                )
+
+            num, den = shard_map(
+                body,
+                mesh=self.mesh,
+                in_specs=(P(GRAPH_AXIS, None), P(), P(), P(GRAPH_AXIS), P(GRAPH_AXIS)),
+                out_specs=(P(), P()),
+            )(h, params["out"]["w"], params["out"]["b"], y, mask)
+            loss = num / jnp.maximum(den, 1.0)
+        else:
+            logits = self.apply(params, data, train=train, rng=rng)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            ce = -jnp.take_along_axis(logp, y[:, None], axis=-1)[:, 0]
+            loss = jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
         if self.cfg.l2 > 0.0:
             loss = loss + self.cfg.l2 * l2_penalty(params)
         return loss

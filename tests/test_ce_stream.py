@@ -1,0 +1,97 @@
+"""Streamed masked-CE head (ops/ce_stream.py): identical value and grads to
+the plain [N, C] head it replaces at World scale."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphconvgeo_tpu.ops.ce_stream import masked_ce_sums
+
+
+def _plain(h, w, b, y, mask):
+    logits = h @ w + b
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, y[:, None], axis=-1)[:, 0]
+    return jnp.sum(ce * mask), jnp.sum(mask)
+
+
+def test_masked_ce_sums_matches_plain(rng):
+    n, hd, c = 1000, 24, 17
+    h = jnp.asarray(rng.normal(size=(n, hd)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(hd, c)).astype(np.float32)) * 0.3
+    b = jnp.asarray(rng.normal(size=(c,)).astype(np.float32)) * 0.1
+    y = jnp.asarray(rng.integers(0, c, n), jnp.int32)
+    mask = jnp.asarray((rng.random(n) < 0.6).astype(np.float32))
+
+    # row_block that does NOT divide n — the zero-mask padding must be exact
+    def stream_loss(h, w, b):
+        num, den = masked_ce_sums(h, w, b, y, mask, row_block=192)
+        return num / jnp.maximum(den, 1.0)
+
+    def plain_loss(h, w, b):
+        num, den = _plain(h, w, b, y, mask)
+        return num / jnp.maximum(den, 1.0)
+
+    ls, gs = jax.value_and_grad(stream_loss, argnums=(0, 1, 2))(h, w, b)
+    lp, gp = jax.value_and_grad(plain_loss, argnums=(0, 1, 2))(h, w, b)
+    np.testing.assert_allclose(float(ls), float(lp), rtol=1e-6)
+    for a, bb in zip(gs, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), rtol=1e-5, atol=1e-7)
+
+
+def test_dist_loss_streamed_matches_plain(rng, monkeypatch):
+    """Force the gate on: the distributed loss must be unchanged when the
+    head streams inside shard_map."""
+    import graphconvgeo_tpu.parallel.model_dist as md
+    from graphconvgeo_tpu.models.gcn import GCNConfig
+    from graphconvgeo_tpu.parallel.mesh import make_graph_mesh
+    from graphconvgeo_tpu.parallel.partition import partition_rows
+    from graphconvgeo_tpu.sparse.formats import normalize_adjacency
+    from tests.conftest import random_csr
+
+    n, v = 96, 30
+    adj = random_csr(rng, n, n, 4, symmetric=True)
+    adj.data = np.abs(adj.data)
+    a_hat = normalize_adjacency(adj)
+    x = random_csr(rng, n, v, 5)
+    x.data = np.abs(x.data).astype(np.float32)
+    y = rng.integers(0, 7, n).astype(np.int32)
+    mask = (rng.random(n) < 0.7).astype(np.float32)
+    cfg = GCNConfig(n_features=v, n_classes=7, hidden=(16, 16), highway=True, dropout=0.0)
+    part = partition_rows(a_hat, x, y, mask, 8)
+    mesh = make_graph_mesh(8)
+    model = md.DistHighwayGCN(cfg, part, mesh)
+    params = jax.device_put(
+        model.init(jax.random.key(0)),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+    )
+    l_plain, g_plain = jax.value_and_grad(lambda p: model.loss(p, train=False))(params)
+    monkeypatch.setattr(md, "streamed_rows_threshold", lambda: 0)
+    l_s, g_s = jax.value_and_grad(lambda p: model.loss(p, train=False))(params)
+    np.testing.assert_allclose(float(l_s), float(l_plain), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_s), jax.tree.leaves(g_plain)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_single_chip_loss_streamed_matches_plain(rng, monkeypatch):
+    import graphconvgeo_tpu.models.gcn as gm
+    from graphconvgeo_tpu.sparse.formats import SparseGraph, normalize_adjacency
+    from tests.conftest import random_csr
+
+    n, v = 90, 28
+    adj = random_csr(rng, n, n, 3, symmetric=True)
+    adj.data = np.abs(adj.data)
+    a_hat = normalize_adjacency(adj)
+    x = random_csr(rng, n, v, 5)
+    x.data = np.abs(x.data).astype(np.float32)
+    cfg = gm.GCNConfig(n_features=v, n_classes=6, hidden=(12, 12), highway=True, dropout=0.3)
+    model = gm.HighwayGCN(cfg, SparseGraph(csr=x), SparseGraph(csr=a_hat, symmetric=True))
+    params = model.init(jax.random.key(0))
+    y = jnp.asarray(rng.integers(0, 6, n), jnp.int32)
+    mask = jnp.asarray(np.ones(n, np.float32))
+    k = jax.random.key(3)
+    # train=True with dropout: identical seeds -> identical loss either path
+    l_plain = float(model.loss(params, y, mask, rng=k, train=True))
+    monkeypatch.setattr(gm, "streamed_rows_threshold", lambda: 0)
+    l_s = float(model.loss(params, y, mask, rng=k, train=True))
+    np.testing.assert_allclose(l_s, l_plain, rtol=1e-5)
