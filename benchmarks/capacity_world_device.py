@@ -92,6 +92,7 @@ def main():
         )
         rec = {"hidden": hid, "remat": remat, "mode": "fwd" if fwd_only else "train",
                "ok": False}
+        model = params = opt_state = step = opt = pred_jit = step_fn = None
         try:
             t0 = time.time()
             model = DistFactorizedGCN(cfg, fpart, mesh, hub_sharded=True)
@@ -133,16 +134,18 @@ def main():
             rec["step_s"] = round(float(np.median(times)), 3)
             rec["loss_finite"] = bool(np.isfinite(lv))
             try:
+                # NOTE: peak_bytes_in_use is process-lifetime-monotone, so
+                # later configs report the running max, not their own peak
+                # (null when the relay exposes no memory_stats — compile OOM
+                # messages carry the per-config requirement instead)
                 ms = dev.memory_stats() or {}
-                rec["peak_hbm_gb"] = round(ms.get("peak_bytes_in_use", 0) / 1e9, 2)
+                peak = ms.get("peak_bytes_in_use", 0)
+                rec["peak_hbm_gb"] = round(peak / 1e9, 2) if peak else None
             except Exception:
                 rec["peak_hbm_gb"] = None
             rec["ok"] = True
             print(f"{name}: step {rec['step_s']}s peak {rec.get('peak_hbm_gb')}GB",
                   file=sys.stderr, flush=True)
-            del params, model
-            if not fwd_only:
-                del opt_state, step, opt
         except Exception as e:  # OOM = a finding, not a failure
             msg = str(e)
             if os.environ.get("CAP_FULL_ERR"):
@@ -153,6 +156,10 @@ def main():
             else:
                 rec["error"] = f"{type(e).__name__}: {msg[:200]}"
             print(f"{name}: {rec['error']}", file=sys.stderr, flush=True)
+        finally:
+            # drop device buffers EVEN on the error path, or a failed big
+            # config's params/opt state stay live under the next config
+            del model, params, opt_state, step, opt, pred_jit, step_fn
         gc.collect()
         results.append(rec)
     out = {

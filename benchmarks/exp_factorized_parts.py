@@ -36,7 +36,9 @@ inv[perm] = np.arange(N)
 groups = {g: inv[np.asarray(m)] for g, m in groups.items()}
 ro = bipartite_reordering(groups, N)
 groups = {g: ro.to_new(np.asarray(m)) for g, m in groups.items()}
-fa = FactorizedAdjacency.from_groups(groups, N)
+# separate rests: this script's purpose is the PER-TERM cost breakdown
+# (b_rest/r_rest probes) — the production default is combined_rest=True
+fa = FactorizedAdjacency.from_groups(groups, N, combined_rest=False)
 
 print(f"edges(materialized)={edges}  G={fa.n_groups}")
 for name in ("bt", "b", "r"):

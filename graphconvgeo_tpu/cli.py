@@ -78,7 +78,7 @@ def parse_args(argv=None):
                    help="factorized keeps Â as B'B'ᵀ + corrections over the "
                         "user×hub mention incidence — device cost ∝ #mentions "
                         "instead of #projected-edges (GCN only)")
-    p.add_argument("--gather-dtype", default=None, choices=[None, "bfloat16", "float32"],
+    p.add_argument("--gather-dtype", default=None, choices=["bfloat16", "float32"],
                    help="cast dtype for SpMM row gathers (bfloat16 halves gather "
                         "table bytes; accumulation stays float32)")
     p.add_argument("--input", dest="input_backend", choices=("auto", "bell", "slab"),
@@ -88,7 +88,7 @@ def parse_args(argv=None):
                         "measured 2.7x fwd+bwd at 262k users x 100k vocab)")
     p.add_argument("--slab-cols", type=int, default=4096,
                    help="max dense-slab columns (byte-budget-capped per GCNConfig)")
-    p.add_argument("--slab-dtype", default=None, choices=[None, "bfloat16", "float32"],
+    p.add_argument("--slab-dtype", default=None, choices=["bfloat16", "float32"],
                    help="input-slab storage dtype (default f32; the Twitter "
                         "presets opt into bfloat16 — the scale where its byte "
                         "halving was measured)")

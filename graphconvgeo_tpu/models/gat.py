@@ -155,7 +155,13 @@ class GraphAttentionNet:
         return init_gat_params(key, self.cfg, self._dtype)
 
     def hidden_states(
-        self, params, arrays=None, *, train: bool = False, rng: Optional[jax.Array] = None
+        self,
+        params,
+        arrays=None,
+        *,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+        with_logits: bool = True,
     ) -> list:
         cfg = self.cfg
         if arrays is None:
@@ -214,6 +220,9 @@ class GraphAttentionNet:
             states.append(h)
         if train and seeds is not None and cfg.dropout > 0.0:
             h = dropout(h, rate=cfg.dropout, rng=seeds[-1])
+        if not with_logits:  # streamed-CE/argmax heads stop here
+            states.append(h)
+            return states
         logits = h @ params["out"]["w"] + params["out"]["b"]
         states.append(logits)
         return states
@@ -222,6 +231,24 @@ class GraphAttentionNet:
         return self.hidden_states(params, arrays, train=train, rng=rng)[-1]
 
     def loss(self, params, y, mask, arrays=None, *, rng=None, train=True):
+        from graphconvgeo_tpu.ops.ce_stream import (
+            masked_ce_sums,
+            streamed_rows_threshold,
+        )
+
+        if int(self.x.shape[0]) * self.cfg.n_classes > streamed_rows_threshold():
+            # World-scale head: [N, C] logits never materialize (ce_stream)
+            h = self.hidden_states(
+                params, arrays, train=train, rng=rng, with_logits=False
+            )[-1]
+            num, den = masked_ce_sums(
+                h, params["out"]["w"], params["out"]["b"], y,
+                mask.astype(jnp.float32),
+            )
+            loss = num / jnp.maximum(den, 1.0)
+            if self.cfg.l2 > 0.0:
+                loss = loss + self.cfg.l2 * l2_penalty(params)
+            return loss
         logits = self.apply(params, arrays, train=train, rng=rng)
         logp = jax.nn.log_softmax(logits, axis=-1)
         ce = -jnp.take_along_axis(logp, y[:, None], axis=-1)[:, 0]

@@ -69,6 +69,36 @@ def masked_ce_sums(
     return num, den
 
 
+def streamed_argmax(
+    h: jax.Array, w: jax.Array, b: jax.Array, *, row_block: int = 65536
+) -> jax.Array:
+    """argmax(h@w+b, -1) per row WITHOUT materializing [N, C] logits — the
+    inference-side twin of :func:`masked_ce_sums` (a single-chip World
+    predict would otherwise hold a ~5 GB logits buffer)."""
+    n, hd = h.shape
+    nb = -(-n // row_block)
+    pad = nb * row_block - n
+    if pad:
+        h = jnp.concatenate([h, jnp.zeros((pad, hd), h.dtype)], axis=0)
+    hb = h.reshape(nb, row_block, hd)
+
+    def block(carry, h_i):
+        logits = jnp.dot(h_i, w, preferred_element_type=jnp.float32) + b
+        return carry, jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    _, preds = jax.lax.scan(block, 0, hb)
+    return preds.reshape(-1)[:n]
+
+
+def predict_classes(model, params, arrays) -> jax.Array:
+    """argmax class per node, streaming the head above the logits-size gate.
+    Shared by every trainer's jitted predict (call inside jit)."""
+    if int(model.x.shape[0]) * model.cfg.n_classes > streamed_rows_threshold():
+        h = model.hidden_states(params, arrays, train=False, with_logits=False)[-1]
+        return streamed_argmax(h, params["out"]["w"], params["out"]["b"])
+    return jnp.argmax(model.apply(params, arrays, train=False), axis=-1)
+
+
 def streamed_rows_threshold() -> int:
     """Gate: stream the head when N × C exceeds this many entries (≈1 GB of
     f32 logits — below it the plain head is cheaper and XLA fuses fine)."""

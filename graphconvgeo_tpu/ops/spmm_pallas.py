@@ -258,11 +258,12 @@ def spmm_bsr_flat(
     backward ``Âᵀ·G``; symmetric operators pass the same operand twice).
 
     ``h_dtype`` sets the dense operand's DMA/storage dtype (default: the
-    tiles' dtype). The kernel is DMA-pipeline-bound and the h-block is ~80%
-    of per-tile bytes, so streaming h in bf16 is the byte lever that tile
-    storage wasn't (PERF.md measured bf16 TILE storage a loss); accumulation
-    stays f32 via ``mxu_dtype``. Callers that already hold a bf16 copy of h
-    (the factorized operator's ``gather_dtype`` path) pass it here for free."""
+    tiles' dtype). EXPERIMENTAL knob with a measured NEGATIVE result: bf16
+    h-blocks ran SLOWER than f32 (5.0 vs 3.75 ms on the r-tiles workload,
+    benchmarks/exp_tiles_bf16h.py) — on this chip bf16 VMEM layout
+    conversion costs more than the byte halving saves, same as bf16 TILE
+    storage (PERF.md r1). Production paths therefore stream h in f32 and
+    get their bf16 win from ``mxu_dtype`` (1-pass contraction) instead."""
     f = h.shape[1]
     f_pad = _round_up(f, 128)
     rows_needed = mat.n_cols_padded

@@ -142,7 +142,15 @@ class DistGAT(DistHighwayGCN):
         )(*args)
 
     # ---- forward / loss ---------------------------------------------------
-    def apply(self, params, data=None, *, train: bool = False, rng: Optional[jax.Array] = None):
+    def apply(
+        self,
+        params,
+        data=None,
+        *,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+        return_hidden: bool = False,
+    ):
         cfg = self.cfg
         act = _ACTIVATIONS[cfg.activation]
         if data is None:
@@ -170,4 +178,6 @@ class DistGAT(DistHighwayGCN):
             h = jax.lax.with_sharding_constraint(out, self._row_sharding)
         if seeds is not None and cfg.dropout > 0.0:
             h = dropout(h, rate=cfg.dropout, rng=seeds[-1])
+        if return_hidden:  # streamed-CE head (inherited loss) stops here
+            return h
         return h @ params["out"]["w"] + params["out"]["b"]

@@ -161,8 +161,13 @@ class DistSampledTrainer:
             return optax.apply_updates(params, updates), opt_state, loss
 
         self._step = jax.jit(step, donate_argnums=(0, 1))
+        from graphconvgeo_tpu.ops.ce_stream import predict_classes
+
+        # full-graph eval with the sampled-trained params; the head streams
+        # above the logits gate (a [1.4M, 930] logits buffer would wall the
+        # single default device even though training is sharded)
         self._predict_jit = jax.jit(
-            lambda p, arrays: jnp.argmax(model.apply(p, arrays, train=False), axis=-1)
+            lambda p, arrays: predict_classes(model, p, arrays)
         )
         self._repl = NamedSharding(mesh, P())
 

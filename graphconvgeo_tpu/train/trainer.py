@@ -69,8 +69,12 @@ class Trainer:
         self._train_step = lambda params, opt_state, rng, y, mask: self._train_step_jit(
             params, opt_state, model.arrays, rng, y, mask
         )
+        from graphconvgeo_tpu.ops.ce_stream import predict_classes
+
+        # streams the head above the logits-size gate — a single-chip World
+        # predict would otherwise hold a ~5 GB [N, C] buffer
         self._predict_jit = jax.jit(
-            lambda params, arrays: jnp.argmax(model.apply(params, arrays, train=False), axis=-1)
+            lambda params, arrays: predict_classes(model, params, arrays)
         )
         self._predict = lambda params: self._predict_jit(params, model.arrays)
 

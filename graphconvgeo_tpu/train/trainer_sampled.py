@@ -70,8 +70,10 @@ class SampledTrainer:
             return optax.apply_updates(params, updates), opt_state, loss
 
         self._step = jax.jit(step, donate_argnums=(0, 1))
+        from graphconvgeo_tpu.ops.ce_stream import predict_classes
+
         self._predict_jit = jax.jit(
-            lambda p, arrays: jnp.argmax(model.apply(p, arrays, train=False), axis=-1)
+            lambda p, arrays: predict_classes(model, p, arrays)
         )
 
     def fit(

@@ -95,3 +95,37 @@ def test_single_chip_loss_streamed_matches_plain(rng, monkeypatch):
     monkeypatch.setattr(gm, "streamed_rows_threshold", lambda: 0)
     l_s = float(model.loss(params, y, mask, rng=k, train=True))
     np.testing.assert_allclose(l_s, l_plain, rtol=1e-5)
+
+
+def test_dist_gat_loss_streamed_matches_plain(rng, monkeypatch):
+    """DistGAT inherits the streamed-CE loss; its apply must honor
+    return_hidden (round-3 review finding: it crashed with TypeError at
+    exactly the World scale the streamed head targets)."""
+    import graphconvgeo_tpu.parallel.model_dist as md
+    from graphconvgeo_tpu.models.gat import GATConfig
+    from graphconvgeo_tpu.parallel.gat_dist import DistGAT
+    from graphconvgeo_tpu.parallel.mesh import make_graph_mesh
+    from graphconvgeo_tpu.parallel.partition import partition_rows
+    from graphconvgeo_tpu.sparse.formats import normalize_adjacency
+    from tests.conftest import random_csr
+
+    n, v = 96, 30
+    adj = random_csr(rng, n, n, 4, symmetric=True)
+    adj.data = np.abs(adj.data)
+    a_hat = normalize_adjacency(adj)
+    x = random_csr(rng, n, v, 5)
+    x.data = np.abs(x.data).astype(np.float32)
+    y = rng.integers(0, 7, n).astype(np.int32)
+    mask = (rng.random(n) < 0.7).astype(np.float32)
+    cfg = GATConfig(n_features=v, n_classes=7, hidden=(16,), heads=2, dropout=0.0)
+    part = partition_rows(a_hat, x, y, mask, 8)
+    mesh = make_graph_mesh(8)
+    model = DistGAT(cfg, part, mesh)
+    params = jax.device_put(
+        model.init(jax.random.key(0)),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+    )
+    l_plain = float(model.loss(params, train=False))
+    monkeypatch.setattr(md, "streamed_rows_threshold", lambda: 0)
+    l_s = float(model.loss(params, train=False))
+    np.testing.assert_allclose(l_s, l_plain, rtol=1e-5)
