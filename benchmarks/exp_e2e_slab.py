@@ -28,19 +28,38 @@ V = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000
 CLASSES = 256
 
 x = zipf_bow(N, V, 110)
-adj = random_mention_projection_graph(N, 1024, seed=7)
-a_hat = normalize_adjacency(adj)
-ro = best_reordering(a_hat, seed=0)
-a_hat = ro.permute_graph(a_hat)
-x = x[ro.perm].tocsr()
-print(f"N={N} V={V} x nnz={x.nnz} adj nnz={a_hat.nnz}", flush=True)
+if VARIANT == "fact":
+    # round-3 operator end-to-end: slab input + FACTORIZED projection
+    # adjacency under the clique-grouped bipartite ordering
+    from graphconvgeo_tpu.sparse.factorized import FactorizedAdjacency
+    from graphconvgeo_tpu.sparse.reorder import bipartite_reordering
+
+    adj, groups = random_mention_projection_graph(
+        N, 1024, seed=7, return_structure=True
+    )
+    edges = int(adj.nnz)
+    del adj
+    ro = bipartite_reordering(groups, N, clique_group=True)
+    groups = {g: ro.to_new(np.asarray(m)) for g, m in groups.items()}
+    adj_op = FactorizedAdjacency.from_groups(groups, N)
+    x = x[ro.perm].tocsr()
+    print(f"N={N} V={V} x nnz={x.nnz} adj nnz={edges} (factorized)", flush=True)
+else:
+    adj = random_mention_projection_graph(N, 1024, seed=7)
+    a_hat = normalize_adjacency(adj)
+    ro = best_reordering(a_hat, seed=0)
+    a_hat = ro.permute_graph(a_hat)
+    x = x[ro.perm].tocsr()
+    adj_op = SparseGraph(csr=a_hat, symmetric=True)
+    print(f"N={N} V={V} x nnz={x.nnz} adj nnz={a_hat.nnz}", flush=True)
 
 cfg = GCNConfig(
     n_features=V, n_classes=CLASSES, hidden=(600, 600), highway=True,
-    dropout=0.5, input_backend=VARIANT if VARIANT != "bell" else "bell",
+    dropout=0.5, input_backend="bell" if VARIANT == "bell" else "auto",
+    slab_dtype="bfloat16",
     gather_dtype="bfloat16",
 )
-model = HighwayGCN(cfg, SparseGraph(csr=x), SparseGraph(csr=a_hat, symmetric=True))
+model = HighwayGCN(cfg, SparseGraph(csr=x), adj_op)
 print("input operand:", type(model.arrays["x"]).__name__, flush=True)
 params = model.init(jax.random.key(0))
 y = jnp.asarray(np.random.default_rng(0).integers(0, CLASSES, N).astype(np.int32))

@@ -129,3 +129,25 @@ def test_dist_gat_loss_streamed_matches_plain(rng, monkeypatch):
     monkeypatch.setattr(md, "streamed_rows_threshold", lambda: 0)
     l_s = float(model.loss(params, train=False))
     np.testing.assert_allclose(l_s, l_plain, rtol=1e-5)
+
+
+def test_streamed_argmax_matches_plain(rng, monkeypatch):
+    import graphconvgeo_tpu.ops.ce_stream as cs
+    from graphconvgeo_tpu.models.gcn import GCNConfig, HighwayGCN
+    from graphconvgeo_tpu.sparse.formats import SparseGraph, normalize_adjacency
+    from tests.conftest import random_csr
+
+    n, v = 120, 25
+    adj = random_csr(rng, n, n, 3, symmetric=True)
+    adj.data = np.abs(adj.data)
+    x = random_csr(rng, n, v, 4)
+    x.data = np.abs(x.data).astype(np.float32)
+    cfg = GCNConfig(n_features=v, n_classes=9, hidden=(12, 12), highway=True, dropout=0.0)
+    model = HighwayGCN(
+        cfg, SparseGraph(csr=x), SparseGraph(csr=normalize_adjacency(adj), symmetric=True)
+    )
+    params = model.init(jax.random.key(0))
+    plain = np.asarray(jnp.argmax(model.apply(params, train=False), axis=-1))
+    monkeypatch.setattr(cs, "streamed_rows_threshold", lambda: 0)
+    streamed = np.asarray(cs.predict_classes(model, params, model.arrays))
+    np.testing.assert_array_equal(streamed, plain)
