@@ -70,6 +70,14 @@ def _tile_keep(rb, cb, seed, h, *, block, n_cols, head_stride, rate):
 
 
 # ---------------------------------------------------------------- max pass
+# Contraction precision for the four tile passes. HIGHEST (true f32) is
+# the default for parity; experiments may set this to DEFAULT (1-pass bf16
+# rounding) to probe whether the passes are compute- or DMA-bound — flip
+# via `attention_tiled._MXU_PRECISION = jax.lax.Precision.DEFAULT` BEFORE
+# the first call (it is baked at trace time).
+_MXU_PRECISION = jax.lax.Precision.HIGHEST
+
+
 def _max_kernel(first_ref, rblk_ref, cblk_ref, mask_ref, s_ref, d_ref, m_ref, *, heads, slope):
     t = pl.program_id(0)
 
@@ -131,7 +139,7 @@ def _fwd_kernel(
             )
         o_ref[:, h, :] += jnp.dot(
             e, z_ref[:, h, :], preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_MXU_PRECISION,
         )
 
 
@@ -187,7 +195,7 @@ def _bwd_row_kernel(
         alpha = e / den_ref[:, h][:, None]
         dalpha = jnp.dot(
             g_ref[:, h, :], z_ref[:, h, :].T, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_MXU_PRECISION,
         )
         if rate > 0.0:  # dropped alpha: dalpha picks up the keep scale
             dalpha = dalpha * _tile_keep(
@@ -261,11 +269,11 @@ def _bwd_col_kernel(
         dz_ref[:, h, :] += jnp.dot(
             (alpha if kf is None else alpha * kf).T, g_ref[:, h, :],
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_MXU_PRECISION,
         )
         dalpha = jnp.dot(
             g_ref[:, h, :], z_ref[:, h, :].T, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_MXU_PRECISION,
         )
         if kf is not None:
             dalpha = dalpha * kf

@@ -55,3 +55,37 @@ def test_reordered_spmm_matches(rng):
     out = np.empty_like(out_p)
     out[ro.perm] = out_p
     np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
+
+
+def test_bipartite_clique_grouping_concentrates_residual():
+    """clique_group=True must stay a valid permutation and measurably move
+    R' mass into tiles on mention-projection-family graphs (round 3:
+    measured r_rest 63.8k -> 6.2k rows at bench scale; 10x here too).
+    Note: the win is structural to clique-projection graphs — arbitrary
+    group structures need not improve monotonically."""
+    import numpy as np
+
+    from graphconvgeo_tpu.data.synthetic import random_mention_projection_graph
+    from graphconvgeo_tpu.sparse.factorized import FactorizedAdjacency
+    from graphconvgeo_tpu.sparse.reorder import bipartite_reordering
+
+    n, n_comm = 16384, 64
+    adj, groups = random_mention_projection_graph(
+        n, n_comm, seed=7, return_structure=True
+    )
+    del adj
+    shuffle = np.random.default_rng(1).permutation(n)
+    inv = np.empty(n, dtype=np.int64)
+    inv[shuffle] = np.arange(n)
+    groups = {k: inv[np.asarray(m)] for k, m in groups.items()}
+
+    stats = {}
+    for clique in (False, True):
+        ro = bipartite_reordering(groups, n, clique_group=clique)
+        assert sorted(ro.perm.tolist()) == list(range(n))  # valid permutation
+        assert np.array_equal(ro.perm[ro.inv], np.arange(n))
+        g2 = {k: ro.to_new(np.asarray(m)) for k, m in groups.items()}
+        fa = FactorizedAdjacency.from_groups(g2, n, combined_rest=False)
+        stats[clique] = 0 if fa.r_rest is None else int(fa.r_rest.rows.shape[0])
+    # measured at this scale: 4274 -> 392 residual rows; require a clear win
+    assert stats[True] < stats[False] // 2, stats
