@@ -463,3 +463,36 @@ def test_dist_remat_matches_no_remat(rng, mesh):
     g_r = jax.jit(jax.grad(lambda p: dist_r.loss(p, train=False)))(params)
     for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_r)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_dist_slab_put_is_host_cast_and_sharded(rng, mesh):
+    """ADVICE r2: the distributed input slab must reach the devices already
+    cast (host-side) and row-sharded — never staged as full f32 on one
+    device. Checks dtype + sharding of the committed operand."""
+    import scipy.sparse as sp
+
+    n, v = 2048, 1280
+    rows = np.repeat(np.arange(n), 12)
+    cols = np.minimum(rng.integers(0, 40, rows.shape[0]) * rng.integers(1, 4, rows.shape[0]), v - 1)
+    x = sp.coo_matrix(
+        (np.ones(rows.shape[0], np.float32), (rows, cols)), shape=(n, v)
+    ).tocsr()
+    x.sum_duplicates()
+    adj = random_csr(rng, n, n, 4, symmetric=True)
+    adj.data = np.abs(adj.data)
+    a_hat = normalize_adjacency(adj)
+    y = rng.integers(0, 5, n).astype(np.int32)
+    mask = np.ones(n, np.float32)
+    cfg = GCNConfig(
+        n_features=v, n_classes=5, hidden=(16, 16), highway=True,
+        input_backend="slab", slab_cols=128, slab_dtype="bfloat16",
+    )
+    part = partition_rows(a_hat, x, y, mask, 8, slab_cols=128)
+    assert part.slab is not None and part.slab.dtype == np.float32  # host f32
+    dist = DistHighwayGCN(cfg, part, mesh)
+    slab = dist.data["x_slab"]
+    assert slab.dtype == jnp.bfloat16  # cast happened host-side, not on-device f32
+    # row-sharded over the graph axis (one shard per device, device axis split)
+    assert len(slab.sharding.device_set) == 8
+    spec = slab.sharding.spec
+    assert spec[0] == "graph" and spec[1] is None
