@@ -42,6 +42,15 @@ to stream tiles 3× faster than the measured kernel-class floor, which
 the microbenchmarks above prove no implementation of this op-chain can
 do. The old max-model number is still reported per workload as
 ``attainable_overlap_fraction`` for cross-round continuity.
+
+Known model imprecision, stated rather than hidden: the 250 GB/s tile
+constant is the rate measured on GENERIC tile structures; clique-ordered
+near-diagonal tile passes measured up to ~2× faster per tile (PERF.md
+round-3 breakdown), which makes the byte-engine term — and hence the
+attainable fraction — somewhat generous on the projection workload. The
+binding term there is the row engine either way, and the
+model-independent cross-round yardstick is ``strict_fraction_vs_
+materialized`` (0.54 → 0.67 this round), not this fraction.
 The STRICT bytes/bandwidth fraction (every byte, including gathered rows,
 charged at the stream rate — the no-gather-wall light-speed) is reported
 alongside in ``detail`` for both workloads; it is the honest distance to
