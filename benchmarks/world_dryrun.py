@@ -1,0 +1,268 @@
+"""Twitter-World-WIDTH rehearsal on the 8-device virtual mesh (VERDICT r3 #1).
+
+CAPACITY.json proved the full-graph World path (H=900) cannot fit one v5e
+(49 GB vs 15.75 GB) and claims ">=4 row-sharded chips"; until this script,
+no artifact showed the actual World-width program — H=900 hidden stack,
+930 classes, FACTORIZED adjacency with HUB-SHARDED incidence rings, Zipf
+bf16 input slab, STREAMED masked-CE head + STREAMED argmax predict, and
+per-layer dist remat — executing row-sharded end to end. This runs it on
+the 8-device CPU mesh (the same SPMD program the driver's dryrun grades,
+at a non-degenerate width) and emits WORLD_DRYRUN.json:
+
+- real train steps (finite loss, wall time — CPU wall time is a
+  LIVENESS/CORRECTNESS artifact, not a perf claim; this host has 2 cores),
+- a dev eval through the streamed distributed predict head,
+- the compiled train step's XLA memory analysis next to the [N/D, H]
+  activation model the CAPACITY note extrapolates from,
+- a parity block: same program at a size where the single-device
+  factorized model also runs, logits allclose.
+
+N is scaled DOWN from the real 1.4M (the host is 2 CPU cores; RAM would
+allow more) — H, classes, operator structure, and every World lever stay
+at preset width. Streamed CE/predict are forced on (at rehearsal N the
+N*C > 2^28 gate would stay off; at real World N it engages by itself —
+recorded in the artifact).
+
+Usage: python benchmarks/world_dryrun.py [--n 131072] [--steps 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import numpy as np
+
+
+def build_problem(n: int, *, vocab: int, classes: int, seed: int = 0):
+    """Synthetic mention structure at World shape ratios: hubs ~ N*0.086
+    (120k hubs / 1.4M users in CAPACITY.json), ~20 tokens/user over a Zipf
+    vocabulary, 930 kd-tree classes."""
+    from graphconvgeo_tpu.data.synthetic import random_mention_projection_graph
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(seed)
+    n_comm = max(n // 256, 8)  # ~24 hubs/comm -> hubs ~ n * 0.094
+    _, groups = random_mention_projection_graph(
+        n, n_comm, seed=seed, return_structure=True
+    )
+    rows = np.repeat(np.arange(n), 20)
+    cols = np.minimum(rng.zipf(1.25, rows.shape[0]) - 1, vocab - 1)
+    x = sp.coo_matrix(
+        (np.abs(rng.normal(size=rows.shape[0])).astype(np.float32), (rows, cols)),
+        shape=(n, vocab),
+    ).tocsr()
+    x.sum_duplicates()
+    y = rng.integers(0, classes, n).astype(np.int32)
+    mask = np.zeros(n, np.float32)
+    train_n = int(n * 0.95)
+    mask[:train_n] = 1.0
+    dev_idx = np.arange(train_n, min(train_n + 10_000, n))
+    lat = rng.uniform(-60, 70, n)
+    lon = rng.uniform(-180, 180, n)
+    med_lat = rng.uniform(-60, 70, classes)
+    med_lon = rng.uniform(-180, 180, classes)
+    return groups, x, y, mask, dev_idx, lat, lon, med_lat, med_lon
+
+
+def world_cfg(vocab: int, classes: int):
+    """The twitter-world preset's model knobs (cli.py PRESETS) + the dist
+    World levers: factorized+hub-sharded come from the model class, remat
+    and the bf16 slab from the config."""
+    from graphconvgeo_tpu.models.gcn import GCNConfig
+
+    return GCNConfig(
+        n_features=vocab, n_classes=classes, hidden=(900, 900), highway=True,
+        dropout=0.5, l2=0.0, remat=True,
+        input_backend="slab", slab_cols=1024, slab_dtype="bfloat16",
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=131072)
+    ap.add_argument("--steps", type=int, default=2)
+    ap.add_argument("--parity-n", type=int, default=16384)
+    ap.add_argument("--out", default="WORLD_DRYRUN.json")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import optax
+
+    import graphconvgeo_tpu.parallel.model_dist as md
+    import graphconvgeo_tpu.parallel.trainer_dist as td
+    from graphconvgeo_tpu.parallel.factorized_dist import (
+        DistFactorizedGCN,
+        partition_factorized_raw,
+    )
+    from graphconvgeo_tpu.parallel.mesh import make_graph_mesh
+    from graphconvgeo_tpu.parallel.trainer_dist import DistTrainer
+    from graphconvgeo_tpu.train.evaluate import geo_eval
+
+    n_devices = 8
+    assert jax.device_count() >= n_devices, jax.devices()
+    mesh = make_graph_mesh(n_devices)
+    classes, vocab = 930, 50_000
+
+    # Force the World head paths on at rehearsal N (see module docstring).
+    md.streamed_rows_threshold = lambda: 0
+    td.streamed_rows_threshold = lambda: 0
+
+    report: dict = {
+        "preset": "twitter-world width",
+        "hidden": [900, 900],
+        "classes": classes,
+        "vocab": vocab,
+        "devices": n_devices,
+        "levers": {
+            "factorized_adjacency": True,
+            "hub_sharded_incidence_rings": True,
+            "input_slab_bf16": True,
+            "streamed_masked_ce": "forced on (gate N*C>2^28 engages naturally at real World N)",
+            "streamed_argmax_predict": "forced on (same gate)",
+            "dist_remat": True,
+        },
+        "note": (
+            "CPU virtual-mesh rehearsal: correctness/liveness evidence for the "
+            "CAPACITY.json '>=4 row-sharded chips' claim, NOT a perf number "
+            "(2-core host). N scaled down from 1.4M; H/classes/operator at "
+            "World width."
+        ),
+    }
+
+    # ---- main rehearsal ---------------------------------------------------
+    t0 = time.time()
+    groups, x, y, mask, dev_idx, lat, lon, med_lat, med_lon = build_problem(
+        args.n, vocab=vocab, classes=classes
+    )
+    cfg = world_cfg(vocab, classes)
+    fpart = partition_factorized_raw(
+        groups, x, y, mask, n_devices, slab_cols=cfg.slab_cols
+    )
+    assert fpart.part.slab is not None, "World rehearsal must engage the slab"
+    model = DistFactorizedGCN(cfg, fpart, mesh, hub_sharded=True)
+    build_s = time.time() - t0
+    report["scale"] = {
+        "n_nodes": args.n,
+        "hubs": int(fpart.n_groups),
+        "rows_per_device": int(fpart.part.rows_per_device),
+        "x_nnz": int(x.nnz),
+        "host_build_s": round(build_s, 1),
+    }
+
+    params = model.init(jax.random.key(0))
+    opt = optax.adam(5e-3)
+    opt_state = jax.device_put(
+        opt.init(params),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+    )
+
+    def step(params, opt_state, data, rng):
+        loss, grads = jax.value_and_grad(lambda p: model.loss(p, data, rng=rng))(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    step_jit = jax.jit(step, donate_argnums=(0, 1))
+    t0 = time.time()
+    lowered = step_jit.lower(params, opt_state, model.data, jax.random.key(1))
+    compiled = lowered.compile()
+    compile_s = time.time() - t0
+    mem = {}
+    try:
+        ma = compiled.memory_analysis()
+        mem = {
+            "temp_size_bytes": int(ma.temp_size_in_bytes),
+            "argument_size_bytes": int(ma.argument_size_in_bytes),
+            "output_size_bytes": int(ma.output_size_in_bytes),
+            "generated_code_size_bytes": int(ma.generated_code_size_in_bytes),
+        }
+    except Exception as e:  # pragma: no cover — backend-dependent API
+        mem = {"unavailable": f"{type(e).__name__}: {e}"}
+    # the CAPACITY.json note's model: activations are [N/D, H] f32 per
+    # device per stored layer activation
+    act_model = fpart.part.rows_per_device * 900 * 4
+    report["memory"] = {
+        "xla_memory_analysis": mem,
+        "activation_model_bytes_per_device_per_buffer": int(act_model),
+        "activation_model_note": (
+            "[N/D, H] f32 = one stored activation buffer per device; remat "
+            "bounds the live chain to O(1) such buffers per layer"
+        ),
+    }
+
+    losses, step_secs = [], []
+    rng = jax.random.key(2)
+    for i in range(args.steps):
+        rng, k = jax.random.split(rng)
+        t0 = time.time()
+        params, opt_state, loss = compiled(params, opt_state, model.data, k)
+        loss_f = float(loss)
+        step_secs.append(round(time.time() - t0, 1))
+        losses.append(round(loss_f, 4))
+        assert np.isfinite(loss_f), loss_f
+        print(f"step {i}: loss {loss_f:.4f} ({step_secs[-1]}s)", file=sys.stderr)
+    report["train"] = {
+        "steps": args.steps,
+        "losses": losses,
+        "cpu_step_seconds": step_secs,
+        "compile_seconds": round(compile_s, 1),
+        "all_finite": True,
+    }
+
+    trainer = DistTrainer(model)
+    t0 = time.time()
+    pred = trainer.predict(params)
+    m = geo_eval(pred[dev_idx], lat[dev_idx], lon[dev_idx], med_lat, med_lon)
+    report["dev_eval"] = {
+        "rows": int(len(dev_idx)),
+        "acc_at_161": round(float(m["acc_at_161"]), 4),
+        "median_km": round(float(m["median_km"]), 1),
+        "finite": bool(np.isfinite(m["median_km"])),
+        "cpu_seconds": round(time.time() - t0, 1),
+        "head": "streamed argmax above the logits gate (trainer_dist._predict)",
+    }
+
+    # ---- parity at a size where the single-device model also runs ---------
+    from graphconvgeo_tpu.models.gcn import HighwayGCN
+    from graphconvgeo_tpu.sparse.factorized import FactorizedAdjacency
+    from graphconvgeo_tpu.sparse.formats import SparseGraph
+
+    pn = args.parity_n
+    groups_p, x_p, y_p, mask_p, *_ = build_problem(pn, vocab=vocab, classes=classes, seed=3)
+    fpart_p = partition_factorized_raw(
+        groups_p, x_p, y_p, mask_p, n_devices, slab_cols=cfg.slab_cols
+    )
+    cfg_p = world_cfg(vocab, classes)
+    dist_p = DistFactorizedGCN(cfg_p, fpart_p, mesh, hub_sharded=True)
+    params_p = dist_p.init(jax.random.key(5))
+    logits_d = np.asarray(jax.jit(lambda p: dist_p.apply(p, train=False))(params_p))
+
+    fa = FactorizedAdjacency.from_groups(groups_p, pn)
+    single = HighwayGCN(cfg_p, SparseGraph(csr=x_p), fa)
+    logits_s = np.asarray(single.apply(params_p, train=False))
+    diff = np.abs(logits_d[:pn] - logits_s)
+    denom = np.maximum(np.abs(logits_s), 1e-3)
+    report["parity"] = {
+        "n_nodes": pn,
+        "max_abs_diff": float(diff.max()),
+        "max_rel_diff": float((diff / denom).max()),
+        "allclose_rtol_2e-4_atol_2e-5": bool(
+            np.allclose(logits_d[:pn], logits_s, rtol=2e-4, atol=2e-5)
+        ),
+    }
+
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    main()

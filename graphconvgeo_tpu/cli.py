@@ -80,7 +80,10 @@ def parse_args(argv=None):
                         "instead of #projected-edges (GCN only)")
     p.add_argument("--gather-dtype", default=None, choices=["bfloat16", "float32"],
                    help="cast dtype for SpMM row gathers (bfloat16 halves gather "
-                        "table bytes; accumulation stays float32)")
+                        "table bytes; accumulation stays float32). On the "
+                        "factorized adjacency, bfloat16 ALSO contracts the MXU "
+                        "tiles 1-pass bf16 instead of 3-pass f32 — the paired "
+                        "precision class (see ops/spmm.py::spmm_operands)")
     p.add_argument("--input", dest="input_backend", choices=("auto", "bell", "slab"),
                    default="auto",
                    help="X·W0 input backend: slab = Zipf-head dense MXU slab "

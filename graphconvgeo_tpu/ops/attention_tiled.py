@@ -70,11 +70,13 @@ def _tile_keep(rb, cb, seed, h, *, block, n_cols, head_stride, rate):
 
 
 # ---------------------------------------------------------------- max pass
-# Contraction precision for the four tile passes. HIGHEST (true f32) is
-# the default for parity; experiments may set this to DEFAULT (1-pass bf16
-# rounding) to probe whether the passes are compute- or DMA-bound — flip
-# via `attention_tiled._MXU_PRECISION = jax.lax.Precision.DEFAULT` BEFORE
-# the first call (it is baked at trace time).
+# Default contraction precision for the tile passes. HIGHEST (true f32) is
+# the parity default; experiments probe DEFAULT (1-pass bf16 rounding) by
+# passing ``mxu_precision=jax.lax.Precision.DEFAULT`` to
+# :func:`gat_attention_tiled` — the value is a real function argument
+# threaded into every kernel, so two calls with different precisions trace
+# separately (ADVICE r3: a mutable module global was baked at first trace
+# and silently ignored afterwards).
 _MXU_PRECISION = jax.lax.Precision.HIGHEST
 
 
@@ -117,7 +119,7 @@ def _tile_max(att, s, d, *, slope):
 # ---------------------------------------------------------------- forward
 def _fwd_kernel(
     first_ref, rblk_ref, cblk_ref, mask_ref, seed_ref, s_ref, d_ref, m_ref, z_ref,
-    o_ref, den_ref, *, heads, slope, rate, n_cols, head_stride,
+    o_ref, den_ref, *, heads, slope, rate, n_cols, head_stride, precision,
 ):
     t = pl.program_id(0)
 
@@ -139,11 +141,11 @@ def _fwd_kernel(
             )
         o_ref[:, h, :] += jnp.dot(
             e, z_ref[:, h, :], preferred_element_type=jnp.float32,
-            precision=_MXU_PRECISION,
+            precision=precision,
         )
 
 
-def _tile_fwd(att, s, d, m, z, *, slope, seed, rate):
+def _tile_fwd(att, s, d, m, z, *, slope, seed, rate, precision):
     b, t_n = att.block, att.n_tiles
     heads, fp = z.shape[1], z.shape[2]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -166,6 +168,7 @@ def _tile_fwd(att, s, d, m, z, *, slope, seed, rate):
         functools.partial(
             _fwd_kernel, heads=heads, slope=slope, rate=rate,
             n_cols=att.n_cols, head_stride=att.n_rows * att.n_cols,
+            precision=precision,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((s.shape[0], heads, fp), jnp.float32),
@@ -180,6 +183,7 @@ def _tile_fwd(att, s, d, m, z, *, slope, seed, rate):
 def _bwd_row_kernel(
     first_ref, rblk_ref, cblk_ref, mask_ref, seed_ref, s_ref, d_ref, m_ref, den_ref,
     c_ref, z_ref, g_ref, ds_ref, *, heads, slope, rate, n_cols, head_stride,
+    precision,
 ):
     t = pl.program_id(0)
 
@@ -195,7 +199,7 @@ def _bwd_row_kernel(
         alpha = e / den_ref[:, h][:, None]
         dalpha = jnp.dot(
             g_ref[:, h, :], z_ref[:, h, :].T, preferred_element_type=jnp.float32,
-            precision=_MXU_PRECISION,
+            precision=precision,
         )
         if rate > 0.0:  # dropped alpha: dalpha picks up the keep scale
             dalpha = dalpha * _tile_keep(
@@ -207,7 +211,7 @@ def _bwd_row_kernel(
         ds_ref[:, h] += draw.sum(axis=1)
 
 
-def _tile_bwd_row(att, s, d, m, den, c, z, g, *, slope, seed, rate):
+def _tile_bwd_row(att, s, d, m, den, c, z, g, *, slope, seed, rate, precision):
     b, t_n = att.block, att.n_tiles
     heads, fp = z.shape[1], z.shape[2]
     spec_n = lambda idx: pl.BlockSpec((b, heads), idx, memory_space=pltpu.VMEM)
@@ -233,6 +237,7 @@ def _tile_bwd_row(att, s, d, m, den, c, z, g, *, slope, seed, rate):
         functools.partial(
             _bwd_row_kernel, heads=heads, slope=slope, rate=rate,
             n_cols=att.n_cols, head_stride=att.n_rows * att.n_cols,
+            precision=precision,
         ),
         out_shape=jax.ShapeDtypeStruct(s.shape, jnp.float32),
         grid_spec=grid_spec,
@@ -244,7 +249,7 @@ def _tile_bwd_row(att, s, d, m, den, c, z, g, *, slope, seed, rate):
 def _bwd_col_kernel(
     firstt_ref, rblk_ref, cblk_ref, mask_ref, seed_ref, s_ref, d_ref, m_ref,
     den_ref, c_ref, z_ref, g_ref, dz_ref, dd_ref, *, heads, slope, rate, n_cols,
-    head_stride,
+    head_stride, precision,
 ):
     t = pl.program_id(0)
 
@@ -269,11 +274,11 @@ def _bwd_col_kernel(
         dz_ref[:, h, :] += jnp.dot(
             (alpha if kf is None else alpha * kf).T, g_ref[:, h, :],
             preferred_element_type=jnp.float32,
-            precision=_MXU_PRECISION,
+            precision=precision,
         )
         dalpha = jnp.dot(
             g_ref[:, h, :], z_ref[:, h, :].T, preferred_element_type=jnp.float32,
-            precision=_MXU_PRECISION,
+            precision=precision,
         )
         if kf is not None:
             dalpha = dalpha * kf
@@ -282,7 +287,7 @@ def _bwd_col_kernel(
         dd_ref[:, h] += draw.sum(axis=0)
 
 
-def _tile_bwd_col(att, s, d, m, den, c, z, g, *, slope, seed, rate):
+def _tile_bwd_col(att, s, d, m, den, c, z, g, *, slope, seed, rate, precision):
     b, t_n = att.block, att.n_tiles
     heads, fp = z.shape[1], z.shape[2]
     # column-major sweep over the PRE-SORTED host copies (mask_bits_t /
@@ -323,6 +328,7 @@ def _tile_bwd_col(att, s, d, m, den, c, z, g, *, slope, seed, rate):
         functools.partial(
             _bwd_col_kernel, heads=heads, slope=slope, rate=rate,
             n_cols=att.n_cols, head_stride=att.n_rows * att.n_cols,
+            precision=precision,
         ),
         out_shape=[
             jax.ShapeDtypeStruct(z.shape, jnp.float32),
@@ -478,7 +484,7 @@ def _prep(att: TiledAttentionPattern, z, a_src, a_dst):
     return z_heads, zp, s, d, heads, f, fp, n, npad, mpad
 
 
-def _layer_fwd_impl(att, z, a_src, a_dst, seed, slope, rate):
+def _layer_fwd_impl(att, z, a_src, a_dst, seed, slope, rate, precision):
     z_heads, zp, s, d, heads, f, fp, n, npad, mpad = _prep(att, z, a_src, a_dst)
     hstride = att.n_rows * att.n_cols
     # s rows are padded to the row grid, d rows to the column grid (the
@@ -489,7 +495,9 @@ def _layer_fwd_impl(att, z, a_src, a_dst, seed, slope, rate):
             m, _pad_rows(_rest_max(att.rest, s[:n], d[: z.shape[0]], slope=slope), npad)
         )
     m = jnp.where(m > _NEG / 2, m, 0.0)  # rows with no edges: neutral shift
-    o_un, den = _tile_fwd(att, s, d, m, zp, slope=slope, seed=seed, rate=rate)
+    o_un, den = _tile_fwd(
+        att, s, d, m, zp, slope=slope, seed=seed, rate=rate, precision=precision
+    )
     if att.rest is not None:
         den_r, o_r = _rest_fwd(
             att.rest, s[:n], d[: z.shape[0]], m[:n], z_heads, slope=slope,
@@ -504,17 +512,17 @@ def _layer_fwd_impl(att, z, a_src, a_dst, seed, slope, rate):
     return out, (s, d, m, den)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _tiled_gat_core(att, z, a_src, a_dst, seed, slope, rate):
-    return _layer_fwd_impl(att, z, a_src, a_dst, seed, slope, rate)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _tiled_gat_core(att, z, a_src, a_dst, seed, slope, rate, precision):
+    return _layer_fwd_impl(att, z, a_src, a_dst, seed, slope, rate, precision)[0]
 
 
-def _tiled_gat_fwd(att, z, a_src, a_dst, seed, slope, rate):
-    out, (s, d, m, den) = _layer_fwd_impl(att, z, a_src, a_dst, seed, slope, rate)
+def _tiled_gat_fwd(att, z, a_src, a_dst, seed, slope, rate, precision):
+    out, (s, d, m, den) = _layer_fwd_impl(att, z, a_src, a_dst, seed, slope, rate, precision)
     return out, (att, z, a_src, a_dst, seed, out, s, d, m, den)
 
 
-def _tiled_gat_bwd(slope, rate, res, g):
+def _tiled_gat_bwd(slope, rate, precision, res, g):
     att, z, a_src, a_dst, seed, out, s, d, m, den = res
     heads, f = a_src.shape
     fp = _round_up(f, 128)
@@ -532,8 +540,14 @@ def _tiled_gat_bwd(slope, rate, res, g):
     c = _pad_rows(
         jnp.einsum("nhf,nhf->nh", g_heads, out.reshape(n, heads, f)), npad
     )
-    ds = _tile_bwd_row(att, s, d, m, den, c, zp, gp, slope=slope, seed=seed, rate=rate)
-    dzp, dd = _tile_bwd_col(att, s, d, m, den, c, zp, gp, slope=slope, seed=seed, rate=rate)
+    ds = _tile_bwd_row(
+        att, s, d, m, den, c, zp, gp, slope=slope, seed=seed, rate=rate,
+        precision=precision,
+    )
+    dzp, dd = _tile_bwd_col(
+        att, s, d, m, den, c, zp, gp, slope=slope, seed=seed, rate=rate,
+        precision=precision,
+    )
     if att.rest is not None:
         ds_r, dd_r, dz_r = _rest_bwd(
             att.rest, s[:n], d[: z_heads.shape[0]], m[:n], den[:n], c[:n],
@@ -573,17 +587,21 @@ def gat_attention_tiled(
     negative_slope: float = 0.2,
     attn_dropout: float = 0.0,
     rng: jax.Array | None = None,
+    mxu_precision=None,
 ) -> jax.Array:
     """Multi-head GAT attention over a tiled pattern. Same contract as
     :func:`graphconvgeo_tpu.ops.attention.gat_attention` (hw = H·W covering
     the pattern's column space; returns [n_rows, heads·f]). ``attn_dropout``
     drops attention weights AFTER the softmax (reference semantics) via a
     position-keyed hash mask recomputed inside every pass — per-edge keep
-    bits are never materialized, matching the flash-style design."""
+    bits are never materialized, matching the flash-style design.
+    ``mxu_precision`` overrides the tile-contraction precision per call
+    (default HIGHEST — see the module-level note)."""
     if attn_dropout > 0.0:
         if rng is None:
             raise ValueError("rng required when attn_dropout > 0")
         seed = jax.random.randint(rng, (1,), 0, 2**31 - 1, dtype=jnp.int32)
     else:
         seed = jnp.zeros((1,), jnp.int32)
-    return _tiled_gat_core(att, hw, a_src, a_dst, seed, negative_slope, attn_dropout)
+    prec = mxu_precision if mxu_precision is not None else _MXU_PRECISION
+    return _tiled_gat_core(att, hw, a_src, a_dst, seed, negative_slope, attn_dropout, prec)

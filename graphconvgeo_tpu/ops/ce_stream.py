@@ -41,6 +41,10 @@ def masked_ce_sums(
     sums are exact. Returns float32 scalars.
     """
     n, hd = h.shape
+    # clamp: fewer rows than one block must not PAD UP to the block (a
+    # 1k-row shard would otherwise stream 64× its rows as zero work —
+    # measured 95 s/step on the World-width CPU rehearsal at N=8k)
+    row_block = max(8, min(row_block, n))
     nb = -(-n // row_block)
     pad = nb * row_block - n
     if pad:
@@ -76,6 +80,7 @@ def streamed_argmax(
     inference-side twin of :func:`masked_ce_sums` (a single-chip World
     predict would otherwise hold a ~5 GB logits buffer)."""
     n, hd = h.shape
+    row_block = max(8, min(row_block, n))  # see masked_ce_sums
     nb = -(-n // row_block)
     pad = nb * row_block - n
     if pad:

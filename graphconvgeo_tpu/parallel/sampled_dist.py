@@ -43,7 +43,7 @@ from graphconvgeo_tpu.models.gcn import l2_penalty
 from graphconvgeo_tpu.parallel.mesh import GRAPH_AXIS
 from graphconvgeo_tpu.train.evaluate import geo_eval
 from graphconvgeo_tpu.train.trainer import TrainConfig
-from graphconvgeo_tpu.train.trainer_sampled import prefetch
+from graphconvgeo_tpu.train.trainer_sampled import prefetch, sampled_predict
 
 
 def stack_batches(batches, n_devices: int, batch_size: int):
@@ -141,13 +141,32 @@ class DistSampledTrainer:
     X/Â operands for full-graph eval, and the parameter pytree — sampled and
     full-graph execution share it)."""
 
-    def __init__(self, model, sampler, mesh, cfg: TrainConfig = TrainConfig()):
+    def __init__(
+        self,
+        model,
+        sampler,
+        mesh,
+        cfg: TrainConfig = TrainConfig(),
+        *,
+        eval_mode: str = "full",
+        eval_sampler=None,
+    ):
+        """eval_mode / eval_sampler: as in
+        :class:`~graphconvgeo_tpu.train.trainer_sampled.SampledTrainer` —
+        'sampled' scopes eval to the requested rows via the sampled forward
+        (no full-graph operand on the default device; the model may carry
+        ``adj=None``)."""
+        if eval_mode not in ("full", "sampled"):
+            raise ValueError(f"eval_mode must be 'full' or 'sampled', got {eval_mode!r}")
         self.model = model
         self.sampler = sampler
         self.mesh = mesh
         self.cfg = cfg
+        self.eval_mode = eval_mode
+        self.eval_sampler = eval_sampler if eval_sampler is not None else sampler
         self.n_devices = int(np.prod(mesh.devices.shape))
         self.optimizer = optax.adam(cfg.learning_rate)
+        self._x_ell = None
         mcfg = model.cfg
 
         def step(params, opt_state, x_ell, stacked, y_stacked, key):
@@ -169,7 +188,23 @@ class DistSampledTrainer:
         self._predict_jit = jax.jit(
             lambda p, arrays: predict_classes(model, p, arrays)
         )
+        self._sampled_logits_jit = jax.jit(
+            lambda p, xe, bd: sampled_forward(p, mcfg, xe, bd, train=False)
+        )
         self._repl = NamedSharding(mesh, P())
+
+    def _get_x_ell(self):
+        if self._x_ell is None:
+            self._x_ell = jax.device_put(self.model.x.ell_capped(), self._repl)
+        return self._x_ell
+
+    def _predict_rows(self, params, idx) -> np.ndarray:
+        if self.eval_mode == "sampled":
+            return sampled_predict(
+                self._sampled_logits_jit, self.eval_sampler, self._get_x_ell(),
+                params, idx,
+            )
+        return np.asarray(self._predict_jit(params, self.model.arrays))[np.asarray(idx)]
 
     def _shard(self, tree):
         def put(leaf):
@@ -218,7 +253,7 @@ class DistSampledTrainer:
         params = jax.device_put(params, self._repl)
         opt_state = jax.device_put(self.optimizer.init(params), self._repl)
         y_np = np.asarray(y)
-        x_ell = jax.device_put(self.model.x.ell_capped(), self._repl)
+        x_ell = self._get_x_ell()
         sign = 1.0 if cfg.monitor == "acc_at_161" else -1.0
         best_score, best_epoch = -np.inf, 0
         best_params = jax.tree.map(np.asarray, params)
@@ -234,8 +269,8 @@ class DistSampledTrainer:
                     self._shard(stacked), self._shard(yb), k,
                 )
                 losses.append(float(loss))
-            pred = np.asarray(self._predict_jit(params, self.model.arrays))
-            m = geo_eval(pred[dev_idx], lat[dev_idx], lon[dev_idx],
+            pred_dev = self._predict_rows(params, dev_idx)
+            m = geo_eval(pred_dev, lat[dev_idx], lon[dev_idx],
                          class_lat_median, class_lon_median)
             history.append(
                 {"epoch": epoch, "loss": float(np.mean(losses)),
@@ -264,7 +299,7 @@ class DistSampledTrainer:
     def evaluate(
         self, params, idx, *, lat, lon, class_lat_median, class_lon_median
     ) -> dict:
-        pred = np.asarray(self._predict_jit(params, self.model.arrays))
-        m = geo_eval(pred[idx], lat[idx], lon[idx], class_lat_median, class_lon_median)
+        pred = self._predict_rows(params, idx)
+        m = geo_eval(pred, lat[idx], lon[idx], class_lat_median, class_lon_median)
         m.pop("distances")
         return m

@@ -20,6 +20,12 @@ import numpy as np
 
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+try:
+    from jax import shard_map  # jax >= 0.6
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from graphconvgeo_tpu.ops.ce_stream import streamed_argmax, streamed_rows_threshold
 from graphconvgeo_tpu.parallel.mesh import GRAPH_AXIS
 from graphconvgeo_tpu.train.evaluate import geo_eval
 from graphconvgeo_tpu.train.trainer import TrainConfig
@@ -32,7 +38,21 @@ class DistTrainer:
         self.optimizer, self._step = model.make_train_step(cfg.learning_rate)
 
         def _predict(p, data):
-            pred = jnp.argmax(model.apply(p, data, train=False), axis=-1)
+            n = int(data["y"].shape[0])
+            if n * model.cfg.n_classes > streamed_rows_threshold():
+                # World-scale head: argmax streams over row blocks per device
+                # — the dist LOSS already streams via masked_ce_sums, and
+                # serving must not hold the [N/D, C] logits the loss avoids
+                # (~1.2 GB/device at 1.4M×930 on a 4-chip mesh)
+                h = model.apply(p, data, train=False, return_hidden=True)
+                pred = shard_map(
+                    lambda h_l, w, b: streamed_argmax(h_l, w, b),
+                    mesh=model.mesh,
+                    in_specs=(P(GRAPH_AXIS, None), P(), P()),
+                    out_specs=P(GRAPH_AXIS),
+                )(h, p["out"]["w"], p["out"]["b"])
+            else:
+                pred = jnp.argmax(model.apply(p, data, train=False), axis=-1)
             # replicate the [n] class vector: predictions must be fetchable
             # on EVERY host (multi-host runs — a row-sharded output spans
             # non-addressable devices and np.asarray would throw)

@@ -370,7 +370,14 @@ def _raw_apply(
             out = out + _apply_factor(
                 fa.r_tiles, None, h, n_out=fa.n_rows, mxu_dtype=mxu_dtype
             )
-        z = jnp.concatenate([h_cast[: fa.n_rows], y.astype(h_cast.dtype)], axis=0)
+        # z dtype: the requested gather dtype when set; otherwise the WIDER
+        # of h and y — with bf16 h and gather_dtype=None the separate-rest
+        # layout gathers y's f32 partials unrounded, and the combined layout
+        # must not silently diverge from it (ADVICE r3 #2)
+        z_dtype = h_cast.dtype if gd is not None else jnp.promote_types(h.dtype, y.dtype)
+        z = jnp.concatenate(
+            [h_cast[: fa.n_rows].astype(z_dtype), y.astype(z_dtype)], axis=0
+        )
         kr = fa.br_rest.rows.shape[0]
         sub = _bell_raw(fa.br_rest.bell, z, gd)[:kr]
         out = out.at[fa.br_rest.rows].add(

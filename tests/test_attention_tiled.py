@@ -145,7 +145,9 @@ def test_tiled_attn_dropout_matches_masked_oracle(rng):
     def tiled(z_, asrc_, adst_):
         from graphconvgeo_tpu.ops.attention_tiled import _tiled_gat_core
 
-        return _tiled_gat_core(att, z_, asrc_, adst_, seed, SLOPE, rate)
+        return _tiled_gat_core(
+            att, z_, asrc_, adst_, seed, SLOPE, rate, jax.lax.Precision.HIGHEST
+        )
 
     out_t = tiled(z, a_src, a_dst)
     out_o = oracle(z, a_src, a_dst)

@@ -193,3 +193,76 @@ def test_capped_ell_bounds_outlier_and_preserves_loss(rng):
     g_unc = jax.grad(lambda p: sampled_loss(p, cfg, g.ell(), bd, y, mask, train=True))(params)
     for a, b in zip(jax.tree.leaves(g_cap), jax.tree.leaves(g_unc)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_sampled_eval_scale_safe_and_exact_at_full_fanout(rng):
+    """VERDICT r3 #6: eval must not secretly need full-graph operands.
+    The model carries adj=None (no full-graph Â exists anywhere), the
+    trainer uses eval_mode='sampled', and with an eval sampler whose
+    fanouts cover the max degree the row-scoped predictions equal the
+    full-graph model's exactly."""
+    from graphconvgeo_tpu.train.trainer import TrainConfig
+    from graphconvgeo_tpu.train.trainer_sampled import SampledTrainer
+
+    n = 80
+    a_hat, x, cfg, full_model, params = _setup(rng, n=n, v=30)
+    # the trainer's model has NO adjacency operand — sampled-only execution
+    model = HighwayGCN(cfg, full_model.x, None)
+    assert "adj" not in model.arrays
+    max_deg = int(np.diff(a_hat.indptr).max())
+    train_sampler = NeighborSampler(a_hat, fanouts=(3, 3), batch_size=16, seed=0)
+    eval_sampler = NeighborSampler(a_hat, fanouts=(max_deg, max_deg), batch_size=16, seed=1)
+    trainer = SampledTrainer(
+        model, train_sampler, TrainConfig(epochs=2, min_epochs=2, patience=5,
+                                          verbose=False),
+        eval_mode="sampled", eval_sampler=eval_sampler,
+    )
+    idx = np.array([2, 5, 9, 17, 21, 40, 41, 42, 55, 63, 70, 79, 1, 0, 33])
+    pred = trainer._predict_rows(params, idx)
+    pred_full = np.asarray(
+        jnp.argmax(full_model.apply(params, train=False), axis=-1)
+    )[idx]
+    np.testing.assert_array_equal(pred, pred_full)
+
+    # the full fit + evaluate loop completes without any full-graph operand
+    lat = rng.uniform(20, 50, n)
+    lon = rng.uniform(-120, -70, n)
+    y = rng.integers(0, cfg.n_classes, n).astype(np.int32)
+    med_lat = rng.uniform(20, 50, cfg.n_classes)
+    med_lon = rng.uniform(-120, -70, cfg.n_classes)
+    out = trainer.fit(
+        y, np.arange(50), np.arange(50, 65), lat=lat, lon=lon,
+        class_lat_median=med_lat, class_lon_median=med_lon,
+    )
+    assert len(out["history"]) == 2
+    m = trainer.evaluate(
+        out["params"], np.arange(65, 80), lat=lat, lon=lon,
+        class_lat_median=med_lat, class_lon_median=med_lon,
+    )
+    assert np.isfinite(m["acc_at_161"])
+
+
+def test_dist_sampled_eval_scale_safe(rng):
+    """DistSampledTrainer honors eval_mode='sampled' with an adj=None model
+    (row-scoped eval never touches the default-device full-graph path)."""
+    from graphconvgeo_tpu.parallel.mesh import make_graph_mesh
+    from graphconvgeo_tpu.parallel.sampled_dist import DistSampledTrainer
+    from graphconvgeo_tpu.train.trainer import TrainConfig
+
+    n = 64
+    a_hat, x, cfg, full_model, params = _setup(rng, n=n, v=30)
+    model = HighwayGCN(cfg, full_model.x, None)
+    max_deg = int(np.diff(a_hat.indptr).max())
+    sampler = NeighborSampler(a_hat, fanouts=(3, 3), batch_size=8, seed=0)
+    eval_sampler = NeighborSampler(a_hat, fanouts=(max_deg, max_deg), batch_size=8, seed=1)
+    mesh = make_graph_mesh(8)
+    trainer = DistSampledTrainer(
+        model, sampler, mesh, TrainConfig(epochs=1, min_epochs=1, verbose=False),
+        eval_mode="sampled", eval_sampler=eval_sampler,
+    )
+    idx = np.arange(40, 60)
+    pred = trainer._predict_rows(params, idx)
+    pred_full = np.asarray(
+        jnp.argmax(full_model.apply(params, train=False), axis=-1)
+    )[idx]
+    np.testing.assert_array_equal(pred, pred_full)
