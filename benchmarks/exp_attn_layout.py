@@ -1,0 +1,124 @@
+"""Tiled-GAT z/o block layout: is the fp=round_up(f,128) lane padding
+costing real time? (VERDICT r3 #3 — attack the top gap the traffic model
+exposes: the [block, heads, fp] z/g/o DMA dominates every tile pass, and
+at heads=4, f=64 the lane padding DOUBLES it.)
+
+Variants (one per process — axon relay):
+  padded  — status quo: fp=128, z/o blocks [128, 4, 128] (256 KB/tile)
+  narrow  — fp=f=64: blocks [128, 4, 64] (128 KB/tile); Mosaic lays the
+            (4, 64) trailing dims into padded registers but the HBM DMA
+            moves only real bytes
+  bf16    — padded layout, tile dots at Precision.DEFAULT (1-pass bf16
+            instead of 3-pass f32 — probes whether the passes are MXU- or
+            DMA-bound; uses the new per-call mxu_precision argument)
+  narrowbf16 — both levers
+
+Usage: exp_attn_layout.py [padded|narrow|bf16|narrowbf16] [n_nodes]
+"""
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import graphconvgeo_tpu.ops.attention_tiled as at
+from graphconvgeo_tpu.data.synthetic import random_mention_projection_graph
+from graphconvgeo_tpu.sparse.attention_tiles import TiledAttentionPattern
+from graphconvgeo_tpu.sparse.formats import normalize_adjacency
+from graphconvgeo_tpu.sparse.reorder import best_reordering
+from graphconvgeo_tpu.utils.timing import device_seconds_per_iter
+
+variant = sys.argv[1] if len(sys.argv) > 1 else "padded"
+N = int(sys.argv[2]) if len(sys.argv) > 2 else 131072
+BLOCK = int(sys.argv[3]) if len(sys.argv) > 3 else 128
+MIN_NNZ = int(sys.argv[4]) if len(sys.argv) > 4 else 64
+N_COMM = max(N // 256, 8)
+HEADS, F = 4, 64
+
+if variant.startswith("narrow"):
+    at._round_up = lambda v, m: v  # fp = f — no lane padding on z/g/o
+PREC = (
+    jax.lax.Precision.DEFAULT if variant.endswith("bf16")
+    else jax.lax.Precision.HIGHEST
+)
+STRIP_REST = variant.startswith("norest")  # isolate the tile passes
+
+if variant == "nodgather":
+    # WRONG-NUMERICS PROBE: skip the per-edge d-gather in the rest path to
+    # measure its share of the rest cost (d := s broadcast — same shapes)
+    _orig = at._rest_fused
+
+    def _rest_no_d(rest, s, d, z_heads, *, slope, seed, rate, n_cols_g, head_stride):
+        import jax.numpy as jnp
+
+        heads = s.shape[1]
+        n, fp = z_heads.shape[0], z_heads.shape[2]
+        s_sorted = jnp.take(s.T, rest.perm, axis=1)
+        ms, dens, os_ = [], [], []
+        start = 0
+        z_flat = z_heads.reshape(n, heads * fp)
+        from graphconvgeo_tpu.ops.attention import _ell_matvec_heads
+
+        for idx, valid, rid in zip(rest.indices, rest.valid, rest.row_ids):
+            n_b = idx.shape[0]
+            s_b = jax.lax.dynamic_slice_in_dim(s_sorted, start, n_b, 1)
+            raw = s_b[:, :, None] + s_b[:, :, None] * 0.001  # NO d gather
+            sc = jnp.where(valid[None] > 0, at._leaky(raw, slope), at._NEG)
+            m_b = sc.max(axis=2)
+            m_used = jnp.where(m_b > at._NEG / 2, m_b, 0.0)
+            e = jnp.exp(sc - m_used[:, :, None]) * valid[None]
+            ms.append(m_b)
+            dens.append(e.sum(axis=2))
+            os_.append(_ell_matvec_heads(idx, e, z_flat))
+            start += n_b
+        m_rest = jnp.take(jnp.concatenate(ms, axis=1), rest.inv_perm, axis=1).T
+        den_rest = jnp.take(jnp.concatenate(dens, axis=1), rest.inv_perm, axis=1).T
+        o_rest = jnp.take(jnp.concatenate(os_, axis=0), rest.inv_perm, axis=0)
+        return m_rest, den_rest, o_rest.reshape(-1, heads, fp)
+
+    at._rest_fused = _rest_no_d
+
+t0 = time.time()
+adj = random_mention_projection_graph(N, N_COMM, seed=7)
+perm = np.random.default_rng(1).permutation(N)
+adj = adj[perm][:, perm].tocsr()
+a_hat = normalize_adjacency(adj)
+ro = best_reordering(a_hat, seed=0)
+a_hat = ro.permute_graph(a_hat)
+nnz = a_hat.nnz
+att = TiledAttentionPattern.from_scipy(a_hat, block=BLOCK, min_tile_nnz=MIN_NNZ)
+if STRIP_REST:
+    import dataclasses
+
+    att = dataclasses.replace(att, rest=None)
+    nnz = att.stats()["tiled_edges"]  # rate over the edges actually computed
+st = att.stats()
+print(
+    f"N={N} nnz={nnz} tiles={st['n_tiles']} fill={st['tile_fill']:.3f} "
+    f"rest={st['rest_edges']} ({time.time()-t0:.0f}s)", flush=True,
+)
+
+rng = np.random.default_rng(0)
+z = jnp.asarray(rng.normal(size=(N, HEADS * F)).astype(np.float32)) * 0.1
+a_src = jnp.asarray(rng.normal(size=(HEADS, F)).astype(np.float32)) * 0.1
+a_dst = jnp.asarray(rng.normal(size=(HEADS, F)).astype(np.float32)) * 0.1
+
+fwd = lambda x, a: (
+    at.gat_attention_tiled(a, x, a_src, a_dst, mxu_precision=PREC) * 0.25 + x * 0.01
+)
+dt = device_seconds_per_iter(fwd, z, att, iters_lo=2, iters_hi=8, trials=2)
+print(f"{variant:7s} fwd     {dt*1e3:8.2f} ms  {nnz/dt/1e6:7.1f} M edges/s", flush=True)
+
+
+def train(x, a):
+    g = jax.grad(
+        lambda x_: jnp.sum(
+            at.gat_attention_tiled(a, x_, a_src, a_dst, mxu_precision=PREC) ** 2
+        )
+    )(x)
+    return x - 1e-6 * g
+
+
+dt = device_seconds_per_iter(train, z, att, iters_lo=2, iters_hi=8, trials=2)
+print(f"{variant:7s} fwd+bwd {dt*1e3:8.2f} ms  {nnz/dt/1e6:7.1f} M edges/s", flush=True)

@@ -1,0 +1,150 @@
+"""Bit-packed incidence tiles (VERDICT r3 #4 / ROADMAP #2): B'/B'ᵀ tile
+values are rank-1 row scalings of a BINARY incidence (host_factors: B' =
+D^-1/2·B), so a 64 KB f32 A-tile can ship as a 2 KB bit mask + a per-row
+scale column — the attention kernels' in-kernel `_unpack_mask` is the
+template. Tile-side traffic drops (64+256+...)→(2.5+256+...) KB per tile,
+~19% of the tile byte term; ROADMAP #2 warns byte-halving levers keep
+LOSING to layout-conversion cost on this chip, so: measure.
+
+Variants (one per process):
+  f32     — the real _bsr_matmul on f32 tiles (baseline)
+  packed  — bit mask + row-scale kernel (forward, row-scaled)
+  packedT — bit mask + col-scale kernel (the B'ᵀ orientation)
+
+Usage: exp_bitpack_tiles.py [f32|packed|packedT]
+"""
+import functools
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from graphconvgeo_tpu.utils.timing import device_seconds_per_iter
+
+BLOCK, F, KMAX = 128, 512, 16
+T = 16384
+RB = T // KMAX
+variant = sys.argv[1] if len(sys.argv) > 1 else "f32"
+
+
+def make_operands(seed=0, density=0.03):
+    """Binary M tiles + row scales; f32 tiles = diag(s) @ M per row block."""
+    rng = np.random.default_rng(seed)
+    m = (rng.random((T + 1, BLOCK, BLOCK)) < density).astype(np.float32)
+    m[0] = 0.0
+    scale = rng.uniform(0.1, 1.0, RB * BLOCK).astype(np.float32)
+    tile_idx = np.arange(1, T + 1, dtype=np.int32).reshape(RB, KMAX)
+    tile_col = rng.integers(0, RB, size=(RB, KMAX)).astype(np.int32)
+    # f32 scaled tiles: row r of tile (rb, k) scales by scale[rb*B + r]
+    srows = scale.reshape(RB, BLOCK)
+    f32_tiles = m.copy()
+    for rb in range(RB):
+        for k in range(KMAX):
+            f32_tiles[tile_idx[rb, k]] *= srows[rb][:, None]
+    # bit-pack (attention_tiles layout: bit i//W of word-row i%W)
+    w = BLOCK // 32
+    bits = np.zeros((T + 1, w, BLOCK), dtype=np.uint32)
+    nz = np.argwhere(m > 0)
+    t_i, r_i, c_i = nz[:, 0], nz[:, 1], nz[:, 2]
+    np.bitwise_or.at(bits, (t_i, r_i % w, c_i), np.uint32(1) << (r_i // w).astype(np.uint32))
+    h = rng.normal(size=(RB * BLOCK, F)).astype(np.float32)
+    return (
+        jnp.asarray(f32_tiles), jnp.asarray(bits),
+        jnp.asarray(scale.reshape(RB * BLOCK, 1)),
+        jnp.asarray(tile_idx), jnp.asarray(tile_col), jnp.asarray(h),
+    )
+
+
+def _unpack(bits):
+    w, block = bits.shape
+    words = pltpu.repeat(bits, block // w, axis=0)
+    shifts = jax.lax.broadcasted_iota(jnp.uint32, (block, block), 0) // w
+    return ((words >> shifts) & 1).astype(jnp.int32).astype(jnp.float32)
+
+
+def _packed_kernel(tidx_ref, tcol_ref, bits_ref, scale_ref, h_ref, o_ref, *, col_scale):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    m = _unpack(bits_ref[0])
+    if col_scale:
+        # B'ᵀ orientation: scale the gathered h rows (the source columns)
+        o_ref[:] += jnp.dot(m, h_ref[:] * scale_ref[:],
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+    else:
+        o_ref[:] += jnp.dot(m, h_ref[:], preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+
+    if not col_scale:
+        @pl.when(k == KMAX - 1)
+        def _():
+            o_ref[:] = o_ref[:] * scale_ref[:]
+
+
+def packed_matmul(bits, scale, tile_idx, tile_col, h, *, col_scale):
+    w = BLOCK // 32
+    # row-scale indexes the OUTPUT row block; col-scale the h column block
+    sidx = (lambda r, j, k, ti, tc: (tc[r * KMAX + k], 0)) if col_scale else (
+        lambda r, j, k, ti, tc: (r, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(RB, 1, KMAX),
+        in_specs=[
+            pl.BlockSpec((1, w, BLOCK), lambda r, j, k, ti, tc: (ti[r * KMAX + k], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK, 1), sidx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK, F), lambda r, j, k, ti, tc: (tc[r * KMAX + k], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BLOCK, F), lambda r, j, k, ti, tc: (r, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_packed_kernel, col_scale=col_scale),
+        out_shape=jax.ShapeDtypeStruct((RB * BLOCK, F), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=jax.default_backend() != "tpu",
+    )(tile_idx.reshape(-1), tile_col.reshape(-1), bits, scale, h)
+
+
+f32_tiles, bits, scale, ti, tc, h = make_operands()
+
+if variant == "f32":
+    from graphconvgeo_tpu.ops.spmm_pallas import _bsr_matmul
+
+    f = lambda h, tiles, ti, tc: _bsr_matmul(tiles, ti, tc, h) * 0.5 + 0.01
+    dt = device_seconds_per_iter(f, h, f32_tiles, ti, tc, iters_lo=2, iters_hi=8, trials=2)
+    traffic = (T * (BLOCK * BLOCK + BLOCK * F) + RB * BLOCK * F) * 4
+else:
+    cs = variant == "packedT"
+    f = lambda h, bits, scale, ti, tc: packed_matmul(bits, scale, ti, tc, h, col_scale=cs) * 0.5 + 0.01
+    # correctness vs dense reference on a small prefix before timing
+    ref = np.zeros((RB * BLOCK, F), np.float32)
+    got = np.asarray(f(h, bits, scale, ti, tc))
+    tiles_np = np.asarray(jnp.where(f32_tiles != 0, 1.0, 0.0))
+    sc = np.asarray(scale).ravel()
+    hn = np.asarray(h)
+    for rb in range(2):
+        acc = np.zeros((BLOCK, F), np.float32)
+        for k in range(KMAX):
+            t_id, c_id = int(np.asarray(ti)[rb, k]), int(np.asarray(tc)[rb, k])
+            blkh = hn[c_id * BLOCK:(c_id + 1) * BLOCK]
+            if cs:
+                blkh = blkh * sc[c_id * BLOCK:(c_id + 1) * BLOCK, None]
+            acc += tiles_np[t_id] @ blkh
+        if not cs:
+            acc *= sc[rb * BLOCK:(rb + 1) * BLOCK, None]
+        ref[rb * BLOCK:(rb + 1) * BLOCK] = acc * 0.5 + 0.01
+    np.testing.assert_allclose(got[: 2 * BLOCK], ref[: 2 * BLOCK], rtol=1e-4, atol=1e-4)
+    print("packed kernel matches dense reference", flush=True)
+    dt = device_seconds_per_iter(f, h, bits, scale, ti, tc, iters_lo=2, iters_hi=8, trials=2)
+    traffic = (T * (BLOCK * BLOCK // 32 + BLOCK * 4 + BLOCK * F) + RB * BLOCK * F) * 4
+
+print(f"{variant:8s} {dt*1e3:8.2f} ms  {traffic/dt/1e9:7.1f} GB/s (real bytes)", flush=True)

@@ -1,0 +1,136 @@
+"""Independent anchors for bench.py's TILE_GBPS constant (VERDICT r3 #2).
+
+The attainable model charges dense-tile MXU ops at 250 GB/s — the measured
+rate of the builder's own Mosaic BSR pipeline. To keep that constant from
+being self-referential, measure UPPER BOUNDS of the same access pattern
+with the MXU removed:
+
+  stream-rand   — the exact BSR pipeline (scalar-prefetched tile lists,
+                  per-step A-tile + h-block DMA, per-row-block o accum)
+                  with the dot replaced by a VPU multiply-add: the pure
+                  DMA+loop ceiling for this kernel class, random cols
+  stream-diag   — same, near-diagonal cols (the clique-ordered structure
+                  bench.py discloses measured ~2x faster per tile)
+  mxu-rand/diag — the real spmm kernel on the same operands (the rate the
+                  250 GB/s constant summarizes)
+  hbm-copy      — plain XLA elementwise stream on the same total bytes
+                  (re-anchors the 819 GB/s stream constant)
+  mxu-dense     — one large XLA dense matmul: f32-HIGHEST and bf16-DEFAULT
+                  TFLOP/s (constants for the attention model's MXU engine)
+
+Traffic accounting mirrors bench._tally_tiles: tiles*(block^2+block*F)*4 +
+row_blocks*block*F*4.
+
+Usage: exp_tile_anchor.py [variant]   (one per process — axon relay)
+"""
+import functools
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from graphconvgeo_tpu.utils.timing import device_seconds_per_iter
+
+BLOCK, F, KMAX = 128, 512, 16
+T = 16384  # real tiles
+RB = T // KMAX  # row blocks, fully dense tile lists (no padding slots)
+variant = sys.argv[1] if len(sys.argv) > 1 else "stream-rand"
+
+
+def make_operands(order: str, seed=0):
+    rng = np.random.default_rng(seed)
+    tiles = jnp.asarray(
+        rng.normal(size=(T + 1, BLOCK, BLOCK)).astype(np.float32) * 0.1
+    )
+    tile_idx = np.arange(1, T + 1, dtype=np.int32).reshape(RB, KMAX)
+    if order == "diag":
+        # near-diagonal: row block r consumes h blocks r-8..r+7 (clique-
+        # ordered structure — consecutive steps re-touch warm h blocks)
+        cols = (np.arange(RB)[:, None] + np.arange(KMAX)[None, :] - KMAX // 2) % RB
+    else:
+        cols = rng.integers(0, RB, size=(RB, KMAX))
+    tile_col = cols.astype(np.int32)
+    h = jnp.asarray(rng.normal(size=(RB * BLOCK, F)).astype(np.float32))
+    return tiles, jnp.asarray(tile_idx), jnp.asarray(tile_col), h
+
+
+def _stream_kernel(tidx_ref, tcol_ref, tiles_ref, h_ref, o_ref):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    # touch both DMA'd blocks, no MXU: the tile contributes one scalar so
+    # its fetch stays live; the h block rides a VPU fma
+    o_ref[:] += h_ref[:] * (1.0 + tiles_ref[0, 0, 0] * 1e-9)
+
+
+def stream_matmul(tiles, tile_idx, tile_col, h):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(RB, 1, KMAX),
+        in_specs=[
+            pl.BlockSpec((1, BLOCK, BLOCK),
+                         lambda r, j, k, ti, tc: (ti[r * KMAX + k], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK, F),
+                         lambda r, j, k, ti, tc: (tc[r * KMAX + k], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BLOCK, F), lambda r, j, k, ti, tc: (r, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _stream_kernel,
+        out_shape=jax.ShapeDtypeStruct((RB * BLOCK, F), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=jax.default_backend() != "tpu",
+    )(tile_idx.reshape(-1), tile_col.reshape(-1), tiles, h)
+
+
+TRAFFIC = (T * (BLOCK * BLOCK + BLOCK * F) + RB * BLOCK * F) * 4
+
+
+def report(name, dt, traffic=TRAFFIC):
+    print(f"{name:12s} {dt*1e3:8.2f} ms  {traffic/dt/1e9:7.1f} GB/s", flush=True)
+
+
+if variant.startswith("stream"):
+    ops = make_operands("diag" if variant.endswith("diag") else "rand")
+    f = lambda h, tiles, ti, tc: stream_matmul(tiles, ti, tc, h) * 0.5 + 0.01
+    dt = device_seconds_per_iter(f, ops[3], ops[0], ops[1], ops[2],
+                                 iters_lo=2, iters_hi=8, trials=2)
+    report(variant, dt)
+elif variant.startswith("mxu-rand") or variant.startswith("mxu-diag"):
+    from graphconvgeo_tpu.ops.spmm_pallas import _bsr_matmul
+
+    ops = make_operands("diag" if variant.endswith("diag") else "rand")
+    f = lambda h, tiles, ti, tc: _bsr_matmul(tiles, ti, tc, h) * 0.5 + 0.01
+    dt = device_seconds_per_iter(f, ops[3], ops[0], ops[1], ops[2],
+                                 iters_lo=2, iters_hi=8, trials=2)
+    report(variant, dt)
+elif variant == "hbm-copy":
+    n_f = TRAFFIC // 8  # read + write
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(n_f,)).astype(np.float32))
+    f = lambda x: x * 1.0003 + 0.1
+    dt = device_seconds_per_iter(f, x, iters_lo=4, iters_hi=16, trials=2)
+    report(variant, dt)
+elif variant == "mxu-dense":
+    m = 8192
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(size=(m, m)).astype(np.float32) * 0.02)
+    b = jnp.asarray(rng.normal(size=(m, m)).astype(np.float32) * 0.02)
+    for prec, label in ((jax.lax.Precision.HIGHEST, "f32-HIGHEST"),
+                        (jax.lax.Precision.DEFAULT, "bf16-DEFAULT")):
+        f = functools.partial(
+            lambda x, y, p: jnp.dot(x, y, precision=p) * 1e-3 + 0.01, p=prec
+        )
+        dt = device_seconds_per_iter(f, a, b, iters_lo=2, iters_hi=8, trials=2)
+        print(f"mxu-dense {label:12s} {dt*1e3:8.2f} ms  "
+              f"{2*m**3/dt/1e12:6.1f} TFLOP/s", flush=True)
+else:
+    raise SystemExit(f"unknown variant {variant}")

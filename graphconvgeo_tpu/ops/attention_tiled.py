@@ -1,20 +1,32 @@
 """Tiled GAT attention — FlashAttention-style kernels over pattern tiles.
 
-One layer = four Pallas passes over the mask tiles (scores recomputed on the
-fly from the narrow s/d vectors — per-edge attention weights are NEVER
+One layer = THREE Pallas passes over the mask tiles (round 4 fused the old
+max-then-fwd pair into one running-softmax sweep; scores are recomputed on
+the fly from the narrow s/d vectors — per-edge attention weights are NEVER
 materialized in HBM) plus the bucketed rest path for edges outside dense
-tiles, sharing the same shift and softmax denominators so the result is
-exact:
+tiles (also one fused pass), merged by exp-rescale so the softmax over the
+union is exact:
 
-  max pass   →  per-row score maxima m                 (narrow)
-  fwd pass   →  unnormalized aggregation + denominators (one F-wide pass)
+  fused fwd  →  running max m + unnormalized aggregation + denominators
+                (FlashAttention online softmax; one F-wide pass)
   bwd row    →  ds   (per-tile SDDMM ḡ·zᵀ on the MXU)
   bwd col    →  dz, dd (transpose sweep, alphaᵀ·ḡ on the MXU)
 
 The whole layer is ONE custom VJP: the backward math
   dα = ḡ·zᵀ;  c_i = ⟨ḡ_i, out_i⟩;  dσ = α (dα − c);  draw = dσ·σ'(raw)
   ds_i = Σ_j draw;  dd_j = Σ_i draw;  dz_j = Σ_i α_ij ḡ_i
-needs only narrow per-row residuals (m, den) beyond the primal inputs.
+needs only narrow per-row residuals (m, den) beyond the primal inputs —
+the backward recomputes e = exp(raw − m) under the MERGED final shift, so
+it is untouched by how the forward accumulated.
+
+Round-4 measured ledger for this family (131k nodes / 5.4M edges, 4×64,
+min_tile_nnz=64 → 11.0k tiles + 846k rest edges, v5e; PERF.md):
+  four-pass baseline fwd 63.0 ms; fused tile pass 62.7; fused rest 62.2;
+  lane-narrow z (fp=f=64) 62.1; DEFAULT-precision dots 62.6 — the byte,
+  MXU, and pass-count levers are all flat because the binding costs are
+  the rest path's per-edge row gathers (norest: 29.1 ms → rest ≈ 33 ms ≈
+  39 ns/edge, the measured gather-row rate) and a ~2.6 µs/tile fixed cost.
+  The fused architecture is kept: one pass fewer with identical numerics.
 """
 
 from __future__ import annotations
@@ -116,6 +128,87 @@ def _tile_max(att, s, d, *, slope):
     )(att.first, att.rowblk, att.colblk, att.mask_bits, s, d)
 
 
+# ------------------------------------------------------- fused max+forward
+def _fwd_fused_kernel(
+    first_ref, rblk_ref, cblk_ref, mask_ref, seed_ref, s_ref, d_ref, z_ref,
+    o_ref, den_ref, m_ref, *, heads, slope, rate, n_cols, head_stride, precision,
+):
+    """ONE tile sweep instead of max-then-fwd: FlashAttention's running
+    (online) softmax — per row block keep the running max m, rescaling the
+    o/den accumulators by exp(m_old − m_new) when a tile raises it. Exact:
+    the final accumulators equal the shared-shift sums (each contribution
+    carries exp(raw − m_final) after the chain of rescales). Kills half the
+    tile-pass grid steps and the max pass's mask/s/d DMA (measured round 4:
+    the per-tile fixed cost, not the byte volume, dominated this kernel —
+    63.0 → 47.4 ms fwd at 131k/5.4M edges before the narrow-z change)."""
+    t = pl.program_id(0)
+
+    @pl.when(first_ref[t] == 1)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+        den_ref[:] = jnp.zeros_like(den_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG)
+
+    mask = _unpack_mask(mask_ref[0])
+    block = mask.shape[0]
+    for h in range(heads):
+        raw = s_ref[:, h][:, None] + d_ref[:, h][None, :]
+        sc = jnp.where(mask > 0, _leaky(raw, slope), _NEG)
+        m_old = m_ref[:, h]
+        m_new = jnp.maximum(m_old, sc.max(axis=1))
+        # no-edges-yet rows: m_old = m_new = _NEG → scale = exp(0) = 1 with
+        # zero accumulators; masked slots: exp(_NEG−_NEG)·mask = 0 — both safe
+        scale = jnp.exp(m_old - m_new)
+        e = jnp.exp(sc - m_new[:, None]) * mask
+        den_ref[:, h] = den_ref[:, h] * scale + e.sum(axis=1)
+        m_ref[:, h] = m_new
+        if rate > 0.0:  # denominators are UNDROPPED (reference semantics)
+            e = e * _tile_keep(
+                rblk_ref[t], cblk_ref[t], seed_ref[0], h,
+                block=block, n_cols=n_cols, head_stride=head_stride, rate=rate,
+            )
+        o_ref[:, h, :] = o_ref[:, h, :] * scale[:, None] + jnp.dot(
+            e, z_ref[:, h, :], preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+
+
+def _tile_fwd_fused(att, s, d, z, *, slope, seed, rate, precision=None):
+    precision = precision if precision is not None else _MXU_PRECISION
+    b, t_n = att.block, att.n_tiles
+    heads, fp = z.shape[1], z.shape[2]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(t_n,),
+        in_specs=[
+            pl.BlockSpec((1, b // 32, b), lambda t, f, r, c: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((b, heads), lambda t, f, r, c: (r[t], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, heads), lambda t, f, r, c: (c[t], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, heads, fp), lambda t, f, r, c: (c[t], 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, heads, fp), lambda t, f, r, c: (r[t], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, heads), lambda t, f, r, c: (r[t], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, heads), lambda t, f, r, c: (r[t], 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _fwd_fused_kernel, heads=heads, slope=slope, rate=rate,
+            n_cols=att.n_cols, head_stride=att.n_rows * att.n_cols,
+            precision=precision,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((s.shape[0], heads, fp), jnp.float32),
+            jax.ShapeDtypeStruct(s.shape, jnp.float32),
+            jax.ShapeDtypeStruct(s.shape, jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(att.first, att.rowblk, att.colblk, att.mask_bits, seed, s, d, z)
+
+
 # ---------------------------------------------------------------- forward
 def _fwd_kernel(
     first_ref, rblk_ref, cblk_ref, mask_ref, seed_ref, s_ref, d_ref, m_ref, z_ref,
@@ -145,7 +238,8 @@ def _fwd_kernel(
         )
 
 
-def _tile_fwd(att, s, d, m, z, *, slope, seed, rate, precision):
+def _tile_fwd(att, s, d, m, z, *, slope, seed, rate, precision=None):
+    precision = precision if precision is not None else _MXU_PRECISION
     b, t_n = att.block, att.n_tiles
     heads, fp = z.shape[1], z.shape[2]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -211,7 +305,8 @@ def _bwd_row_kernel(
         ds_ref[:, h] += draw.sum(axis=1)
 
 
-def _tile_bwd_row(att, s, d, m, den, c, z, g, *, slope, seed, rate, precision):
+def _tile_bwd_row(att, s, d, m, den, c, z, g, *, slope, seed, rate, precision=None):
+    precision = precision if precision is not None else _MXU_PRECISION
     b, t_n = att.block, att.n_tiles
     heads, fp = z.shape[1], z.shape[2]
     spec_n = lambda idx: pl.BlockSpec((b, heads), idx, memory_space=pltpu.VMEM)
@@ -287,7 +382,8 @@ def _bwd_col_kernel(
         dd_ref[:, h] += draw.sum(axis=0)
 
 
-def _tile_bwd_col(att, s, d, m, den, c, z, g, *, slope, seed, rate, precision):
+def _tile_bwd_col(att, s, d, m, den, c, z, g, *, slope, seed, rate, precision=None):
+    precision = precision if precision is not None else _MXU_PRECISION
     b, t_n = att.block, att.n_tiles
     heads, fp = z.shape[1], z.shape[2]
     # column-major sweep over the PRE-SORTED host copies (mask_bits_t /
@@ -354,28 +450,38 @@ def _rest_keep(row_ids, idx, seed, *, heads, n_cols, head_stride, rate):
     return keep.astype(jnp.float32) / (1.0 - rate)
 
 
-def _rest_fwd(rest, s, d, m, z_heads, *, slope, seed, rate, n_cols_g, head_stride):
-    """Bucketed residual contributions (den_rest, o_rest) under the SAME
-    shift m. All raw jnp — differentiated by hand in the layer VJP.
+def _rest_fused(rest, s, d, z_heads, *, slope, seed, rate, n_cols_g, head_stride):
+    """Bucketed residual (m_rest, den_rest, o_rest) in ONE pass over the
+    edges. Round-4 measurement: the rest path was 33.7 of 62.7 ms fwd at
+    131k/5.4M edges (846k rest edges ≈ 25 M edges/s) because max-then-fwd
+    paid the per-edge d-gathers TWICE; buckets partition ROWS, so each
+    bucket takes its own max and the accumulators come back under the
+    per-row rest shift — the caller rescale-merges them with the tile
+    accumulators exactly like the fused tile pass. All raw jnp —
+    differentiated by hand in the layer VJP (the backward recomputes e
+    under the final merged shift; only (m, den) are carried).
 
-    Per-edge tensors are heads-major [H, n_b, K] so the slot axis stays in
-    lanes (see _ell_matvec_heads)."""
+    Returns m_rest raw (_NEG on rows with no valid rest edge — merge with
+    ``jnp.maximum`` then rescale by ``exp(clamped − merged)``); den/o are
+    computed under the CLAMPED shift."""
     from graphconvgeo_tpu.ops.attention import _ell_matvec_heads
 
     heads = s.shape[1]
     n, fp = z_heads.shape[0], z_heads.shape[2]
     s_sorted = jnp.take(s.T, rest.perm, axis=1)  # [H, n]
-    m_sorted = jnp.take(m.T, rest.perm, axis=1)
     d_t = d.T
-    dens, os_ = [], []
+    ms, dens, os_ = [], [], []
     start = 0
     z_flat = z_heads.reshape(n, heads * fp)
     for idx, valid, rid in zip(rest.indices, rest.valid, rest.row_ids):
         n_b = idx.shape[0]
         s_b = jax.lax.dynamic_slice_in_dim(s_sorted, start, n_b, 1)
-        m_b = jax.lax.dynamic_slice_in_dim(m_sorted, start, n_b, 1)
         raw = s_b[:, :, None] + jnp.take(d_t, idx, axis=1)  # [H, n_b, K]
-        e = jnp.exp(_leaky(raw, slope) - m_b[:, :, None]) * valid[None]
+        sc = jnp.where(valid[None] > 0, _leaky(raw, slope), _NEG)
+        m_b = sc.max(axis=2)  # [H, n_b]
+        m_used = jnp.where(m_b > _NEG / 2, m_b, 0.0)
+        e = jnp.exp(sc - m_used[:, :, None]) * valid[None]
+        ms.append(m_b)
         dens.append(e.sum(axis=2))  # denominators are UNDROPPED
         if rate > 0.0:
             e = e * _rest_keep(
@@ -384,23 +490,10 @@ def _rest_fwd(rest, s, d, m, z_heads, *, slope, seed, rate, n_cols_g, head_strid
             )
         os_.append(_ell_matvec_heads(idx, e, z_flat))
         start += n_b
+    m_rest = jnp.take(jnp.concatenate(ms, axis=1), rest.inv_perm, axis=1).T
     den_rest = jnp.take(jnp.concatenate(dens, axis=1), rest.inv_perm, axis=1).T
     o_rest = jnp.take(jnp.concatenate(os_, axis=0), rest.inv_perm, axis=0)
-    return den_rest, o_rest.reshape(-1, heads, fp)
-
-
-def _rest_max(rest, s, d, *, slope):
-    s_sorted = jnp.take(s.T, rest.perm, axis=1)
-    d_t = d.T
-    outs, start = [], 0
-    for idx, valid in zip(rest.indices, rest.valid):
-        n_b = idx.shape[0]
-        s_b = jax.lax.dynamic_slice_in_dim(s_sorted, start, n_b, 1)
-        raw = s_b[:, :, None] + jnp.take(d_t, idx, axis=1)
-        sc = jnp.where(valid[None] > 0, _leaky(raw, slope), _NEG)
-        outs.append(sc.max(axis=2))
-        start += n_b
-    return jnp.take(jnp.concatenate(outs, axis=1), rest.inv_perm, axis=1).T
+    return m_rest, den_rest, o_rest.reshape(-1, heads, fp)
 
 
 def _rest_bwd(rest, s, d, m, den, c, z_heads, g_heads, *, slope, seed, rate, n_cols_g, head_stride):
@@ -488,25 +581,46 @@ def _layer_fwd_impl(att, z, a_src, a_dst, seed, slope, rate, precision):
     z_heads, zp, s, d, heads, f, fp, n, npad, mpad = _prep(att, z, a_src, a_dst)
     hstride = att.n_rows * att.n_cols
     # s rows are padded to the row grid, d rows to the column grid (the
-    # kernels index them by rowblk / colblk respectively)
-    m = _tile_max(att, s, d, slope=slope)
-    if att.rest is not None:
-        m = jnp.maximum(
-            m, _pad_rows(_rest_max(att.rest, s[:n], d[: z.shape[0]], slope=slope), npad)
-        )
-    m = jnp.where(m > _NEG / 2, m, 0.0)  # rows with no edges: neutral shift
-    o_un, den = _tile_fwd(
-        att, s, d, m, zp, slope=slope, seed=seed, rate=rate, precision=precision
+    # kernels index them by rowblk / colblk respectively). ONE fused tile
+    # sweep (running/online softmax) replaces the max-then-fwd pair; its
+    # accumulators come back under each row's RUNNING tile shift m_t and are
+    # rescaled by exp(m_t − m) to the merged shift. The rest path keeps its
+    # own max pass (narrow, bucket-sized) and contributes under m directly,
+    # so the union softmax stays exact; the BACKWARD passes are unchanged —
+    # they recompute e = exp(raw − m) from the stored merged (m, den).
+    o_t, den_t, m_t = _tile_fwd_fused(
+        att, s, d, zp, slope=slope, seed=seed, rate=rate, precision=precision
     )
     if att.rest is not None:
-        den_r, o_r = _rest_fwd(
-            att.rest, s[:n], d[: z.shape[0]], m[:n], z_heads, slope=slope,
+        # ONE fused rest pass under its own per-row shift; merge the two
+        # partial softmaxes by rescaling each to the row's final max
+        # (guarded where a side saw no edges — exp(0 − m) could overflow)
+        m_r, den_r, o_r = _rest_fused(
+            att.rest, s[:n], d[: z.shape[0]], z_heads, slope=slope,
             seed=seed, rate=rate, n_cols_g=att.n_cols, head_stride=hstride,
         )
-        den = den.at[:n].add(den_r)
+        m_rp = _pad_rows(m_r, npad) if m_r.shape[0] != npad else m_r
+        if m_r.shape[0] != npad:  # padding rows: no rest edges
+            m_rp = m_rp.at[m_r.shape[0]:].set(_NEG)
+        m = jnp.maximum(m_t, m_rp)
+        m = jnp.where(m > _NEG / 2, m, 0.0)  # rows with no edges: neutral
+        a_t = jnp.where(m_t > _NEG / 2, jnp.exp(m_t - m), 0.0)
+        a_r = jnp.where(
+            m_rp > _NEG / 2,
+            jnp.exp(jnp.where(m_rp > _NEG / 2, m_rp, 0.0) - m),
+            0.0,
+        )
+        den = den_t * a_t
+        o_un = o_t * a_t[:, :, None]
+        den = den.at[:n].add(den_r * a_r[:n])
         if fp != f:
             o_r = jnp.pad(o_r, ((0, 0), (0, 0), (0, fp - f)))
-        o_un = o_un.at[:n].add(o_r)
+        o_un = o_un.at[:n].add(o_r * a_r[: o_r.shape[0], :, None])
+    else:
+        m = jnp.where(m_t > _NEG / 2, m_t, 0.0)
+        a_t = jnp.where(m_t > _NEG / 2, jnp.exp(m_t - m), 0.0)
+        den = den_t * a_t
+        o_un = o_t * a_t[:, :, None]
     den = jnp.where(den > 0, den, 1.0)
     out = (o_un / den[:, :, None])[:n, :, :f].reshape(n, heads * f)
     return out, (s, d, m, den)
