@@ -1,0 +1,97 @@
+"""Hub-axis ordering vs the bt-rest gather wall (VERDICT r3 #4).
+
+Round-3 champion breakdown: the bt factor (B'ᵀ·h) is the largest term of
+the 22.4 ms factorized apply — 7.52 ms, dominated by 183k trimmed-bell
+rest slots gathering h rows at the 48M rows/s wall. The open structural
+candidate is a HOST-side hub ordering that moves those slots into MXU
+tiles: under the clique-grouped user order every user's PRIMARY hub run is
+contiguous, so ordering hubs by their core-run position ("core") makes the
+primary memberships a monotone staircase in B'ᵀ that near-diagonal 128²
+tiles can capture — vs the round-2 "median" order (audience median
+position), which aligns communities but not the staircase.
+
+Usage: exp_bt_hub_order.py [median|core]  (one variant per process — the
+axon relay is fragile under repeated multi-GB operand uploads).
+
+Measures per variant: bt/b/r tile counts, rest slot counts, the isolated
+bt-factor apply, and the FULL factorized apply (bench step shape,
+bf16 gathers + bf16 MXU, F=512).
+"""
+import sys
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from graphconvgeo_tpu.data.synthetic import random_mention_projection_graph
+from graphconvgeo_tpu.sparse.factorized import (
+    FactorizedAdjacency,
+    _apply_factor,
+    spmm_factorized,
+)
+from graphconvgeo_tpu.sparse.reorder import bipartite_reordering
+from graphconvgeo_tpu.utils.timing import device_trial_seconds
+
+N, N_COMM, FEAT = 262_144, 1024, 512
+variant = sys.argv[1] if len(sys.argv) > 1 else "median"
+
+t0 = time.time()
+adj, groups = random_mention_projection_graph(N, N_COMM, seed=7, return_structure=True)
+edges = int(adj.nnz)
+del adj
+perm = np.random.default_rng(1).permutation(N)
+inv = np.empty(N, dtype=np.int64)
+inv[perm] = np.arange(N)
+groups = {g: inv[np.asarray(m)] for g, m in groups.items()}
+ro = bipartite_reordering(groups, N, clique_group=True)
+groups = {g: ro.to_new(np.asarray(m)) for g, m in groups.items()}
+print(f"structure built ({time.time()-t0:.0f}s), edges={edges}", flush=True)
+
+fa = FactorizedAdjacency.from_groups(groups, N, hub_order=variant)
+
+
+def _stats(tag, tiles, rest):
+    nt = int(tiles.tiles.shape[0]) if tiles is not None else 0
+    slots = int(rest.bell.padded_slots) if rest is not None else 0
+    rows = int(rest.rows.shape[0]) if rest is not None else 0
+    print(f"  {tag}: tiles={nt}  rest_slots={slots}  rest_rows={rows}", flush=True)
+    return nt, slots
+
+
+print(f"variant={variant}  G={fa.n_groups}", flush=True)
+_stats("bt", fa.bt_tiles, fa.bt_rest)
+_stats("b ", fa.b_tiles, fa.b_rest)
+_stats("r ", fa.r_tiles, fa.r_rest)
+if fa.br_rest is not None:
+    print(
+        f"  br: rest_slots={int(fa.br_rest.bell.padded_slots)} "
+        f"rest_rows={int(fa.br_rest.rows.shape[0])}",
+        flush=True,
+    )
+
+h = jnp.asarray(np.random.default_rng(0).normal(size=(N, FEAT)).astype(np.float32))
+
+# isolated bt factor (the round-3 7.52 ms term); output is [G, F] — pad the
+# step to be shape-preserving by scattering back into an [N, F] carry
+bt = lambda x, f: x.at[: f.n_groups].add(
+    _apply_factor(
+        f.bt_tiles, f.bt_rest, x, n_out=f.n_groups,
+        gather_dtype=jnp.bfloat16, rest_src=x.astype(jnp.bfloat16),
+        mxu_dtype=jnp.bfloat16,
+    )
+    * 0.25
+)
+dts = device_trial_seconds(bt, h, fa, iters_lo=2, iters_hi=10, trials=3)
+print(f"bt factor alone: {min(dts)*1e3:7.2f} ms", flush=True)
+
+step = lambda x, f: (
+    spmm_factorized(f, x, gather_dtype=jnp.bfloat16, mxu_dtype=jnp.bfloat16) * 0.25
+    + 0.01
+)
+dts = device_trial_seconds(step, h, fa, iters_lo=2, iters_hi=12, trials=3)
+dt = min(dts)
+print(
+    f"FULL apply: {dt*1e3:7.2f} ms  {edges/dt/1e6:7.1f} M edges/s "
+    f"(trials {[round(d*1e3,2) for d in sorted(dts)]})",
+    flush=True,
+)

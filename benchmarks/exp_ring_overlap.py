@@ -1,0 +1,219 @@
+"""Ring-halo overlap evidence (VERDICT r3 missing #4).
+
+The 16-device SCALING.json point (no-overlap bound 0.745 < 0.75) needs the
+ring schedule (``spmm_dist.local_spmm_halo_ring``) to hide part of the
+ppermute chain behind the interleaved per-peer partial SpMMs. One chip
+cannot measure ICI, and wall-clock collective timing on the virtual CPU
+mesh is thread-rendezvous-bound (measured: one all-to-all conv = 5.7 s vs
+~50 ms of compute — it measures barrier overhead, not schedule quality),
+so this produces the two observables this machine CAN measure honestly:
+
+1. ``tpu``: the ring decomposition's COMPUTE-side cost on the real chip —
+   the monolithic remote SpMM over the whole halo vs the sum of D−1
+   per-peer partial SpMMs over the same rows (identical inputs, device-0
+   operands of the real 8-way partition). If splitting cost nothing, any
+   nonzero comm/compute overlap moves efficiency strictly above the
+   no-overlap bound; if splitting carried a fixed cost per step, the
+   overlap would be paying for itself. This is the schedule's price tag.
+
+2. ``hlo``: the ring program's OPTIMIZED HLO on the 8-device virtual mesh —
+   counts the collective-permutes (must be D−1 per conv) and how many XLA
+   emitted as async start/done pairs. Structurally, every permute consumes
+   only h_local-derived rows (never a previous step's received halo), so
+   an async scheduler is free to keep each in flight while the interleaved
+   partial SpMM runs; the pair count shows the compiler taking (or not
+   taking) that freedom on this backend.
+
+Both parts write into SCALING.json under ``overlap_evidence``.
+
+Run: /opt/venv/bin/python benchmarks/exp_ring_overlap.py [tpu|hlo|all]
+(``all`` runs hlo in a subprocess first — platform choice is per-process).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# 8 virtual CPU devices for the hlo mode (read at backend init; harmless for
+# the tpu mode, which runs on the axon platform). NB the JAX_PLATFORMS env
+# var is ignored under the axon sitecustomize — run_hlo switches platform via
+# jax.config.update instead.
+if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+
+FEAT = 512
+N, N_COMM, DEG = 65536, 256, 16
+D = 8
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_workload():
+    from graphconvgeo_tpu.data.synthetic import random_sbm_graph
+    from graphconvgeo_tpu.parallel.partition import build_halo, partition_rows
+    from graphconvgeo_tpu.sparse.formats import normalize_adjacency
+    from graphconvgeo_tpu.sparse.reorder import labelprop_reordering
+
+    adj = random_sbm_graph(N, N_COMM, DEG, seed=7)
+    a_hat = normalize_adjacency(adj)
+    ro = labelprop_reordering(a_hat)
+    a_hat = ro.permute_graph(a_hat)
+    x = a_hat[:, :128].tocsr()  # dummy features for the partitioner
+    y = np.zeros(N, np.int32)
+    mask = np.ones(N, np.float32)
+    part = partition_rows(a_hat, x, y, mask, D)
+    hx = build_halo(part)
+    return part, hx
+
+
+def save(update: dict):
+    path = os.path.join(REPO, "SCALING.json")
+    with open(path) as f:
+        scaling = json.load(f)
+    ev = scaling.setdefault("overlap_evidence", {})
+    ev.update(update)
+    with open(path, "w") as f:
+        json.dump(scaling, f, indent=1)
+    print("SCALING.json updated:", list(update), flush=True)
+
+
+def run_tpu():
+    import jax
+    import jax.numpy as jnp
+
+    from graphconvgeo_tpu.parallel.spmm_dist import _spmm_op_core
+    from graphconvgeo_tpu.utils.timing import device_trial_seconds
+
+    part, hx = build_workload()
+    ops = hx.operands("bell", keys=("ar", "art"))
+    ring = hx.ring_operands("bell")
+    dev0 = lambda op: jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[0]), op)
+    ar0, art0 = dev0(ops["ar"]), dev0(ops["art"])
+    arp0, artp0 = dev0(ring["arp"]), dev0(ring["artp"])
+    peer = lambda op, s: jax.tree.map(lambda a: a[s], op)
+
+    n_halo = D * hx.h_max
+    rpd = part.rows_per_device
+    print(f"rpd={rpd} h_max={hx.h_max} n_halo={n_halo}", flush=True)
+    h = jnp.asarray(
+        np.random.default_rng(0).normal(size=(n_halo, FEAT)).astype(np.float32)
+    )
+    m = min(rpd, n_halo)
+
+    def mono(x):
+        y = _spmm_op_core(ar0, art0, x)
+        return x.at[:m].add(y[:m] * 0.25) * 0.999
+
+    def ringc(x):
+        y = None
+        for s in range(D):
+            if s == 0:
+                continue  # device 0's own rows never ride the ring
+            xs = jax.lax.dynamic_slice_in_dim(x, s * hx.h_max, hx.h_max, 0)
+            ys = _spmm_op_core(peer(arp0, s), peer(artp0, s), xs)
+            y = ys if y is None else y + ys
+        return x.at[:m].add(y[:m] * 0.25) * 0.999
+
+    t_mono = min(device_trial_seconds(mono, h, iters_lo=2, iters_hi=10, trials=3))
+    t_ring = min(device_trial_seconds(ringc, h, iters_lo=2, iters_hi=10, trials=3))
+    over = t_ring / t_mono - 1.0
+    print(
+        f"remote SpMM, monolithic: {t_mono*1e3:7.2f} ms | as {D-1} per-peer "
+        f"partials: {t_ring*1e3:7.2f} ms | decomposition overhead {over*100:+.1f}%",
+        flush=True,
+    )
+    # per-partial fixed cost and the per-peer comm it must undercut for the
+    # ring schedule to pay (h_max rows × F × 4 B over the 180 GB/s ICI)
+    fixed_ms = (t_ring - t_mono) * 1e3 / (D - 1)
+    peer_comm_ms = hx.h_max * FEAT * 4 / 180e9 * 1e3
+    save(
+        {
+            "source": "benchmarks/exp_ring_overlap.py (see module docstring)",
+            "remote_spmm_monolithic_ms": round(t_mono * 1e3, 3),
+            "remote_spmm_ring_partials_ms": round(t_ring * 1e3, 3),
+            "ring_compute_decomposition_overhead_pct": round(over * 100, 1),
+            "ring_fixed_ms_per_partial": round(fixed_ms, 3),
+            "ring_breakeven_note": (
+                f"MEASURED NEGATIVE at this workload: each per-peer partial "
+                f"costs ~{fixed_ms:.2f} ms of fixed bell-op overhead on the "
+                f"real chip, vs ~{peer_comm_ms:.3f} ms of per-peer comm it "
+                f"could hide (h_max={hx.h_max}) — the ring schedule does NOT "
+                f"pay at the 65k-node scaling workload; breakeven needs "
+                f"h_max ≳ {int(fixed_ms/1e3*180e9/(FEAT*4)):,} rows/peer "
+                f"(World-scale halos). The ≥0.75 target therefore rides on "
+                f"the MONOLITHIC all-to-all overlapping the independent "
+                f"local-column product (issue-first schedule, see note_hlo), "
+                f"not on the ring; the ring stays as the World-scale variant."
+            ),
+        }
+    )
+
+
+def run_hlo():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from graphconvgeo_tpu.models.gcn import GCNConfig
+    from graphconvgeo_tpu.parallel.mesh import GRAPH_AXIS, make_graph_mesh
+    from graphconvgeo_tpu.parallel.model_dist import DistHighwayGCN
+
+    part, _ = build_workload()
+    mesh = make_graph_mesh(D)
+    assert mesh.devices.size == D, f"need {D} CPU devices, got {mesh}"
+    cfg = GCNConfig(n_features=128, n_classes=4, hidden=(64,))
+    dist = DistHighwayGCN(cfg, part, mesh, halo="on", halo_mode="ring")
+    h0 = jnp.zeros((part.n_pad, FEAT), jnp.float32)
+    h0 = jax.device_put(h0, NamedSharding(mesh, P(GRAPH_AXIS, None)))
+    step = lambda h: dist._conv(h, dist.data)
+    hlo = jax.jit(step).lower(h0).compile().as_text()
+    n_perm = hlo.count(" collective-permute(") + hlo.count(" collective-permute-start(")
+    n_async = hlo.count(" collective-permute-start(")
+    print(f"ring conv HLO: {n_perm} collective-permutes ({n_async} async "
+          f"start/done pairs) — expected {D-1}", flush=True)
+
+    dist_a = DistHighwayGCN(cfg, part, mesh, halo="on", halo_mode="alltoall")
+    hlo_a = jax.jit(lambda h: dist_a._conv(h, dist_a.data)).lower(h0).compile().as_text()
+    n_a2a = hlo_a.count(" all-to-all(") + hlo_a.count(" all-to-all-start(")
+    print(f"alltoall conv HLO: {n_a2a} all-to-alls", flush=True)
+    save(
+        {
+            "ring_hlo_collective_permutes": n_perm,
+            "ring_hlo_async_start_done_pairs": n_async,
+            "alltoall_hlo_collectives": n_a2a,
+            "note_hlo": (
+                "optimized HLO on the 8-device virtual CPU mesh. Ring: D-1 "
+                "permutes, each consuming only h_local-derived rows (never a "
+                "previous step's received halo), so an async scheduler can "
+                "keep every permute in flight while the interleaved per-peer "
+                "partial SpMM runs. Monolithic halo: ONE all-to-all whose "
+                "operand is a take of h_local, ISSUED BEFORE the local-column "
+                "product, which does not depend on it (spmm_dist."
+                "local_spmm_halo) — hiding t_comm behind t_comp needs only an "
+                "async collective scheduler (default on the TPU compiler; "
+                "async start/done pair emission on this CPU backend is the "
+                "CPU compiler's choice)"
+            ),
+        }
+    )
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if mode == "hlo":
+        run_hlo()
+    elif mode == "tpu":
+        run_tpu()
+    else:
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "hlo"], check=True
+        )
+        run_tpu()

@@ -164,6 +164,7 @@ class FactorizedAdjacency:
         block: int = 128,
         min_tile_nnz: int = 48,
         combined_rest: bool = True,
+        hub_order: str = "median",
     ) -> "FactorizedAdjacency":
         """Build from the mention structure (``data/graph.py ::
         mention_structure``'s ``groups`` dict hub → member ids, plus optional
@@ -178,9 +179,13 @@ class FactorizedAdjacency:
         ``combined_rest`` merges the B' and R' residuals into one bell over
         the stacked gather source [h; y] — one [N, F] output scatter instead
         of two (see the field comment); ``False`` keeps the separate-rest
-        layout for A/B measurement.
+        layout for A/B measurement. ``hub_order`` picks the internal hub-axis
+        permutation (see :func:`host_factors`) — pure relabeling, exactness
+        unaffected.
         """
-        b_scaled, r_csr, diag, g_count = host_factors(groups, n, direct=direct)
+        b_scaled, r_csr, diag, g_count = host_factors(
+            groups, n, direct=direct, hub_order=hub_order
+        )
 
         def hybrid_split(csr):
             dense, resid = split_dense_tiles(csr, block=block, min_tile_nnz=min_tile_nnz)
@@ -227,14 +232,28 @@ class FactorizedAdjacency:
         return total
 
 
-def host_factors(groups: dict, n: int, *, direct: tuple | None = None):
+def host_factors(
+    groups: dict, n: int, *, direct: tuple | None = None, hub_order: str = "median"
+):
     """The exact host-side factors of Â over a mention structure.
 
     Returns ``(b_scaled, r_csr, diag, g_count)``: the scaled incidence
-    B' = D^-1/2·B as [n, g_count] csr (hubs ordered by audience median
-    position), the symmetric correction R' = D^-1/2(Dir − C)D^-1/2, the
-    elementwise term (1 − mᵢ)/dᵢ, and the surviving group count. Shared by
-    the single-chip operand builder and the distributed partitioner.
+    B' = D^-1/2·B as [n, g_count] csr, the symmetric correction
+    R' = D^-1/2(Dir − C)D^-1/2, the elementwise term (1 − mᵢ)/dᵢ, and the
+    surviving group count. Shared by the single-chip operand builder and
+    the distributed partitioner.
+
+    ``hub_order`` — the internal hub-axis permutation (pure relabeling):
+    - ``"median"``: audience median position — aligns the hub axis with a
+      community-contiguous user order (round-2 default).
+    - ``"core"``: position of the hub's CORE run — the first user whose
+      PRIMARY hub (largest audience, ties → smaller hub id, exactly the
+      ``bipartite_reordering(clique_group=True)`` definition) is this hub;
+      hubs that are nobody's primary fall back to the audience median.
+      Under a clique-grouped user order every primary membership then forms
+      a monotone staircase in B'ᵀ, so near-diagonal 128² tiles capture the
+      primary entries that the median order leaves to the bt rest gathers
+      (VERDICT r3 #4 — fold the bt-rest into tiles via a hub-side pass).
     """
     member_lists = [np.unique(np.asarray(list(m), dtype=np.int64)) for m in groups.values()]
     member_lists = [m for m in member_lists if len(m) >= 2]
@@ -243,11 +262,28 @@ def host_factors(groups: dict, n: int, *, direct: tuple | None = None):
     # incidence B (size-1 groups create no edges and cancel against the
     # diag(M) term, so they are dropped before anything is counted)
     if g_count:
-        # hub order: audience median position — aligns the hub axis with
-        # a community-contiguous user order
         med = np.asarray([float(np.median(m)) for m in member_lists])
-        hub_order = np.argsort(med, kind="stable")
-        member_lists = [member_lists[g] for g in hub_order]
+        if hub_order == "core":
+            aud = np.asarray([len(m) for m in member_lists], dtype=np.int64)
+            users = np.concatenate(member_lists)
+            hubs = np.repeat(
+                np.arange(g_count, dtype=np.int64), [len(m) for m in member_lists]
+            )
+            order = np.lexsort((hubs, -aud[hubs], users))
+            u_sorted = users[order]
+            first = np.ones(len(u_sorted), dtype=bool)
+            first[1:] = u_sorted[1:] != u_sorted[:-1]
+            core_user, core_hub = u_sorted[first], hubs[order][first]
+            key = med.copy()
+            has_core = np.zeros(g_count, dtype=bool)
+            core_min = np.full(g_count, np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(core_min, core_hub, core_user)
+            has_core[core_hub] = True
+            key[has_core] = core_min[has_core].astype(np.float64)
+            order_idx = np.argsort(key, kind="stable")
+        else:
+            order_idx = np.argsort(med, kind="stable")
+        member_lists = [member_lists[g] for g in order_idx]
         b_rows = np.concatenate(member_lists)
         b_cols = np.repeat(
             np.arange(g_count, dtype=np.int64), [len(m) for m in member_lists]

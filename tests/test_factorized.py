@@ -188,3 +188,23 @@ def test_no_groups_at_all():
     h = jnp.ones((n, 3), jnp.float32)
     # Â = I when A is empty (self-loops only, degree 1)
     np.testing.assert_allclose(np.asarray(spmm_factorized(fa, h)), np.ones((n, 3)), rtol=1e-6)
+
+
+@pytest.mark.parametrize("hub_order", ["median", "core"])
+def test_factorized_hub_order_exact(rng, hub_order):
+    """The hub-axis permutation (host_factors ``hub_order``) is a pure
+    internal relabeling — both orders must reproduce the materialized Â
+    exactly (the "core" staircase order measured NEGATIVE on the bench
+    workload, PERF.md round-4 ledger, but stays as a tested probe point)."""
+    r = np.random.default_rng(7)
+    n = 80
+    groups, direct = random_structure(r, n, 30)
+    a_hat = normalize_adjacency(materialize_projection(groups, n, direct=direct))
+    h = jnp.asarray(r.normal(size=(n, 16)).astype(np.float32))
+    want = jnp.asarray(a_hat.toarray()) @ h
+    for combined in (True, False):
+        fa = FactorizedAdjacency.from_groups(
+            groups, n, direct=direct, combined_rest=combined, hub_order=hub_order
+        )
+        got = spmm_factorized(fa, h)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
