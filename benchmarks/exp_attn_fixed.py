@@ -1,0 +1,444 @@
+"""Decompose the tiled-GAT per-grid-step fixed cost (PERF.md r4: ~2.6 µs
+per tile, insensitive to z bytes / pass count / MXU precision — the top
+gap the gat_projection bench model exposes).
+
+Hypothesis: the cost is per-step OPERAND machinery, not bytes — the fused
+forward touches 5 dynamically-indexed blocks per step (mask [1,4,128]u32,
+s [128,4], d [128,4], z [128,4,128]) plus 3 outputs (o [128,4,128],
+den [128,4], m [128,4]); the tiny [128,4] blocks are lane-inefficient
+(4/128 lanes) and each costs a DMA issue + semaphore per step.
+
+Variants (structure probes — some are numerically WRONG on purpose; each
+reports ms and µs/tile so deltas attribute the per-step cost):
+
+  base      — the production fused fwd kernel (attention_tiled)
+  denm      — den+m merged into ONE [b, 2H] output           (exact math)
+  nodenm    — o output only                                   (wrong)
+  nosd      — no s/d inputs, raw score = 0                    (wrong)
+  min       — mask+z → o only                                 (wrong)
+  sdpack    — s/d shipped as ONE t-indexed packed operand
+              [T, 2, b, H] built on device per apply          (exact math)
+              + den/m merged: 3 inputs / 2 outputs total
+
+Workload: 131k-node / 5.4M-edge mention projection (exp_attn_layout's),
+4 heads × 64, min_tile_nnz=64. One variant per argv to keep relay operand
+footprints isolated; 'all' runs the list in-process (same operands).
+
+Run: /opt/venv/bin/python benchmarks/exp_attn_fixed.py [all|base|...]
+"""
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from graphconvgeo_tpu.ops.attention_tiled import (
+    _NEG,
+    _leaky,
+    _tile_fwd_fused,
+    _unpack_mask,
+)
+from graphconvgeo_tpu.sparse.attention_tiles import TiledAttentionPattern
+from graphconvgeo_tpu.sparse.formats import normalize_adjacency
+from graphconvgeo_tpu.sparse.reorder import best_reordering
+from graphconvgeo_tpu.utils.timing import device_trial_seconds
+
+N, N_COMM = 131_072, 512
+HEADS, F = 4, 64
+FP = 128  # padded lane dim (attention_tiled pads f=64 → 128)
+SLOPE = 0.2
+
+
+# ---------------------------------------------------------- kernel variants
+def _k_denm(first_ref, rblk_ref, cblk_ref, mask_ref, s_ref, d_ref, z_ref,
+            o_ref, dm_ref, *, heads, slope):
+    t = pl.program_id(0)
+
+    @pl.when(first_ref[t] == 1)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+        dm_ref[:] = jnp.concatenate(
+            [jnp.zeros((dm_ref.shape[0], heads), jnp.float32),
+             jnp.full((dm_ref.shape[0], heads), _NEG)], axis=1)
+
+    mask = _unpack_mask(mask_ref[0])
+    for h in range(heads):
+        raw = s_ref[:, h][:, None] + d_ref[:, h][None, :]
+        sc = jnp.where(mask > 0, _leaky(raw, slope), _NEG)
+        m_old = dm_ref[:, heads + h]
+        m_new = jnp.maximum(m_old, sc.max(axis=1))
+        scale = jnp.exp(m_old - m_new)
+        e = jnp.exp(sc - m_new[:, None]) * mask
+        dm_ref[:, h] = dm_ref[:, h] * scale + e.sum(axis=1)
+        dm_ref[:, heads + h] = m_new
+        o_ref[:, h, :] = o_ref[:, h, :] * scale[:, None] + jnp.dot(
+            e, z_ref[:, h, :], preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+
+def _k_nodenm(first_ref, rblk_ref, cblk_ref, mask_ref, s_ref, d_ref, z_ref,
+              o_ref, *, heads, slope):
+    t = pl.program_id(0)
+
+    @pl.when(first_ref[t] == 1)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    mask = _unpack_mask(mask_ref[0])
+    for h in range(heads):
+        raw = s_ref[:, h][:, None] + d_ref[:, h][None, :]
+        e = jnp.exp(jnp.where(mask > 0, _leaky(raw, slope), _NEG)) * mask
+        o_ref[:, h, :] += jnp.dot(
+            e, z_ref[:, h, :], preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+
+def _k_nosd(first_ref, rblk_ref, cblk_ref, mask_ref, z_ref, o_ref, dm_ref,
+            *, heads, slope):
+    t = pl.program_id(0)
+
+    @pl.when(first_ref[t] == 1)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+        dm_ref[:] = jnp.zeros_like(dm_ref)
+
+    mask = _unpack_mask(mask_ref[0])
+    for h in range(heads):
+        e = mask  # raw = 0 probe
+        dm_ref[:, h] += e.sum(axis=1)
+        o_ref[:, h, :] += jnp.dot(
+            e, z_ref[:, h, :], preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+
+def _k_min(first_ref, rblk_ref, cblk_ref, mask_ref, z_ref, o_ref, *, heads, slope):
+    t = pl.program_id(0)
+
+    @pl.when(first_ref[t] == 1)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    mask = _unpack_mask(mask_ref[0])
+    for h in range(heads):
+        o_ref[:, h, :] += jnp.dot(
+            mask, z_ref[:, h, :], preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+
+def _k_sdpack(first_ref, rblk_ref, cblk_ref, mask_ref, sd_ref, z_ref,
+              o_ref, dm_ref, *, heads, slope):
+    """s/d ride ONE t-indexed operand [1, 2, b, H] (packed on device per
+    apply — exact same math as base); den/m merged into one output."""
+    t = pl.program_id(0)
+
+    @pl.when(first_ref[t] == 1)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+        dm_ref[:] = jnp.concatenate(
+            [jnp.zeros((dm_ref.shape[0], heads), jnp.float32),
+             jnp.full((dm_ref.shape[0], heads), _NEG)], axis=1)
+
+    mask = _unpack_mask(mask_ref[0])
+    for h in range(heads):
+        raw = sd_ref[0, 0, :, h][:, None] + sd_ref[0, 1, :, h][None, :]
+        sc = jnp.where(mask > 0, _leaky(raw, slope), _NEG)
+        m_old = dm_ref[:, heads + h]
+        m_new = jnp.maximum(m_old, sc.max(axis=1))
+        scale = jnp.exp(m_old - m_new)
+        e = jnp.exp(sc - m_new[:, None]) * mask
+        dm_ref[:, h] = dm_ref[:, h] * scale + e.sum(axis=1)
+        dm_ref[:, heads + h] = m_new
+        o_ref[:, h, :] = o_ref[:, h, :] * scale[:, None] + jnp.dot(
+            e, z_ref[:, h, :], preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+
+def _k_clamp(first_ref, rblk_ref, cblk_ref, mask_ref, s_ref, d_ref, z_ref,
+             o_ref, den_ref, m_ref, *, heads, slope, guard):
+    """Exact optimizations of the fused kernel (base numerics preserved):
+    - CLAMPED shift: e = exp(sc − clamp(m_new)) — masked slots hold sc=_NEG
+      and underflow to exactly 0.0 in f32, so the per-slot ``* mask``
+      multiply ([b,b]×heads per step) is dropped; no-edge-yet rows get
+      shift 0 and e=exp(_NEG)=0 as before.
+    - ``guard``: per head, skip the rescale (scale exp + den/o multiplies)
+      via pl.when when this tile raises NO row max — scale would be
+      exactly 1.0, so the arithmetic is bitwise identical; on row-major
+      community tiles the max plateaus after the first tiles of a run."""
+    t = pl.program_id(0)
+
+    @pl.when(first_ref[t] == 1)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+        den_ref[:] = jnp.zeros_like(den_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG)
+
+    mask = _unpack_mask(mask_ref[0])
+    for h in range(heads):
+        raw = s_ref[:, h][:, None] + d_ref[:, h][None, :]
+        sc = jnp.where(mask > 0, _leaky(raw, slope), _NEG)
+        m_old = m_ref[:, h]
+        m_new = jnp.maximum(m_old, sc.max(axis=1))
+        m_used = jnp.where(m_new > _NEG / 2, m_new, 0.0)
+        e = jnp.exp(sc - m_used[:, None])  # masked slots underflow to 0
+
+        def rescale():
+            scale = jnp.exp(m_old - m_new)
+            den_ref[:, h] = den_ref[:, h] * scale + e.sum(axis=1)
+            m_ref[:, h] = m_new
+            o_ref[:, h, :] = o_ref[:, h, :] * scale[:, None] + jnp.dot(
+                e, z_ref[:, h, :], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+
+        if not guard:
+            rescale()
+        else:
+            raised = jnp.any(m_new > m_old)
+            pl.when(raised)(rescale)
+
+            @pl.when(jnp.logical_not(raised))
+            def _():
+                den_ref[:, h] += e.sum(axis=1)
+                o_ref[:, h, :] += jnp.dot(
+                    e, z_ref[:, h, :], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+
+
+def _k_denm_pass(first_ref, rblk_ref, cblk_ref, mask_ref, s_ref, d_ref,
+                 den_ref, m_ref, *, heads, slope):
+    """Pass 1 of the two-pass split: online (den, m) WITHOUT z/o — the
+    loop-carried softmax chain runs over tiny [b, H] buffers only."""
+    t = pl.program_id(0)
+
+    @pl.when(first_ref[t] == 1)
+    def _():
+        den_ref[:] = jnp.zeros_like(den_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG)
+
+    mask = _unpack_mask(mask_ref[0])
+    for h in range(heads):
+        raw = s_ref[:, h][:, None] + d_ref[:, h][None, :]
+        sc = jnp.where(mask > 0, _leaky(raw, slope), _NEG)
+        m_old = m_ref[:, h]
+        m_new = jnp.maximum(m_old, sc.max(axis=1))
+        m_used = jnp.where(m_new > _NEG / 2, m_new, 0.0)
+        e = jnp.exp(sc - m_used[:, None])
+        den_ref[:, h] = den_ref[:, h] * jnp.exp(m_old - m_new) + e.sum(axis=1)
+        m_ref[:, h] = m_new
+
+
+def _k_o_pass(first_ref, rblk_ref, cblk_ref, mask_ref, s_ref, d_ref, mf_ref,
+              z_ref, o_ref, *, heads, slope):
+    """Pass 2: o under the FINAL per-row shift (pass 1's m, pre-clamped) —
+    no loop-carried value dependence besides the o accumulation, so
+    consecutive tiles of a row block can pipeline the MXU work."""
+    t = pl.program_id(0)
+
+    @pl.when(first_ref[t] == 1)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    mask = _unpack_mask(mask_ref[0])
+    for h in range(heads):
+        raw = s_ref[:, h][:, None] + d_ref[:, h][None, :]
+        sc = jnp.where(mask > 0, _leaky(raw, slope), _NEG)
+        e = jnp.exp(sc - mf_ref[:, h][:, None])
+        o_ref[:, h, :] += jnp.dot(
+            e, z_ref[:, h, :], preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+
+def _call(att, kernel, in_specs, out_shapes, out_specs, args, **kw):
+    b, t_n = att.block, att.n_tiles
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3, grid=(t_n,), in_specs=in_specs,
+        out_specs=out_specs)
+    return pl.pallas_call(
+        functools.partial(kernel, heads=HEADS, slope=SLOPE, **kw),
+        out_shape=out_shapes, grid_spec=grid_spec,
+    )(att.first, att.rowblk, att.colblk, *args)
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    t0 = time.time()
+    from graphconvgeo_tpu.data.synthetic import random_mention_projection_graph
+
+    adj = random_mention_projection_graph(N, N_COMM, seed=7)
+    perm = np.random.default_rng(1).permutation(N)
+    adj = adj[perm][:, perm].tocsr()
+    a_hat = normalize_adjacency(adj)
+    ro = best_reordering(a_hat, seed=0)
+    a_hat = ro.permute_graph(a_hat)
+    att = TiledAttentionPattern.from_scipy(a_hat, min_tile_nnz=64)
+    st = att.stats()
+    t_n, b = att.n_tiles, att.block
+    print(f"tiles={t_n} fill={st['tile_fill']:.3f} ({time.time()-t0:.0f}s)", flush=True)
+
+    rng = np.random.default_rng(0)
+    npad = att.n_row_blocks * b
+    mpad = att.n_col_blocks * b
+    s = jnp.asarray(rng.normal(size=(npad, HEADS)).astype(np.float32)) * 0.1
+    d = jnp.asarray(rng.normal(size=(mpad, HEADS)).astype(np.float32)) * 0.1
+    z = jnp.asarray(rng.normal(size=(mpad, HEADS, FP)).astype(np.float32)) * 0.1
+    seed = jnp.zeros((1,), jnp.int32)
+
+    spec_mask = pl.BlockSpec((1, b // 32, b), lambda t, f, r, c: (t, 0, 0), memory_space=pltpu.VMEM)
+    spec_row = lambda w: pl.BlockSpec((b, w), lambda t, f, r, c: (r[t], 0), memory_space=pltpu.VMEM)
+    spec_col = lambda w: pl.BlockSpec((b, w), lambda t, f, r, c: (c[t], 0), memory_space=pltpu.VMEM)
+    spec_z = pl.BlockSpec((b, HEADS, FP), lambda t, f, r, c: (c[t], 0, 0), memory_space=pltpu.VMEM)
+    spec_o = pl.BlockSpec((b, HEADS, FP), lambda t, f, r, c: (r[t], 0, 0), memory_space=pltpu.VMEM)
+    sh_o = jax.ShapeDtypeStruct((npad, HEADS, FP), jnp.float32)
+    sh_h = lambda w: jax.ShapeDtypeStruct((npad, w), jnp.float32)
+
+    def run(name, fn, x0):
+        dts = device_trial_seconds(fn, x0, iters_lo=1, iters_hi=5, trials=3)
+        dt = min(dts)
+        print(f"{name:8s} {dt*1e3:8.2f} ms   {dt/t_n*1e6:6.2f} µs/tile", flush=True)
+
+    variants = {}
+    variants["base"] = lambda: run(
+        "base",
+        lambda x: _tile_fwd_fused(att, s, d, x[:, :, :], slope=SLOPE, seed=seed, rate=0.0)[0][
+            :mpad
+        ] * 1e-3 + x,
+        z,
+    )
+    variants["denm"] = lambda: run(
+        "denm",
+        lambda x: _call(
+            att, _k_denm,
+            [spec_mask, spec_row(HEADS), spec_col(HEADS), spec_z],
+            [sh_o, sh_h(2 * HEADS)], [spec_o, spec_row(2 * HEADS)],
+            (att.mask_bits, s, d, x),
+        )[0][:mpad] * 1e-3 + x,
+        z,
+    )
+    variants["nodenm"] = lambda: run(
+        "nodenm",
+        lambda x: _call(
+            att, _k_nodenm,
+            [spec_mask, spec_row(HEADS), spec_col(HEADS), spec_z],
+            sh_o, spec_o,
+            (att.mask_bits, s, d, x),
+        )[:mpad] * 1e-3 + x,
+        z,
+    )
+    variants["nosd"] = lambda: run(
+        "nosd",
+        lambda x: _call(
+            att, _k_nosd,
+            [spec_mask, spec_z],
+            [sh_o, sh_h(HEADS)], [spec_o, spec_row(HEADS)],
+            (att.mask_bits, x),
+        )[0][:mpad] * 1e-3 + x,
+        z,
+    )
+    variants["min"] = lambda: run(
+        "min",
+        lambda x: _call(
+            att, _k_min,
+            [spec_mask, spec_z],
+            sh_o, spec_o,
+            (att.mask_bits, x),
+        )[:mpad] * 1e-3 + x,
+        z,
+    )
+
+    def sdpack_step(x):
+        # pack s/d per tile ON DEVICE (part of the variant's honest cost)
+        sd = jnp.stack(
+            [
+                s.reshape(-1, b, HEADS)[att.rowblk],
+                d.reshape(-1, b, HEADS)[att.colblk],
+            ],
+            axis=1,
+        )  # [T, 2, b, H]
+        spec_sd = pl.BlockSpec(
+            (1, 2, b, HEADS), lambda t, f, r, c: (t, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+        return _call(
+            att, _k_sdpack,
+            [spec_mask, spec_sd, spec_z],
+            [sh_o, sh_h(2 * HEADS)], [spec_o, spec_row(2 * HEADS)],
+            (att.mask_bits, sd, x),
+        )[0][:mpad] * 1e-3 + x
+
+    variants["sdpack"] = lambda: run("sdpack", sdpack_step, z)
+
+    fused3 = [spec_mask, spec_row(HEADS), spec_col(HEADS), spec_z]
+    sh3 = [sh_o, sh_h(HEADS), sh_h(HEADS)]
+    sp3 = [spec_o, spec_row(HEADS), spec_row(HEADS)]
+    for nm, g in (("clamp", False), ("guard", True)):
+        variants[nm] = (lambda nm, g: lambda: run(
+            nm,
+            lambda x: _call(
+                att, _k_clamp, fused3, sh3, sp3,
+                (att.mask_bits, s, d, x), guard=g,
+            )[0][:mpad] * 1e-3 + x,
+            z,
+        ))(nm, g)
+
+    def twopass_step(x):
+        den, m = _call(
+            att, _k_denm_pass,
+            [spec_mask, spec_row(HEADS), spec_col(HEADS)],
+            [sh_h(HEADS), sh_h(HEADS)], [spec_row(HEADS), spec_row(HEADS)],
+            (att.mask_bits, s, d),
+        )
+        mf = jnp.where(m > _NEG / 2, m, 0.0)
+        o = _call(
+            att, _k_o_pass,
+            [spec_mask, spec_row(HEADS), spec_col(HEADS), spec_row(HEADS), spec_z],
+            sh_o, spec_o,
+            (att.mask_bits, s, d, mf, x),
+        )
+        return o[:mpad] * 1e-3 + x + den[:mpad, :1, None] * 0.0
+
+    variants["twopass"] = lambda: run("twopass", twopass_step, z)
+
+    names = list(variants) if which == "all" else which.split(",")
+    for n in names:
+        variants[n]()
+
+    # numerics: denm and sdpack must match base exactly
+    o_b, den_b, m_b = _tile_fwd_fused(att, s, d, z, slope=SLOPE, seed=seed, rate=0.0)
+    o_d, dm = _call(
+        att, _k_denm,
+        [spec_mask, spec_row(HEADS), spec_col(HEADS), spec_z],
+        [sh_o, sh_h(2 * HEADS)], [spec_o, spec_row(2 * HEADS)],
+        (att.mask_bits, s, d, z),
+    )
+    np.testing.assert_allclose(np.asarray(o_d), np.asarray(o_b), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(dm[:, :HEADS]), np.asarray(den_b), rtol=1e-6)
+    sd = jnp.stack(
+        [s.reshape(-1, b, HEADS)[att.rowblk], d.reshape(-1, b, HEADS)[att.colblk]], axis=1
+    )
+    spec_sd = pl.BlockSpec((1, 2, b, HEADS), lambda t, f, r, c: (t, 0, 0, 0), memory_space=pltpu.VMEM)
+    o_p, dm_p = _call(
+        att, _k_sdpack,
+        [spec_mask, spec_sd, spec_z],
+        [sh_o, sh_h(2 * HEADS)], [spec_o, spec_row(2 * HEADS)],
+        (att.mask_bits, sd, z),
+    )
+    np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_b), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(dm_p[:, HEADS:]), np.asarray(m_b), rtol=1e-6)
+    for g in (False, True):
+        o_c, den_c, m_c = _call(
+            att, _k_clamp, fused3, sh3, sp3, (att.mask_bits, s, d, z), guard=g
+        )
+        np.testing.assert_allclose(np.asarray(o_c), np.asarray(o_b), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(den_c), np.asarray(den_b), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(m_c), np.asarray(m_b), rtol=1e-6)
+    print("exact-variant numerics OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
