@@ -1,0 +1,120 @@
+"""Host-side unit tests for bench.py's orchestration — the graded artifact.
+
+The bench's device measurements run on the real chip and can't be asserted
+here, but the pieces that turn raw worker output into the reported JSON
+(traffic engines, cross-process merging, the per-run build cache) are pure
+host logic and MUST NOT regress silently: a wrong merge or a broken cache
+would corrupt BENCH_rNN.json without any test noticing.
+"""
+
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pytest
+
+spec = importlib.util.spec_from_file_location(
+    "bench", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py")
+)
+bench = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(bench)
+
+
+def test_traffic_two_engine_floor():
+    t = bench.Traffic()
+    t.tile_bytes = 250e9  # exactly 1 s of tile pipeline
+    t.stream_bytes = 819e9  # + 1 s of stream
+    assert t.attainable_secs() == pytest.approx(2.0)
+    # row engine overlaps the byte engine — the floor is the slower one
+    t.rows_big = 3 * 48e6  # 3 s of gather issue
+    assert t.attainable_secs() == pytest.approx(3.0)
+    # the anchor-rate variant only relaxes the TILE term
+    assert t.attainable_secs(bench.ANCHOR_TILE_GBPS) == pytest.approx(3.0)
+    t.rows_big = 0.0
+    assert t.attainable_secs(bench.ANCHOR_TILE_GBPS) < t.attainable_secs()
+
+
+def test_traffic_gather_cliff_and_strict():
+    t = bench.Traffic()
+    t.add_gather(100.0, bench.WARM_TABLE_ROWS)  # at the cliff → warm
+    t.add_gather(100.0, bench.WARM_TABLE_ROWS + 1)  # past it → big
+    assert t.rows_warm == 100.0 and t.rows_big == 100.0
+    t.gather_bytes_per_row = 1024
+    # strict charges every gathered byte at stream rate
+    assert t.strict_secs() == pytest.approx(200 * 1024 / (bench.HBM_GBPS * 1e9))
+
+
+def test_finalize_merges_cross_process_trials():
+    runs = [
+        {"edges": 1000, "operator": "op", "trial_s": [0.010, 0.012],
+         "model_secs": {"attainable": 0.008, "strict": 0.002}},
+        {"edges": 1000, "operator": "op", "trial_s": [0.014, 0.016],
+         "model_secs": {"attainable": 0.008, "strict": 0.002}},
+    ]
+    e = bench._finalize("w", runs)
+    # median of [10, 12, 14, 16] ms = 13 ms
+    assert e["edges_per_sec"] == pytest.approx(1000 / 0.013)
+    assert e["trials"] == 4 and e["processes"] == 2
+    assert e["per_process_median_ms"] == [11.0, 15.0]
+    # fraction = model_secs / measured_secs
+    assert e["attainable_fraction"] == pytest.approx(0.008 / 0.013, abs=1e-4)
+    assert e["strict_fraction"] == pytest.approx(0.002 / 0.013, abs=1e-4)
+    assert e["spread_pct"] == pytest.approx(100 * (0.016 - 0.010) / 0.013, abs=0.01)
+
+
+def test_finalize_single_run_has_no_process_fields():
+    e = bench._finalize(
+        "w",
+        [{"edges": 10, "operator": "op", "trial_s": [0.1],
+          "model_secs": {"attainable": 0.05}}],
+    )
+    assert "per_process_median_ms" not in e and e["trials"] == 1
+
+
+def test_cached_roundtrip_and_isolation(tmp_path, monkeypatch):
+    calls = []
+
+    def builder():
+        calls.append(1)
+        return {"a": np.arange(5), "n": 7}
+
+    # no cache dir → builder runs every time
+    monkeypatch.delenv("GCG_BENCH_CACHE", raising=False)
+    bench._cached("x", builder)
+    bench._cached("x", builder)
+    assert len(calls) == 2
+
+    monkeypatch.setenv("GCG_BENCH_CACHE", str(tmp_path))
+    r1 = bench._cached("x", builder)
+    r2 = bench._cached("x", builder)  # second call must hit the cache
+    assert len(calls) == 3
+    np.testing.assert_array_equal(r1["a"], r2["a"])
+    assert r2["n"] == 7
+    # different key → separate entry
+    bench._cached("y", builder)
+    assert len(calls) == 4
+
+
+def test_gat_traffic_model_shape():
+    """The gat traffic model must consume a real (tiny) pattern and charge
+    the documented access kinds: tile bytes for the sweep, big-table rows
+    for rest z-gathers, warm rows for the narrow d takes."""
+    import scipy.sparse as sp
+
+    from graphconvgeo_tpu.sparse.attention_tiles import TiledAttentionPattern
+
+    rng = np.random.default_rng(0)
+    n = 512
+    dense_block = np.zeros((n, n), np.float32)
+    dense_block[:128, :128] = 1.0  # one guaranteed dense tile
+    scatter = sp.random(n, n, 0.01, random_state=1).toarray()
+    a = sp.csr_matrix(np.clip(dense_block + (scatter > 0), 0, 1))
+    att = TiledAttentionPattern.from_scipy(a, min_tile_nnz=64)
+    t = bench.gat_tiled_traffic(att, n, 4, 64)
+    assert t.tile_bytes > 0
+    if att.rest is not None:
+        slots = sum(int(np.asarray(i).size) for i in att.rest.indices)
+        assert t.rows_big == slots + 2 * n  # z rows + s/o takes
+        assert t.rows_warm == slots  # narrow d takes (warm-rate class)
+    assert t.attainable_secs() > 0 and t.strict_secs() > 0
