@@ -1,0 +1,174 @@
+"""Rest-path d-derivation fusion prototype (the last open tiled-GAT lever).
+
+The fused bucketed rest (`attention_tiled._rest_fused`) pays TWO gathers
+per padded slot: a narrow d-column take (measured ~4.8 ms per 846k rest
+edges — PERF.md r4 decomposition) and the z-row gather inside
+`_ell_matvec_heads`. But d = z·a_dst, so the d values can be DERIVED from
+the z rows the matvec already gathers — one narrow einsum per chunk on
+data already in registers, killing the separate d takes.
+
+The cost: the score/softmax math must move INSIDE the chunked gather loop
+(online max across k-chunks, rescaled den/o carries — the same running-
+softmax machinery the tile sweep uses). exp_attn_fixed measured that
+restructuring ONTO the tile sweep twice negative (guard, twopass), so
+this is a prototype-first experiment: the production rest is timed
+against the fused-derivation variant on the real 131k/846k-rest operand,
+allclose-verified, and only ported if it wins.
+
+Run: /opt/venv/bin/python benchmarks/exp_rest_fusion.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphconvgeo_tpu.ops.attention import _ell_blocks
+from graphconvgeo_tpu.ops.attention_tiled import _NEG, _leaky, _rest_fused
+from graphconvgeo_tpu.sparse.attention_tiles import TiledAttentionPattern
+from graphconvgeo_tpu.sparse.formats import normalize_adjacency
+from graphconvgeo_tpu.sparse.reorder import best_reordering
+from graphconvgeo_tpu.utils.timing import device_trial_seconds
+
+N, N_COMM = 131_072, 512
+HEADS, F = 4, 64
+SLOPE = 0.2
+
+
+def _rest_fused_derived(rest, s, a_dst, z_heads, *, slope):
+    """Bucketed residual (m, den, o) with d DERIVED per chunk from the
+    gathered z rows — no separate d-column takes. Online softmax across
+    k-chunks (running per-row max, rescaled den/o carries). No-dropout
+    form (the production port would thread the keep mask exactly like
+    `_rest_fused`)."""
+    heads = s.shape[1]
+    n, fp = z_heads.shape[0], z_heads.shape[2]
+    s_sorted = jnp.take(s.T, rest.perm, axis=1)  # [H, n]
+    z_flat = z_heads.reshape(n, heads * fp)
+    ms, dens, os_ = [], [], []
+    start = 0
+    for idx, valid in zip(rest.indices, rest.valid):
+        n_b, k_b = idx.shape
+        s_b = jax.lax.dynamic_slice_in_dim(s_sorted, start, n_b, 1)  # [H, n_b]
+        chunk, rpb = _ell_blocks(k_b, n_b, heads * fp)
+        kp = -(-k_b // chunk) * chunk
+        n_p = -(-n_b // rpb) * rpb
+        idx_p = jnp.pad(idx, ((0, n_p - n_b), (0, kp - k_b)))
+        val_p = jnp.pad(valid, ((0, n_p - n_b), (0, kp - k_b)))
+        s_p = jnp.pad(s_b, ((0, 0), (0, n_p - n_b)))
+        nb, kc = n_p // rpb, kp // chunk
+        idx_b = idx_p.reshape(nb, rpb, kc, chunk)
+        val_b = val_p.reshape(nb, rpb, kc, chunk)
+        s_blk = s_p.reshape(heads, nb, rpb).transpose(1, 0, 2)  # [nb, H, rpb]
+
+        def one_chunk(carry, ic, s_rb):
+            m, den, o = carry  # [H, rpb], [H, rpb], [rpb, H, fp]
+            ix, vl = ic
+            g = z_flat[ix].reshape(rpb, ix.shape[1], heads, fp)
+            d_c = jnp.einsum("rchf,hf->hrc", g, a_dst,
+                             precision=jax.lax.Precision.HIGHEST)  # derived, no take
+            raw = s_rb[:, :, None] + d_c
+            sc = jnp.where(vl[None] > 0, _leaky(raw, slope), _NEG)
+            m_new = jnp.maximum(m, sc.max(axis=2))
+            m_used = jnp.where(m_new > _NEG / 2, m_new, 0.0)
+            scale = jnp.exp(jnp.where(m > _NEG / 2, m, m_used) - m_used)
+            e = jnp.exp(sc - m_used[:, :, None])
+            den = den * scale + e.sum(axis=2)
+            o = o * scale.T[:, :, None] + jnp.einsum("hrc,rchf->rhf", e, g)
+            return (m_new, den, o), None
+
+        def row_block(idx_rb, val_rb, s_rb):
+            # idx_rb/val_rb [rpb, kc, chunk]; s_rb [H, rpb]
+            init = (
+                jnp.full((heads, rpb), _NEG),
+                jnp.zeros((heads, rpb)),
+                jnp.zeros((rpb, heads, fp)),
+            )
+            if kc == 1:
+                (m, den, o), _ = one_chunk(init, (idx_rb[:, 0], val_rb[:, 0]), s_rb)
+                return m, den, o
+            (m, den, o), _ = jax.lax.scan(
+                lambda c, ic: one_chunk(c, ic, s_rb),
+                init,
+                (idx_rb.transpose(1, 0, 2), val_rb.transpose(1, 0, 2)),
+            )
+            return m, den, o
+
+        if nb == 1:
+            m, den, o = row_block(idx_b[0], val_b[0], s_blk[0])
+        else:
+            _, (m, den, o) = jax.lax.scan(
+                lambda _, iv: (None, row_block(iv[0], iv[1], iv[2])),
+                None,
+                (idx_b, val_b, s_blk),
+            )
+            m = m.transpose(1, 0, 2).reshape(heads, n_p)
+            den = den.transpose(1, 0, 2).reshape(heads, n_p)
+            o = o.reshape(n_p, heads, fp)
+        ms.append(m[:, :n_b])
+        dens.append(den[:, :n_b])
+        os_.append(o[:n_b])
+        start += n_b
+    m_rest = jnp.take(jnp.concatenate(ms, axis=1), rest.inv_perm, axis=1).T
+    den_rest = jnp.take(jnp.concatenate(dens, axis=1), rest.inv_perm, axis=1).T
+    o_rest = jnp.take(jnp.concatenate(os_, axis=0), rest.inv_perm, axis=0)
+    return m_rest, den_rest, o_rest
+
+
+def main():
+    t0 = time.time()
+    from graphconvgeo_tpu.data.synthetic import random_mention_projection_graph
+
+    adj = random_mention_projection_graph(N, N_COMM, seed=7)
+    perm = np.random.default_rng(1).permutation(N)
+    adj = adj[perm][:, perm].tocsr()
+    a_hat = normalize_adjacency(adj)
+    ro = best_reordering(a_hat, seed=0)
+    a_hat = ro.permute_graph(a_hat)
+    att = TiledAttentionPattern.from_scipy(a_hat, min_tile_nnz=64)
+    rest = att.rest
+    st = att.stats()
+    print(f"rest_edges={st['rest_edges']} buckets={len(rest.indices)} "
+          f"({time.time()-t0:.0f}s)", flush=True)
+
+    rng = np.random.default_rng(0)
+    fp = 128
+    z = jnp.asarray(rng.normal(size=(N, HEADS, fp)).astype(np.float32)) * 0.1
+    z = z.at[:, :, F:].set(0.0)  # padded lanes are zero, as in the layer
+    a_dst = np.zeros((HEADS, fp), np.float32)
+    a_dst[:, :F] = rng.normal(size=(HEADS, F)) * 0.1
+    a_dst = jnp.asarray(a_dst)
+    s = jnp.asarray(rng.normal(size=(N, HEADS)).astype(np.float32)) * 0.1
+    d = jnp.einsum("nhf,hf->nh", z, a_dst, precision=jax.lax.Precision.HIGHEST)
+
+    base = lambda x, _s: _rest_fused(
+        rest, _s,
+        jnp.einsum("nhf,hf->nh", x, a_dst, precision=jax.lax.Precision.HIGHEST), x,
+        slope=SLOPE, seed=jnp.zeros((1,), jnp.int32), rate=0.0,
+        n_cols_g=att.n_cols, head_stride=att.n_rows * att.n_cols,
+    )
+    fused = lambda x, _s: _rest_fused_derived(rest, _s, a_dst, x, slope=SLOPE)
+
+    # numerics first
+    m_b, den_b, o_b = jax.jit(base)(z, s)
+    m_f, den_f, o_f = jax.jit(fused)(z, s)
+    np.testing.assert_allclose(np.asarray(m_f), np.asarray(m_b), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(den_f), np.asarray(den_b), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(o_f), np.asarray(o_b), rtol=1e-4, atol=1e-5)
+    print("numerics OK", flush=True)
+
+    for name, fn in (("base", base), ("derived", fused)):
+        step = lambda x, _s, fn=fn: x + fn(x, _s)[2] * 1e-3
+        dts = device_trial_seconds(step, z, s, iters_lo=1, iters_hi=5, trials=3)
+        dt = min(dts)
+        print(f"{name:8s} {dt*1e3:8.2f} ms  ({st['rest_edges']/dt/1e6:6.1f} M edges/s)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
