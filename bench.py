@@ -81,7 +81,10 @@ sorted per-trial ms, the per-process medians, and a spread percentage
 covering process-level variance — the round-3 in-process spread (0.7–0.9%)
 could not distinguish a cross-round ledger delta (299 vs 277M on sbm) from
 across-process drift. If a worker subprocess fails, the workload falls
-back to one in-process run (flagged in ``detail``).
+back to one in-process run (flagged in ``detail``). Total wall time is
+self-budgeted (GCG_BENCH_BUDGET_S, default 1500 s): the headline runs
+first and a workload's SECOND worker is skipped (flagged) rather than
+letting an external timeout truncate the artifact.
 """
 
 from __future__ import annotations
@@ -528,6 +531,45 @@ def _run_worker(name: str, trials: int, cache: str, timeout: int = 1200):
     return None
 
 
+def collect_report(cache: str, budget_s: float) -> dict:
+    """Run every workload, 2 fresh processes each when the self-budget
+    allows. The budget (GCG_BENCH_BUDGET_S, default 1500 s) bounds TOTAL
+    bench wall time so an external timeout can never leave the artifact
+    empty: the headline runs first, and a workload's second worker is
+    skipped (flagged ``single_process_due_to_budget``) when the elapsed
+    time plus its first worker's duration would overrun."""
+    import time
+
+    t0 = time.time()
+    report: dict = {}
+    for name in ("projection", "sbm", "gat_projection"):
+        try:
+            tw = time.time()
+            first = _run_worker(name, 2, cache)
+            w_dur = time.time() - tw
+            runs = [first] if first else []
+            budget_skip = False
+            if first:
+                # the cached second worker costs ~0.8× the first; skip it if
+                # that would overrun the self-budget
+                if time.time() - t0 + 0.8 * w_dur <= budget_s:
+                    runs += [r for r in (_run_worker(name, 2, cache),) if r]
+                else:
+                    budget_skip = True
+            if not runs:  # cross-process path unavailable — one in-process run
+                runs = [WORKLOADS[name](4)]
+                report[name] = _finalize(name, runs)
+                report[name]["in_process_fallback"] = True
+            else:
+                report[name] = _finalize(name, runs)
+                if budget_skip:
+                    report[name]["single_process_due_to_budget"] = True
+            print(f"{name}: {report[name]}", file=sys.stderr, flush=True)
+        except Exception as e:  # pragma: no cover — keep bench robust
+            print(f"workload {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+    return report
+
+
 def main() -> None:
     worker = os.environ.get("GCG_BENCH_WORKER")
     if worker:
@@ -539,23 +581,7 @@ def main() -> None:
     import tempfile
 
     cache = tempfile.mkdtemp(prefix="gcg_bench_")
-    report: dict = {}
-    for name in ("projection", "sbm", "gat_projection"):
-        try:
-            runs = [
-                r
-                for r in (_run_worker(name, 2, cache), _run_worker(name, 2, cache))
-                if r
-            ]
-            if not runs:  # cross-process path unavailable — one in-process run
-                runs = [WORKLOADS[name](4)]
-                report[name] = _finalize(name, runs)
-                report[name]["in_process_fallback"] = True
-            else:
-                report[name] = _finalize(name, runs)
-            print(f"{name}: {report[name]}", file=sys.stderr, flush=True)
-        except Exception as e:  # pragma: no cover — keep bench robust
-            print(f"workload {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+    report = collect_report(cache, float(os.environ.get("GCG_BENCH_BUDGET_S", "1500")))
     shutil.rmtree(cache, ignore_errors=True)
     head = report.get("projection") or report.get("sbm") or {}
     print(

@@ -118,3 +118,40 @@ def test_gat_traffic_model_shape():
         assert t.rows_big == slots + 2 * n  # z rows + s/o takes
         assert t.rows_warm == slots  # narrow d takes (warm-rate class)
     assert t.attainable_secs() > 0 and t.strict_secs() > 0
+
+
+def test_collect_report_budget_degradation(monkeypatch, capsys):
+    """The self-budget must degrade to one process per workload (flagged),
+    never to a missing workload — and run both processes when time allows."""
+    calls = []
+
+    def fake_worker(name, trials, cache, timeout=0):
+        calls.append(name)
+        return {"edges": 100, "operator": "op", "trial_s": [0.01],
+                "model_secs": {"attainable": 0.005}}
+
+    monkeypatch.setattr(bench, "_run_worker", fake_worker)
+    # generous budget → two processes per workload
+    report = bench.collect_report("/nonexistent", budget_s=1e9)
+    assert len(calls) == 6 and set(report) == {"projection", "sbm", "gat_projection"}
+    assert all("single_process_due_to_budget" not in e for e in report.values())
+
+    # zero budget → every workload still present, single process, flagged
+    calls.clear()
+    report = bench.collect_report("/nonexistent", budget_s=0.0)
+    assert len(calls) == 3 and set(report) == {"projection", "sbm", "gat_projection"}
+    assert all(e.get("single_process_due_to_budget") for e in report.values())
+
+    # worker failure → in-process fallback keeps the workload in the artifact
+    def broken_worker(name, trials, cache, timeout=0):
+        return None
+
+    monkeypatch.setattr(bench, "_run_worker", broken_worker)
+    monkeypatch.setattr(
+        bench, "WORKLOADS",
+        {k: (lambda t: {"edges": 1, "operator": "op", "trial_s": [0.2],
+                        "model_secs": {"attainable": 0.1}})
+         for k in bench.WORKLOADS},
+    )
+    report = bench.collect_report("/nonexistent", budget_s=1e9)
+    assert all(e.get("in_process_fallback") for e in report.values())
