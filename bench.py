@@ -75,7 +75,7 @@ projected graph per second), so the factorized operator's structural win
 shows up as rate, not as a smaller denominator.
 
 Trials are CROSS-PROCESS (VERDICT r3 #7): each workload runs in 2 fresh
-subprocesses (2 timing trials each after an in-process warm), and the
+subprocesses (3 timing trials each after an in-process warm), and the
 reported rate is the MEDIAN of the merged trials. ``detail`` carries the
 sorted per-trial ms, the per-process medians, and a spread percentage
 covering process-level variance — the round-3 in-process spread (0.7–0.9%)
@@ -554,7 +554,7 @@ def collect_report(cache: str, budget_s: float) -> dict:
     for name in ("projection", "sbm", "gat_projection"):
         try:
             tw = time.time()
-            first = _run_worker(name, 2, cache)
+            first = _run_worker(name, 3, cache)
             w_dur = time.time() - tw
             runs = [first] if first else []
             budget_skip = False
@@ -562,7 +562,7 @@ def collect_report(cache: str, budget_s: float) -> dict:
                 # the cached second worker costs ~0.8× the first; skip it if
                 # that would overrun the self-budget
                 if time.time() - t0 + 0.8 * w_dur <= budget_s:
-                    runs += [r for r in (_run_worker(name, 2, cache),) if r]
+                    runs += [r for r in (_run_worker(name, 3, cache),) if r]
                 else:
                     budget_skip = True
             if not runs:  # cross-process path unavailable — one in-process run
