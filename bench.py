@@ -81,10 +81,14 @@ sorted per-trial ms, the per-process medians, and a spread percentage
 covering process-level variance — the round-3 in-process spread (0.7–0.9%)
 could not distinguish a cross-round ledger delta (299 vs 277M on sbm) from
 across-process drift. If a worker subprocess fails, the workload falls
-back to one in-process run (flagged in ``detail``). Total wall time is
-self-budgeted (GCG_BENCH_BUDGET_S, default 1500 s): the headline runs
-first and a workload's SECOND worker is skipped (flagged) rather than
-letting an external timeout truncate the artifact.
+back to one in-process run (flagged in ``detail``, and deferred until all
+subprocess workers have run — the single-tenant TPU must never host two
+measuring processes at once). Total wall time is self-budgeted
+(GCG_BENCH_BUDGET_S, default 1500 s): the headline always gets a full
+window, worker subprocess timeouts are capped by the remaining budget,
+single-process degradations are flagged per cause, and an out-of-time
+workload becomes an explicit ``skipped_due_to_budget`` stub — nothing is
+ever silently missing from the artifact.
 """
 
 from __future__ import annotations
@@ -119,6 +123,13 @@ class Traffic:
         self.tile_bytes = 0.0  # dense-tile MXU op DMA (runs at TILE_GBPS)
         self.rows_big = 0.0  # random row gathers from >16k-row tables
         self.rows_warm = 0.0  # random row gathers from warm ≤16k-row tables
+        # NARROW takes (few-lane rows, e.g. [H]-wide score columns): same
+        # row-RATE classes as above, but strict_secs charges their true
+        # bytes — charging them at the full gather row width overstated the
+        # gat workload's strict traffic by ~2 GB (round-4 self-review)
+        self.rows_narrow_big = 0.0
+        self.rows_narrow_warm = 0.0
+        self.narrow_bytes_per_row = 16.0
         self.rows_scatter = 0.0  # scatter-add rows (marginal)
         self.scatter_target_bytes = 0.0  # Σ per-scatter-op target sizes
         self.gather_bytes_per_row = FEAT * 4  # f32 unless bf16 gathers
@@ -146,8 +157,8 @@ class Traffic:
             + 2.0 * self.scatter_target_bytes / (SCATTER_TARGET_GBPS * 1e9)
         )
         row_engine = (
-            self.rows_big / GATHER_BIG_ROWS_PER_SEC
-            + self.rows_warm / GATHER_WARM_ROWS_PER_SEC
+            (self.rows_big + self.rows_narrow_big) / GATHER_BIG_ROWS_PER_SEC
+            + (self.rows_warm + self.rows_narrow_warm) / GATHER_WARM_ROWS_PER_SEC
             + self.rows_scatter / SCATTER_ROWS_PER_SEC
         )
         return max(byte_engine, row_engine)
@@ -157,8 +168,8 @@ class Traffic:
         # stream/gather overlap, no per-op fixed costs, 30M rows/s scatter
         return max(
             (self.stream_bytes + self.tile_bytes) / (HBM_GBPS * 1e9),
-            self.rows_big / GATHER_BIG_ROWS_PER_SEC
-            + self.rows_warm / GATHER_WARM_ROWS_PER_SEC
+            (self.rows_big + self.rows_narrow_big) / GATHER_BIG_ROWS_PER_SEC
+            + (self.rows_warm + self.rows_narrow_warm) / GATHER_WARM_ROWS_PER_SEC
             + self.rows_scatter / 30e6,
         )
 
@@ -166,6 +177,9 @@ class Traffic:
         # every byte at stream bandwidth — the no-gather-wall light-speed
         # (per-op fixed costs deliberately NOT charged here)
         row_bytes = (self.rows_big + self.rows_warm) * self.gather_bytes_per_row
+        row_bytes += (
+            self.rows_narrow_big + self.rows_narrow_warm
+        ) * self.narrow_bytes_per_row
         row_bytes += self.rows_scatter * FEAT * 4  # scatter accumulates in f32
         return (self.stream_bytes + self.tile_bytes + row_bytes) / (HBM_GBPS * 1e9)
 
@@ -261,17 +275,20 @@ def gat_tiled_traffic(att, n: int, heads: int, f: int) -> Traffic:
     t.tile_bytes += att.n_row_blocks * b * (zrow + 2 * hb)
     if att.rest is not None:
         # fused rest pass: per padded edge slot one z-row gather (the
-        # e-weighted matvec, big-table row rate) and one narrow d-column
+        # e-weighted matvec, big-table row rate) and one NARROW d-column
         # take — the narrow takes measured ≈4.8 ms per 846k rest edges
         # (PERF.md r4 decomposition), i.e. the WARM row-rate class, so they
         # are charged at GATHER_WARM rather than the 48M rows/s wall (the
         # honest choice — charging them at the big-table rate inflates the
-        # model by ~4× on this term); plus the bucket-order takes/restores
-        # of s and the [n, H·fp] o_rest
+        # model by ~4× on this term) AND at their true [H]-wide bytes in
+        # the strict model; plus the narrow s_sorted take and the [n, H·fp]
+        # o_rest restore
         slots = sum(int(np.asarray(i).size) for i in att.rest.indices)
         t.add_gather(slots, n)  # z rows
-        t.rows_warm += slots  # narrow d takes (measured warm-rate class)
-        t.add_gather(2 * n, n)  # s_sorted take + o_rest restore
+        t.rows_narrow_warm += slots  # narrow d takes (measured warm class)
+        t.narrow_bytes_per_row = hb
+        t.rows_narrow_big += n  # narrow s_sorted take
+        t.add_gather(n, n)  # o_rest restore (full-width rows)
         t.stream_bytes += n * zrow  # o_rest write
     # rescale-merge + normalize: read o_t (+o_r), write out
     t.stream_bytes += 2 * npad * zrow + n * heads * f * 4
@@ -543,38 +560,65 @@ def _run_worker(name: str, trials: int, cache: str, timeout: int = 1200):
 def collect_report(cache: str, budget_s: float) -> dict:
     """Run every workload, 2 fresh processes each when the self-budget
     allows. The budget (GCG_BENCH_BUDGET_S, default 1500 s) bounds TOTAL
-    bench wall time so an external timeout can never leave the artifact
-    empty: the headline runs first, and a workload's second worker is
-    skipped (flagged ``single_process_due_to_budget``) when the elapsed
-    time plus its first worker's duration would overrun."""
+    bench wall time so an external timeout cannot silently truncate the
+    artifact: the HEADLINE workload always gets a full window, every
+    worker's subprocess timeout is capped by the remaining budget, a
+    workload degraded to one process is flagged
+    (``single_process_due_to_budget`` / ``single_process_worker_failure``),
+    and a workload with no time left becomes an explicit
+    ``skipped_due_to_budget`` stub instead of vanishing. In-process
+    fallbacks (both workers failed) are DEFERRED to after every subprocess
+    worker has run — the parent initializes the TPU client on first
+    compute and would otherwise hold the chip while later workers run
+    (single-tenant TPU: concurrent processes contaminate timings)."""
     import time
 
     t0 = time.time()
     report: dict = {}
+    deferred = []
     for name in ("projection", "sbm", "gat_projection"):
         try:
+            remaining = budget_s - (time.time() - t0)
+            if report and remaining < 120:
+                report[name] = {"skipped_due_to_budget": True}
+                print(f"{name}: skipped (budget exhausted)", file=sys.stderr)
+                continue
+            # the first workload always gets the full window so the
+            # artifact is never empty; later ones cap at the remaining
+            timeout = 1200 if not report else int(max(120, min(1200, remaining)))
             tw = time.time()
-            first = _run_worker(name, 3, cache)
+            first = _run_worker(name, 3, cache, timeout=timeout)
             w_dur = time.time() - tw
             runs = [first] if first else []
-            budget_skip = False
+            flag = None
             if first:
-                # the cached second worker costs ~0.8× the first; skip it if
-                # that would overrun the self-budget
-                if time.time() - t0 + 0.8 * w_dur <= budget_s:
-                    runs += [r for r in (_run_worker(name, 3, cache),) if r]
+                remaining = budget_s - (time.time() - t0)
+                # the cached second worker costs ~0.8× the first
+                if remaining >= 0.8 * w_dur:
+                    second = _run_worker(
+                        name, 3, cache, timeout=int(max(120, min(1200, remaining)))
+                    )
+                    if second is not None:
+                        runs.append(second)
+                    else:
+                        flag = "single_process_worker_failure"
                 else:
-                    budget_skip = True
-            if not runs:  # cross-process path unavailable — one in-process run
-                runs = [WORKLOADS[name](4)]
-                report[name] = _finalize(name, runs)
-                report[name]["in_process_fallback"] = True
-            else:
-                report[name] = _finalize(name, runs)
-                if budget_skip:
-                    report[name]["single_process_due_to_budget"] = True
+                    flag = "single_process_due_to_budget"
+            if not runs:  # both workers failed — defer the in-process run
+                deferred.append(name)
+                continue
+            report[name] = _finalize(name, runs)
+            if flag:
+                report[name][flag] = True
             print(f"{name}: {report[name]}", file=sys.stderr, flush=True)
         except Exception as e:  # pragma: no cover — keep bench robust
+            print(f"workload {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+    for name in deferred:
+        try:
+            report[name] = _finalize(name, [WORKLOADS[name](4)])
+            report[name]["in_process_fallback"] = True
+            print(f"{name}: {report[name]}", file=sys.stderr, flush=True)
+        except Exception as e:  # pragma: no cover
             print(f"workload {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
     return report
 

@@ -13,6 +13,120 @@ from graphconvgeo_tpu.sparse.attention_tiles import TiledAttentionPattern
 from graphconvgeo_tpu.sparse.formats import normalize_adjacency
 from graphconvgeo_tpu.sparse.reorder import best_reordering
 
+
+
+# --- The superseded FOUR-pass kernels (max pass + shifted forward). The
+# production layer fused them into one running-softmax sweep in round 4;
+# they live here now because this repro script is their only caller — the
+# 2026-08-19 Mosaic miscompile was bisected against these exact passes.
+import functools
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+def _max_kernel(first_ref, rblk_ref, cblk_ref, mask_ref, s_ref, d_ref, m_ref, *, heads, slope):
+    t = pl.program_id(0)
+
+    @pl.when(first_ref[t] == 1)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, at._NEG)
+
+    mask = at._unpack_mask(mask_ref[0])
+    for h in range(heads):
+        raw = s_ref[:, h][:, None] + d_ref[:, h][None, :]
+        sc = jnp.where(mask > 0, at._leaky(raw, slope), at._NEG)
+        m_ref[:, h] = jnp.maximum(m_ref[:, h], sc.max(axis=1))
+
+
+def _tile_max(att, s, d, *, slope):
+    b, t_n = att.block, att.n_tiles
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(t_n,),
+        in_specs=[
+            pl.BlockSpec((1, b // 32, b), lambda t, f, r, c: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, s.shape[1]), lambda t, f, r, c: (r[t], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, d.shape[1]), lambda t, f, r, c: (c[t], 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (b, s.shape[1]), lambda t, f, r, c: (r[t], 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_max_kernel, heads=s.shape[1], slope=slope),
+        out_shape=jax.ShapeDtypeStruct(s.shape, jnp.float32),
+        grid_spec=grid_spec,
+        interpret=at._interpret(),
+    )(att.first, att.rowblk, att.colblk, att.mask_bits, s, d)
+
+
+
+# ---------------------------------------------------------------- forward
+def _fwd_kernel(
+    first_ref, rblk_ref, cblk_ref, mask_ref, seed_ref, s_ref, d_ref, m_ref, z_ref,
+    o_ref, den_ref, *, heads, slope, rate, n_cols, head_stride, precision,
+):
+    t = pl.program_id(0)
+
+    @pl.when(first_ref[t] == 1)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+        den_ref[:] = jnp.zeros_like(den_ref)
+
+    mask = at._unpack_mask(mask_ref[0])
+    block = mask.shape[0]
+    for h in range(heads):
+        raw = s_ref[:, h][:, None] + d_ref[:, h][None, :]
+        e = jnp.exp(at._leaky(raw, slope) - m_ref[:, h][:, None]) * mask
+        den_ref[:, h] += e.sum(axis=1)  # denominators are UNDROPPED
+        if rate > 0.0:
+            e = e * at._tile_keep(
+                rblk_ref[t], cblk_ref[t], seed_ref[0], h,
+                block=block, n_cols=n_cols, head_stride=head_stride, rate=rate,
+            )
+        o_ref[:, h, :] += jnp.dot(
+            e, z_ref[:, h, :], preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+
+
+def _tile_fwd(att, s, d, m, z, *, slope, seed, rate, precision=None):
+    precision = precision if precision is not None else at._MXU_PRECISION
+    b, t_n = att.block, att.n_tiles
+    heads, fp = z.shape[1], z.shape[2]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(t_n,),
+        in_specs=[
+            pl.BlockSpec((1, b // 32, b), lambda t, f, r, c: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((b, heads), lambda t, f, r, c: (r[t], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, heads), lambda t, f, r, c: (c[t], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, heads), lambda t, f, r, c: (r[t], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, heads, fp), lambda t, f, r, c: (c[t], 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, heads, fp), lambda t, f, r, c: (r[t], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, heads), lambda t, f, r, c: (r[t], 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, heads=heads, slope=slope, rate=rate,
+            n_cols=att.n_cols, head_stride=att.n_rows * att.n_cols,
+            precision=precision,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((s.shape[0], heads, fp), jnp.float32),
+            jax.ShapeDtypeStruct(s.shape, jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        interpret=at._interpret(),
+    )(att.first, att.rowblk, att.colblk, att.mask_bits, seed, s, d, m, z)
+
+
+
+
 N, N_COMM, HEADS, F = 262_144, 1024, 4, 64
 which = sys.argv[1]
 scale = int(sys.argv[2]) if len(sys.argv) > 2 else N
@@ -33,14 +147,14 @@ a_dst = jnp.asarray(rng.normal(size=(HEADS, F)).astype(np.float32)) * 0.1
 seed = jnp.zeros((1,), jnp.int32)
 
 z_heads, zp, s, d, heads, f, fp, n, npad, mpad = at._prep(att, z, a_src, a_dst)
-m = at._tile_max(att, s, d, slope=0.2)
+m = _tile_max(att, s, d, slope=0.2)
 m = jnp.where(m > at._NEG / 2, m, 0.0)
 print("max pass OK", flush=True)
 if which == "max":
     print(float(m.sum()), flush=True)
     sys.exit(0)
 
-o_un, den = at._tile_fwd(att, s, d, m, zp, slope=0.2, seed=seed, rate=0.0)
+o_un, den = _tile_fwd(att, s, d, m, zp, slope=0.2, seed=seed, rate=0.0)
 den = jnp.where(den > 0, den, 1.0)
 if which == "fwd":
     print("fwd", float(o_un.sum()), float(den.sum()), flush=True)

@@ -81,7 +81,6 @@ def _tile_keep(rb, cb, seed, h, *, block, n_cols, head_stride, rate):
     return entry_keep(eid, seed, rate).astype(jnp.float32) / (1.0 - rate)
 
 
-# ---------------------------------------------------------------- max pass
 # Default contraction precision for the tile passes. HIGHEST (true f32) is
 # the parity default; experiments probe DEFAULT (1-pass bf16 rounding) by
 # passing ``mxu_precision=jax.lax.Precision.DEFAULT`` to
@@ -90,42 +89,6 @@ def _tile_keep(rb, cb, seed, h, *, block, n_cols, head_stride, rate):
 # separately (ADVICE r3: a mutable module global was baked at first trace
 # and silently ignored afterwards).
 _MXU_PRECISION = jax.lax.Precision.HIGHEST
-
-
-def _max_kernel(first_ref, rblk_ref, cblk_ref, mask_ref, s_ref, d_ref, m_ref, *, heads, slope):
-    t = pl.program_id(0)
-
-    @pl.when(first_ref[t] == 1)
-    def _():
-        m_ref[:] = jnp.full_like(m_ref, _NEG)
-
-    mask = _unpack_mask(mask_ref[0])
-    for h in range(heads):
-        raw = s_ref[:, h][:, None] + d_ref[:, h][None, :]
-        sc = jnp.where(mask > 0, _leaky(raw, slope), _NEG)
-        m_ref[:, h] = jnp.maximum(m_ref[:, h], sc.max(axis=1))
-
-
-def _tile_max(att, s, d, *, slope):
-    b, t_n = att.block, att.n_tiles
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(t_n,),
-        in_specs=[
-            pl.BlockSpec((1, b // 32, b), lambda t, f, r, c: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, s.shape[1]), lambda t, f, r, c: (r[t], 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, d.shape[1]), lambda t, f, r, c: (c[t], 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (b, s.shape[1]), lambda t, f, r, c: (r[t], 0), memory_space=pltpu.VMEM
-        ),
-    )
-    return pl.pallas_call(
-        functools.partial(_max_kernel, heads=s.shape[1], slope=slope),
-        out_shape=jax.ShapeDtypeStruct(s.shape, jnp.float32),
-        grid_spec=grid_spec,
-        interpret=_interpret(),
-    )(att.first, att.rowblk, att.colblk, att.mask_bits, s, d)
 
 
 # ------------------------------------------------------- fused max+forward
@@ -207,70 +170,6 @@ def _tile_fwd_fused(att, s, d, z, *, slope, seed, rate, precision=None):
         grid_spec=grid_spec,
         interpret=_interpret(),
     )(att.first, att.rowblk, att.colblk, att.mask_bits, seed, s, d, z)
-
-
-# ---------------------------------------------------------------- forward
-def _fwd_kernel(
-    first_ref, rblk_ref, cblk_ref, mask_ref, seed_ref, s_ref, d_ref, m_ref, z_ref,
-    o_ref, den_ref, *, heads, slope, rate, n_cols, head_stride, precision,
-):
-    t = pl.program_id(0)
-
-    @pl.when(first_ref[t] == 1)
-    def _():
-        o_ref[:] = jnp.zeros_like(o_ref)
-        den_ref[:] = jnp.zeros_like(den_ref)
-
-    mask = _unpack_mask(mask_ref[0])
-    block = mask.shape[0]
-    for h in range(heads):
-        raw = s_ref[:, h][:, None] + d_ref[:, h][None, :]
-        e = jnp.exp(_leaky(raw, slope) - m_ref[:, h][:, None]) * mask
-        den_ref[:, h] += e.sum(axis=1)  # denominators are UNDROPPED
-        if rate > 0.0:
-            e = e * _tile_keep(
-                rblk_ref[t], cblk_ref[t], seed_ref[0], h,
-                block=block, n_cols=n_cols, head_stride=head_stride, rate=rate,
-            )
-        o_ref[:, h, :] += jnp.dot(
-            e, z_ref[:, h, :], preferred_element_type=jnp.float32,
-            precision=precision,
-        )
-
-
-def _tile_fwd(att, s, d, m, z, *, slope, seed, rate, precision=None):
-    precision = precision if precision is not None else _MXU_PRECISION
-    b, t_n = att.block, att.n_tiles
-    heads, fp = z.shape[1], z.shape[2]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(t_n,),
-        in_specs=[
-            pl.BlockSpec((1, b // 32, b), lambda t, f, r, c: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((b, heads), lambda t, f, r, c: (r[t], 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, heads), lambda t, f, r, c: (c[t], 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, heads), lambda t, f, r, c: (r[t], 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, heads, fp), lambda t, f, r, c: (c[t], 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((b, heads, fp), lambda t, f, r, c: (r[t], 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, heads), lambda t, f, r, c: (r[t], 0), memory_space=pltpu.VMEM),
-        ],
-    )
-    return pl.pallas_call(
-        functools.partial(
-            _fwd_kernel, heads=heads, slope=slope, rate=rate,
-            n_cols=att.n_cols, head_stride=att.n_rows * att.n_cols,
-            precision=precision,
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((s.shape[0], heads, fp), jnp.float32),
-            jax.ShapeDtypeStruct(s.shape, jnp.float32),
-        ],
-        grid_spec=grid_spec,
-        interpret=_interpret(),
-    )(att.first, att.rowblk, att.colblk, att.mask_bits, seed, s, d, m, z)
 
 
 # ---------------------------------------------------------------- bwd: ds

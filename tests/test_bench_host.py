@@ -96,37 +96,53 @@ def test_cached_roundtrip_and_isolation(tmp_path, monkeypatch):
     assert len(calls) == 4
 
 
-def test_gat_traffic_model_shape():
-    """The gat traffic model must consume a real (tiny) pattern and charge
-    the documented access kinds: tile bytes for the sweep, big-table rows
-    for rest z-gathers, warm rows for the narrow d takes."""
+def test_gat_traffic_model_accounting():
+    """The gat traffic model on a real (tiny) pattern WITH a forced rest:
+    tile bytes for the sweep, one full-width row gather per rest slot plus
+    the o-restore, and the narrow d/s takes in their own class — charged
+    at row RATES for the engines but at their true [H]-wide bytes in the
+    strict model (the round-4 self-review found them overcharged ~128×)."""
     import scipy.sparse as sp
 
     from graphconvgeo_tpu.sparse.attention_tiles import TiledAttentionPattern
 
-    rng = np.random.default_rng(0)
     n = 512
     dense_block = np.zeros((n, n), np.float32)
     dense_block[:128, :128] = 1.0  # one guaranteed dense tile
     scatter = sp.random(n, n, 0.01, random_state=1).toarray()
     a = sp.csr_matrix(np.clip(dense_block + (scatter > 0), 0, 1))
-    att = TiledAttentionPattern.from_scipy(a, min_tile_nnz=64)
-    t = bench.gat_tiled_traffic(att, n, 4, 64)
+    # min_tile_nnz above the ~164 nnz/block of the 1% scatter forces a rest
+    att = TiledAttentionPattern.from_scipy(a, min_tile_nnz=400)
+    assert att.rest is not None, "fixture must exercise the rest path"
+    heads = 4
+    t = bench.gat_tiled_traffic(att, n, heads, 64)
     assert t.tile_bytes > 0
-    if att.rest is not None:
-        slots = sum(int(np.asarray(i).size) for i in att.rest.indices)
-        assert t.rows_big == slots + 2 * n  # z rows + s/o takes
-        assert t.rows_warm == slots  # narrow d takes (warm-rate class)
-    assert t.attainable_secs() > 0 and t.strict_secs() > 0
+    slots = sum(int(np.asarray(i).size) for i in att.rest.indices)
+    # z-row gathers + o restore: full-width rows; table n=512 is under the
+    # warm cliff, so add_gather routes them to rows_warm
+    assert t.rows_warm == slots + n
+    assert t.rows_big == 0
+    # narrow classes carry the d takes (warm) and the s take (big-table
+    # rate class by construction), at heads*4 bytes each in strict
+    assert t.rows_narrow_warm == slots
+    assert t.rows_narrow_big == n
+    assert t.narrow_bytes_per_row == heads * 4
+    # strict must charge narrow rows at narrow bytes, not the z-row width
+    zrow = heads * 128 * 4
+    expected_row_bytes = (slots + n) * zrow + (slots + n) * heads * 4
+    got_row_bytes = t.strict_secs() * bench.HBM_GBPS * 1e9 - t.stream_bytes - t.tile_bytes
+    assert got_row_bytes == pytest.approx(expected_row_bytes)
+    assert t.attainable_secs() > 0
 
 
 def test_collect_report_budget_degradation(monkeypatch, capsys):
-    """The self-budget must degrade to one process per workload (flagged),
-    never to a missing workload — and run both processes when time allows."""
+    """The self-budget must never silently drop a workload: full budget →
+    two processes each; exhausted budget → the headline still completes
+    (single-process, flagged) and later workloads become explicit stubs."""
     calls = []
 
     def fake_worker(name, trials, cache, timeout=0):
-        calls.append(name)
+        calls.append((name, timeout))
         return {"edges": 100, "operator": "op", "trial_s": [0.01],
                 "model_secs": {"attainable": 0.005}}
 
@@ -136,13 +152,34 @@ def test_collect_report_budget_degradation(monkeypatch, capsys):
     assert len(calls) == 6 and set(report) == {"projection", "sbm", "gat_projection"}
     assert all("single_process_due_to_budget" not in e for e in report.values())
 
-    # zero budget → every workload still present, single process, flagged
+    # zero budget → the HEADLINE runs (full window, flagged single-process);
+    # the rest are explicit skipped stubs, never missing
     calls.clear()
     report = bench.collect_report("/nonexistent", budget_s=0.0)
-    assert len(calls) == 3 and set(report) == {"projection", "sbm", "gat_projection"}
-    assert all(e.get("single_process_due_to_budget") for e in report.values())
+    assert [c[0] for c in calls] == ["projection"]
+    assert calls[0][1] == 1200  # the first workload always gets a full window
+    assert set(report) == {"projection", "sbm", "gat_projection"}
+    assert report["projection"].get("single_process_due_to_budget")
+    assert report["sbm"] == {"skipped_due_to_budget": True}
+    assert report["gat_projection"] == {"skipped_due_to_budget": True}
 
-    # worker failure → in-process fallback keeps the workload in the artifact
+    # second worker fails → single-process entry FLAGGED with the cause
+    calls.clear()
+    state = {"n": 0}
+
+    def flaky_worker(name, trials, cache, timeout=0):
+        state["n"] += 1
+        if state["n"] % 2 == 0:
+            return None
+        return {"edges": 100, "operator": "op", "trial_s": [0.01],
+                "model_secs": {"attainable": 0.005}}
+
+    monkeypatch.setattr(bench, "_run_worker", flaky_worker)
+    report = bench.collect_report("/nonexistent", budget_s=1e9)
+    assert all(e.get("single_process_worker_failure") for e in report.values())
+
+    # both workers fail → in-process fallback keeps the workload in the
+    # artifact (run AFTER all subprocess workers — TPU single-tenancy)
     def broken_worker(name, trials, cache, timeout=0):
         return None
 
