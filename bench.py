@@ -63,6 +63,21 @@ constant. The model-independent cross-round yardstick is
 ``strict_fraction_vs_materialized`` (0.34 → 0.54 → 0.674 across rounds,
 target ≥0.75), promoted to a TOP-LEVEL field of the output line.
 
+ROUND 5: the projection operator changed (merged [R'|B'+diag] z-sweep,
+``sparse/factorized.py :: zr_tiles`` — measured 21.8 → 18.7 ms), and the
+round-length decomposition (benchmarks/exp_tile_runlength.py) measured the
+cost class the frozen model cannot see: ~0.8 µs per tile-sweep ACCUMULATOR
+SWITCH (the 250-vs-421 GB/s "tile-list-structure gap" of VERDICT r4 #4 is
+run-length: L=16 lists run 0.72 µs/tile, L=1 lists 1.89). Constants stay
+FROZEN: the graded ``attainable_fraction`` is still computed under the
+round-4 model (it now reads LOWER for the faster operator — the operator
+outran the model's resolution, dropping ~0.91 → ~0.75 while measured time
+improved 14%), and ``attainable_fraction_switch_aware`` co-reports the
+fraction with the measured switch cost added (cited constant
+ACCUM_SWITCH_SECONDS). The model-independent cross-round yardstick —
+``strict_fraction_vs_materialized`` — is what improved: 0.674 → ~0.785,
+clearing the ≥0.75 round-5 target.
+
 The STRICT bytes/bandwidth fraction (every byte, including gathered rows,
 charged at the stream rate — the no-gather-wall light-speed) is reported
 alongside in ``detail`` for all workloads; it is the honest distance to
@@ -72,7 +87,16 @@ access pattern.
 
 Edge rates are MATERIALIZED-edge rates for all workloads (edges of the
 projected graph per second), so the factorized operator's structural win
-shows up as rate, not as a smaller denominator.
+shows up as rate, not as a smaller denominator. Denominator convention
+(ADVICE r4 #3, stated explicitly): the ``projection`` workload counts
+projected edges PRE-normalization (no self-loops — its operator applies
+the factorized Â whose diag term costs no edge traffic), while the
+normalized-adjacency workloads (``sbm``, ``gat_projection``) count
+``Â.nnz`` INCLUDING the N self-loops, because their operators physically
+process those entries (they sit in tiles/buckets like any other edge).
+Each entry carries its convention in ``edge_denominator``; cross-workload
+rate comparisons at the same graph differ by ~2.4% (N/nnz) between the
+two conventions.
 
 Trials are CROSS-PROCESS (VERDICT r3 #7): each workload runs in 2 fresh
 subprocesses (3 timing trials each after an in-process warm), and the
@@ -104,6 +128,15 @@ N = 262_144
 N_COMM = 1024
 FEAT = 512
 GAT_HEADS, GAT_F = 4, 64
+# Round-5 measured primitive (benchmarks/exp_tile_runlength.py): a flat-tile
+# sweep pays ~0.8 µs per ACCUMULATOR SWITCH (per-row-block run boundary) on
+# top of its byte traffic — the structural cause of the 250-vs-421 GB/s
+# tile-rate gap the round-4 anchor exposed (L=16 runs 0.72 µs/tile, L=1 runs
+# 1.89). The FROZEN round-4 constants cannot see this class, so the graded
+# ``attainable_fraction`` stays under the frozen model and the
+# switch-aware fraction is CO-REPORTED per workload
+# (``attainable_fraction_switch_aware``) with this cited constant.
+ACCUM_SWITCH_SECONDS = 0.8e-6
 # ---- FROZEN model constants (round 4) — see module docstring ----
 HBM_GBPS = 819.0  # TPU v5e stream bandwidth
 TILE_GBPS = 250.0  # measured Mosaic BSR tile-pipeline rate (PERF.md device facts)
@@ -133,6 +166,7 @@ class Traffic:
         self.rows_scatter = 0.0  # scatter-add rows (marginal)
         self.scatter_target_bytes = 0.0  # Σ per-scatter-op target sizes
         self.gather_bytes_per_row = FEAT * 4  # f32 unless bf16 gathers
+        self.accum_switches = 0.0  # tile-sweep run boundaries (round 5)
 
     def add_gather(self, rows: float, table_rows: int):
         if table_rows <= WARM_TABLE_ROWS:
@@ -163,6 +197,24 @@ class Traffic:
         )
         return max(byte_engine, row_engine)
 
+    def attainable_secs_switch_aware(self) -> float:
+        # the frozen two-engine floor PLUS the round-5 measured accumulator-
+        # switch cost (serial with the byte engine — it is a pipeline stall,
+        # not overlappable issue). CO-REPORTED; the graded fraction stays on
+        # the frozen model (see ACCUM_SWITCH_SECONDS).
+        byte_engine = (
+            self.tile_bytes / (TILE_GBPS * 1e9)
+            + self.stream_bytes / (HBM_GBPS * 1e9)
+            + 2.0 * self.scatter_target_bytes / (SCATTER_TARGET_GBPS * 1e9)
+            + self.accum_switches * ACCUM_SWITCH_SECONDS
+        )
+        row_engine = (
+            (self.rows_big + self.rows_narrow_big) / GATHER_BIG_ROWS_PER_SEC
+            + (self.rows_warm + self.rows_narrow_warm) / GATHER_WARM_ROWS_PER_SEC
+            + self.rows_scatter / SCATTER_ROWS_PER_SEC
+        )
+        return max(byte_engine, row_engine)
+
     def attainable_overlap_secs(self) -> float:
         # the ROUND-2 model (kept for cross-round continuity): perfect
         # stream/gather overlap, no per-op fixed costs, 30M rows/s scatter
@@ -184,12 +236,19 @@ class Traffic:
         return (self.stream_bytes + self.tile_bytes + row_bytes) / (HBM_GBPS * 1e9)
 
 
-def _tally_tiles(t: Traffic, tiles, feat: int):
+def _tally_tiles(t: Traffic, tiles, feat: int, h_bytes: int = 4):
+    """``h_bytes``: per-element size of the dense operand the sweep streams
+    (2 when the merged sweep reads the bf16 z — actual bytes moved; tile
+    data and accumulator writes stay f32)."""
     n_tiles = int(tiles.tiles.shape[0])
     block = tiles.block
     # per tile: A tile + input block read (+ out block write per row block)
-    t.tile_bytes += n_tiles * (block * block + block * feat) * 4
+    t.tile_bytes += n_tiles * (block * block * 4 + block * feat * h_bytes)
     t.tile_bytes += int(tiles.n_row_blocks) * block * feat * 4
+    if hasattr(tiles, "first"):  # flat lists: runs = accumulator switches
+        t.accum_switches += float(np.asarray(tiles.first).sum())
+    else:
+        t.accum_switches += float(tiles.n_row_blocks)
 
 
 def _tally_bell(t: Traffic, bell, table_rows: int):
@@ -222,25 +281,36 @@ def hybrid_traffic(fmt, n_rows: int, *, gather_bytes_per_row: int) -> Traffic:
 
 
 def factorized_traffic(fa, *, gather_bytes_per_row: int) -> Traffic:
-    """Traffic model for one factorized Â application: B'(B'ᵀh) + R'h + diag."""
+    """Traffic model for one factorized Â application: B'(B'ᵀh) + R'h + diag.
+    Handles both layouts: separate b/r sweeps, or the round-5 merged
+    [R'|B'] z-sweep (``zr_tiles`` — one [N, F] writeback, z streamed at the
+    gather dtype)."""
     t = Traffic()
     t.gather_bytes_per_row = gather_bytes_per_row
     n, g = fa.n_rows, fa.n_groups
-    for tiles, rest, table, target in (
-        (fa.bt_tiles, fa.bt_rest, n, g),  # B'ᵀ gathers from h, scatters to [G, F]
-        (fa.b_tiles, fa.b_rest, g, n),  # B' gathers from y [G, F]
-        (fa.r_tiles, fa.r_rest, n, n),  # R' gathers from h [N, F]
-        (None, fa.br_rest, n + g, n),  # combined rest gathers from z = [h; y]
+    z_rows = n + fa.z_pad + g  # br/zr gather-source rows (z = [h; pad; y])
+    z_bytes = gather_bytes_per_row // FEAT  # per-element size of z
+    for tiles, rest, table, target, h_bytes in (
+        (fa.bt_tiles, fa.bt_rest, n, g, 4),  # B'ᵀ gathers from h, scatters to [G, F]
+        (fa.b_tiles, fa.b_rest, g, n, 4),  # B' gathers from y [G, F]
+        (fa.r_tiles, fa.r_rest, n, n, 4),  # R' gathers from h [N, F]
+        (fa.zr_tiles, fa.br_rest, z_rows, n, z_bytes),  # merged sweep + rest over z
     ):
         if tiles is not None:
-            _tally_tiles(t, tiles, FEAT)
+            _tally_tiles(t, tiles, FEAT, h_bytes=h_bytes)
         if rest is not None:
             _tally_trimmed(t, rest, table, target)
-    # h read + out write + diag/add elementwise pass
-    t.stream_bytes += (3 * n + 2 * g) * FEAT * 4
-    if fa.br_rest is not None:
-        # the stacked gather source z = [h; y] is materialized once per
-        # apply: read the f32 sources, write z at the gather dtype
+    if getattr(fa, "diag_in_tiles", False):
+        # diag rides the merged operand (round 5): no diag/add elementwise
+        # pass — only the h read and the y write+read remain as streams
+        # (out writes are already charged per row block in the tile tally)
+        t.stream_bytes += (n + 2 * g) * FEAT * 4
+    else:
+        # h read + out write + diag/add elementwise pass
+        t.stream_bytes += (3 * n + 2 * g) * FEAT * 4
+    if fa.br_rest is not None or fa.zr_tiles is not None:
+        # the stacked gather source z is materialized once per apply: read
+        # the f32 sources, write z at the gather dtype
         t.stream_bytes += (n + g) * FEAT * 4 + (n + g) * gather_bytes_per_row
     return t
 
@@ -388,6 +458,7 @@ def measure_projection(trials: int) -> dict:
     mat_secs = (edges * (FEAT * 2 + 12) + 2 * N * FEAT * 4) / (HBM_GBPS * 1e9)
     return {
         "edges": edges,
+        "edge_denominator": "projected edges pre-normalization (no self-loops)",
         "operator": (
             "factorized incidence (B'B'ᵀ + combined rest + diag, clique-grouped, "
             "bf16 gathers+MXU)"
@@ -395,6 +466,7 @@ def measure_projection(trials: int) -> dict:
         "trial_s": dts,
         "model_secs": {
             "attainable": traffic.attainable_secs(),
+            "attainable_switch_aware": traffic.attainable_secs_switch_aware(),
             "attainable_at_anchor_tile_rate": traffic.attainable_secs(ANCHOR_TILE_GBPS),
             "attainable_overlap": traffic.attainable_overlap_secs(),
             "strict": traffic.strict_secs(),
@@ -433,10 +505,12 @@ def measure_sbm(trials: int) -> dict:
     traffic = hybrid_traffic(fmt, N, gather_bytes_per_row=FEAT * 2)  # bf16 gathers
     return {
         "edges": int(g.nnz),
+        "edge_denominator": "normalized-adjacency nnz (incl. N self-loops)",
         "operator": "hybrid (flat-BSR MXU + bucketed-ELL, bf16 gathers)",
         "trial_s": dts,
         "model_secs": {
             "attainable": traffic.attainable_secs(),
+            "attainable_switch_aware": traffic.attainable_secs_switch_aware(),
             "attainable_overlap": traffic.attainable_overlap_secs(),
             "strict": traffic.strict_secs(),
         },
@@ -474,6 +548,7 @@ def measure_gat_projection(trials: int) -> dict:
     st = att.stats()
     return {
         "edges": edges,
+        "edge_denominator": "normalized-adjacency nnz (incl. N self-loops)",
         "operator": (
             "tiled GAT layer fwd (fused running-softmax tile sweep + fused "
             f"bucketed rest; {st['n_tiles']} tiles, {st['rest_edges']} rest edges)"
@@ -495,6 +570,7 @@ WORKLOADS = {
 }
 _FRACTION_FIELD = {
     "attainable": "attainable_fraction",
+    "attainable_switch_aware": "attainable_fraction_switch_aware",
     "attainable_at_anchor_tile_rate": "attainable_fraction_at_anchor_tile_rate",
     "attainable_overlap": "attainable_overlap_fraction",
     "strict": "strict_fraction",
@@ -513,6 +589,7 @@ def _finalize(name: str, runs: list) -> dict:
     entry = {
         "edges": base["edges"],
         "edges_per_sec": round(base["edges"] / dt, 0),
+        "edge_denominator": base.get("edge_denominator", ""),
         "operator": base["operator"],
     }
     for key, secs in base["model_secs"].items():
@@ -576,22 +653,30 @@ def collect_report(cache: str, budget_s: float) -> dict:
     t0 = time.time()
     report: dict = {}
     deferred = []
+    # The full-window grant is keyed on "first ATTEMPTED workload", not on
+    # ``report`` being non-empty: if the headline's workers all fail (or hang
+    # to their timeout), ``report`` stays empty, and keying on it would grant
+    # every later workload the full window too — unbounded total wall time,
+    # exactly what the self-budget exists to prevent (ADVICE r4 #1).
+    attempted = False
     for name in ("projection", "sbm", "gat_projection"):
         try:
             remaining = budget_s - (time.time() - t0)
-            if report and remaining < 120:
+            if attempted and remaining < 120:
                 report[name] = {"skipped_due_to_budget": True}
                 print(f"{name}: skipped (budget exhausted)", file=sys.stderr)
                 continue
-            # the first workload always gets the full window so the
-            # artifact is never empty; later ones cap at the remaining
-            timeout = 1200 if not report else int(max(120, min(1200, remaining)))
+            # the first attempted workload always gets the full window so
+            # the artifact is never empty; every later timeout caps at the
+            # remaining budget
+            timeout = 1200 if not attempted else int(max(120, min(1200, remaining)))
+            attempted = True
             tw = time.time()
             first = _run_worker(name, 3, cache, timeout=timeout)
             w_dur = time.time() - tw
-            runs = [first] if first else []
+            runs = [first] if first is not None else []
             flag = None
-            if first:
+            if first is not None:
                 remaining = budget_s - (time.time() - t0)
                 # the cached second worker costs ~0.8× the first
                 if remaining >= 0.8 * w_dur:
@@ -614,6 +699,17 @@ def collect_report(cache: str, budget_s: float) -> dict:
         except Exception as e:  # pragma: no cover — keep bench robust
             print(f"workload {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
     for name in deferred:
+        # deferred fallbacks are bounded by the remaining budget too: a
+        # worker failure must not turn into an unbounded in-process run
+        # that the verify recipe's outer timeout then kills mid-artifact
+        remaining = budget_s - (time.time() - t0)
+        if remaining < 120:
+            report[name] = {
+                "skipped_due_to_budget": True,
+                "worker_failures": True,
+            }
+            print(f"{name}: skipped fallback (budget exhausted)", file=sys.stderr)
+            continue
         try:
             report[name] = _finalize(name, [WORKLOADS[name](4)])
             report[name]["in_process_fallback"] = True

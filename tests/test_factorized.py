@@ -190,6 +190,56 @@ def test_no_groups_at_all():
     np.testing.assert_allclose(np.asarray(spmm_factorized(fa, h)), np.ones((n, 3)), rtol=1e-6)
 
 
+def test_merged_tiles_matches_separate_sweeps(rng):
+    """The merged [R'|B'] z-sweep (round 5, ``zr_tiles``) is a pure layout
+    change: forward and grads must match the separate-sweep layout AND the
+    materialized Â — at an n that is NOT a block multiple (z_pad > 0) and
+    with tiles guaranteed on both the R' and B' sides."""
+    r = np.random.default_rng(13)
+    n = 200  # block=64 → z_pad = 56
+    groups = {f"big{c}": list(range(c * 50, c * 50 + 40)) for c in range(4)}
+    groups.update({f"x{g}": r.choice(n, size=3, replace=False).tolist() for g in range(15)})
+    fas = {
+        layout: FactorizedAdjacency.from_groups(
+            groups, n, block=64, min_tile_nnz=16, merged_tiles=(layout == "merged")
+        )
+        for layout in ("merged", "separate")
+    }
+    assert fas["merged"].zr_tiles is not None and fas["merged"].z_pad == 56
+    assert fas["separate"].zr_tiles is None
+    assert fas["merged"].diag_in_tiles and not fas["separate"].diag_in_tiles
+    # the merged operand carries at least the separate layouts' tile mass
+    # (plus the folded diag cells and any rest entries their diagonal
+    # blocks pulled over the min_tile_nnz threshold)
+    sep_cells = sum(
+        int((np.asarray(t.tiles) != 0).sum())
+        for t in (fas["separate"].b_tiles, fas["separate"].r_tiles)
+        if t is not None
+    )
+    merged_cells = int((np.asarray(fas["merged"].zr_tiles.tiles) != 0).sum())
+    assert merged_cells >= sep_cells
+
+    a_hat = normalize_adjacency(materialize_projection(groups, n))
+    dense = jnp.asarray(a_hat.toarray())
+    h = jnp.asarray(r.normal(size=(n, 8)).astype(np.float32))
+    for gd in (None, jnp.bfloat16):
+        outs, grads = {}, {}
+        for layout, fa in fas.items():
+            f = lambda x, fa=fa: spmm_factorized(
+                fa, x, gather_dtype=gd, mxu_dtype=gd
+            )
+            outs[layout] = np.asarray(f(h))
+            grads[layout] = np.asarray(jax.grad(lambda x: jnp.sum(jnp.sin(f(x))))(h))
+        # bf16: the merged layout rounds the folded diag term to bf16 (the
+        # same class gather_dtype=bf16 applies to every rest edge) while
+        # the separate layout keeps diag⊙h in f32 — tolerance must cover
+        # one bf16 ulp (~8e-3) on O(1) diag-dominated entries
+        tol = dict(rtol=2e-4, atol=2e-5) if gd is None else dict(rtol=4e-2, atol=1e-2)
+        np.testing.assert_allclose(outs["merged"], outs["separate"], **tol)
+        np.testing.assert_allclose(grads["merged"], grads["separate"], **tol)
+        np.testing.assert_allclose(outs["merged"], np.asarray(dense @ h), **tol)
+
+
 @pytest.mark.parametrize("hub_order", ["median", "core"])
 def test_factorized_hub_order_exact(rng, hub_order):
     """The hub-axis permutation (host_factors ``hub_order``) is a pure

@@ -43,7 +43,10 @@ def _append_users(data_home, enc, words, n_train=12, n_eval=3):
             for i in range(count):
                 name = f"extra{split}{i}"
                 names.append(name)
-                text = f"{words} {words} @hub0_0 hola"
+                # a literal TAB and stray quotes inside the tweet text —
+                # real dumps contain them and the loader's positional-split
+                # policy (F21) must carry them through every preset path
+                text = f'{words}\t"{words}" {words} @hub0_0 hola'
                 line = f"{name}\t{lat}\t{lon}\t{text}\n"
                 f.write(line.encode(enc))
     return names
