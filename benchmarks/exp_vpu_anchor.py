@@ -1,0 +1,248 @@
+"""VPU-engine anchor for the tiled-GAT attainable model (VERDICT r4 #3).
+
+The gat_projection bench gap is attributed to per-tile VPU recompute
+volume — "a cost class the frozen byte×rate model deliberately cannot
+see". That attribution is unfalsifiable until the op mix itself is priced
+in isolation. This experiment runs the fused forward sweep's EXACT
+per-tile math (mask unpack + per-head score recompute + online-softmax
+bookkeeping + the o-update dot, `ops/attention_tiled.py ::
+_fwd_fused_kernel`) with everything else removed: constant index maps keep
+every operand VMEM-resident (no per-step DMA), no scalar prefetch, no
+pattern indirection — so µs/step is pure compute issue.
+
+Variants (one process runs all — operands are KB-sized):
+
+  mix       — the exact fused-forward op mix (unpack + 4-head running
+              softmax + HIGHEST dot)
+  nounpack  — same with a precomputed f32 mask (prices the bit-unpack)
+  minmath   — e = exp·mask + dot only (the `nodenm` analog: prices the
+              softmax bookkeeping)
+  dotonly   — just the 4 per-head [128,128]@[128,128] HIGHEST dots
+  vpurate   — K chained f32 fma ops on [128,128]: the chip's raw VPU
+              lane-op rate for calibration (lane-ops/s)
+
+Compare `mix` against the real kernel's measured 2.25–2.6 µs/tile
+(exp_attn_fixed): their difference is DMA/pattern overhead; `mix` itself
+is the VPU-engine floor per tile. The gat traffic model gains a third
+engine charged at VPU_TILE_SECONDS per tile (bench.py).
+"""
+
+import functools
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from graphconvgeo_tpu.ops.attention_tiled import _leaky, _unpack_mask, _NEG
+from graphconvgeo_tpu.utils.timing import device_seconds_per_iter
+
+B, HEADS, FP = 128, 4, 128
+T = 8192  # grid steps per application
+SLOPE = 0.2
+
+
+def _mix_kernel(mask_ref, s_ref, d_ref, z_ref, o_ref, den_ref, m_ref,
+                *, variant):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+        den_ref[:] = jnp.zeros_like(den_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG)
+
+    if variant == "nounpack":
+        mask = mask_ref[0]  # precomputed f32 [B, B]
+    else:
+        mask = _unpack_mask(mask_ref[0])
+    if variant in ("bwdrow-loop", "bwdcol-loop"):
+        # the round-4 per-head-loop bwd forms (pre head-batch), for A/B
+        for h in range(HEADS):
+            raw = s_ref[:, h][:, None] + d_ref[:, h][None, :]
+            e = jnp.exp(_leaky(raw, SLOPE) - m_ref[:, h][:, None] * 1e-3) * mask
+            alpha = e / (den_ref[:, h][:, None] + 1.0)
+            dalpha = jnp.dot(z_ref[:, h, :], z_ref[:, h, :].T,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+            draw = alpha * (dalpha - s_ref[:, h][:, None])
+            draw = draw * jnp.where(raw >= 0, 1.0, SLOPE)
+            if variant == "bwdrow-loop":
+                den_ref[:, h] += draw.sum(axis=1)
+            else:
+                o_ref[:, h, :] += jnp.dot(
+                    alpha.T, z_ref[:, h, :],
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                den_ref[:, h] += draw.sum(axis=0)
+        return
+    if variant in ("bwdrow", "bwdcol"):
+        # the production bwd-pass op mixes (head-batched, as ported round
+        # 5) — m/den/c reuse the den/m output refs as inputs-by-proxy
+        # (values irrelevant for timing; the op count is what's priced)
+        m3 = mask[:, None, :]
+        raw = s_ref[:][:, :, None] + d_ref[:].T[None, :, :]
+        e = jnp.exp(_leaky(raw, SLOPE) - m_ref[:][:, :, None] * 1e-3) * m3
+        alpha = e / (den_ref[:][:, :, None] + 1.0)
+        dalpha = jnp.stack(
+            [
+                jnp.dot(z_ref[:, h, :], z_ref[:, h, :].T,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+                for h in range(HEADS)
+            ],
+            axis=1,
+        )
+        draw = alpha * (dalpha - s_ref[:][:, :, None])
+        draw = draw * jnp.where(raw >= 0, 1.0, SLOPE)
+        if variant == "bwdrow":
+            den_ref[:] += draw.sum(axis=2)
+            return
+        for h in range(HEADS):
+            o_ref[:, h, :] += jnp.dot(
+                alpha[:, h, :].T, z_ref[:, h, :],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        den_ref[:] += draw.sum(axis=0).T
+        return
+    if variant == "headbatch":
+        # the one untried layout lever (VERDICT r4 #2): batch ALL heads
+        # through each VPU op as [B, H, B] arrays ([i, h, j] — m/den/s/d
+        # keep their [B, H] layout, no transposes) instead of a python
+        # loop of per-head [B, B] ops; dots stay per-head (MXU shape)
+        raw = s_ref[:][:, :, None] + d_ref[:].T[None, :, :]  # [B, H, B]
+        m3 = mask[:, None, :]
+        sc = jnp.where(m3 > 0, _leaky(raw, SLOPE), _NEG)
+        m_old = m_ref[:]
+        m_new = jnp.maximum(m_old, sc.max(axis=2))
+        scale = jnp.exp(m_old - m_new)
+        e = jnp.exp(sc - m_new[:, :, None]) * m3
+        den_ref[:] = den_ref[:] * scale + e.sum(axis=2)
+        m_ref[:] = m_new
+        for h in range(HEADS):
+            o_ref[:, h, :] = o_ref[:, h, :] * scale[:, h][:, None] + jnp.dot(
+                e[:, h, :], z_ref[:, h, :], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        return
+    for h in range(HEADS):
+        if variant == "dotonly":
+            # fold the carried s in so the dot is not loop-invariant (the
+            # timing harness chains the output back into s — a pure
+            # function of constants would be hoisted out of the loop)
+            e = mask + s_ref[:, h][:, None] * 1e-6
+            o_ref[:, h, :] += jnp.dot(
+                e, z_ref[:, h, :], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            continue
+        raw = s_ref[:, h][:, None] + d_ref[:, h][None, :]
+        if variant == "minmath":
+            e = jnp.exp(raw * 1e-3) * mask
+        else:  # the exact fused-forward math
+            sc = jnp.where(mask > 0, _leaky(raw, SLOPE), _NEG)
+            m_old = m_ref[:, h]
+            m_new = jnp.maximum(m_old, sc.max(axis=1))
+            scale = jnp.exp(m_old - m_new)
+            e = jnp.exp(sc - m_new[:, None]) * mask
+            den_ref[:, h] = den_ref[:, h] * scale + e.sum(axis=1)
+            m_ref[:, h] = m_new
+            o_ref[:, h, :] = o_ref[:, h, :] * scale[:, None]
+        o_ref[:, h, :] += jnp.dot(
+            e, z_ref[:, h, :], preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+
+def run_mix(variant, mask_arr, s, d, z):
+    kern = functools.partial(_mix_kernel, variant=variant)
+    mshape = mask_arr.shape[1:]
+    out = pl.pallas_call(
+        kern,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, *mshape), lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, HEADS), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, HEADS), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, HEADS, FP), lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, HEADS, FP), lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, HEADS), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, HEADS), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, HEADS, FP), jnp.float32),
+            jax.ShapeDtypeStruct((B, HEADS), jnp.float32),
+            jax.ShapeDtypeStruct((B, HEADS), jnp.float32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(mask_arr, s, d, z)
+    return out[0]
+
+
+def _vpu_kernel(x_ref, o_ref, *, chain):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    x = x_ref[:]
+    acc = x
+    for i in range(chain):
+        # Horner chain NONLINEAR in x (acc·x, varying×varying): a linear
+        # chain (acc·c + x) folds to one multiply at compile time
+        acc = acc * x + 0.5
+    o_ref[:] += acc
+
+
+def run_vpu(x, chain=64):
+    return pl.pallas_call(
+        functools.partial(_vpu_kernel, chain=chain),
+        grid=(T,),
+        in_specs=[pl.BlockSpec((B, B), lambda t: (0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((B, B), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, B), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(x)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 2**32, size=(1, B // 32, B), dtype=np.uint32)
+    mask_f32 = np.zeros((B, B), np.float32)
+    w = B // 32
+    for i in range(B):
+        mask_f32[i] = (bits[0, i % w] >> (i // w)) & 1
+    s = jnp.asarray(rng.normal(size=(B, HEADS)).astype(np.float32) * 0.1)
+    d = jnp.asarray(rng.normal(size=(B, HEADS)).astype(np.float32) * 0.1)
+    z = jnp.asarray(rng.normal(size=(B, HEADS, FP)).astype(np.float32) * 0.1)
+    which = sys.argv[1:] or ["mix", "nounpack", "minmath", "dotonly", "vpurate"]
+    for variant in which:
+        if variant == "vpurate":
+            x = jnp.asarray(rng.normal(size=(B, B)).astype(np.float32) * 0.01)
+            f = lambda x: run_vpu(x) * 1e-6 + x * 0.1
+            # sub-ms per call: needs enough loop iters for the lo/hi wall
+            # difference to clear relay noise (0.000-readings otherwise)
+            dt = device_seconds_per_iter(f, x, iters_lo=8, iters_hi=64, trials=3)
+            lane_ops = T * 64 * B * B  # one fma per element per chain link
+            print(f"vpurate     {dt/T*1e6:7.3f} us/step  "
+                  f"{lane_ops/dt/1e12:6.2f} T fma/s", flush=True)
+            continue
+        marr = (
+            jnp.asarray(mask_f32[None]) if variant == "nounpack"
+            else jnp.asarray(bits)
+        )
+        f = lambda ss, m, dd, zz: run_mix(variant, m, ss, dd, zz)[:, :, 0] * 1e-6 + ss
+        lo, hi = (2, 6) if variant in ("mix", "nounpack") else (8, 32)
+        dt = device_seconds_per_iter(f, s, marr, d, z, iters_lo=lo, iters_hi=hi, trials=3)
+        print(f"{variant:10s} {dt/T*1e6:7.3f} us/tile-step", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -81,6 +81,23 @@ def _tile_keep(rb, cb, seed, h, *, block, n_cols, head_stride, rate):
     return entry_keep(eid, seed, rate).astype(jnp.float32) / (1.0 - rate)
 
 
+def _tile_keep3(rb, cb, seed, *, block, heads, n_cols, head_stride, rate):
+    """All-heads [B, H, B] variant of :func:`_tile_keep` — identical
+    entry-id scheme per head (eid + h·head_stride), so a head-batched
+    kernel regenerates exactly the masks the per-head form would."""
+    il = jax.lax.broadcasted_iota(jnp.uint32, (block, 1, block), 0)
+    jl = jax.lax.broadcasted_iota(jnp.uint32, (block, 1, block), 2)
+    hl = jax.lax.broadcasted_iota(jnp.uint32, (block, heads, block), 1)
+    gi = rb.astype(jnp.uint32) * jnp.uint32(block) + il
+    gj = cb.astype(jnp.uint32) * jnp.uint32(block) + jl
+    eid = (
+        gi * jnp.uint32(n_cols & 0xFFFFFFFF)
+        + gj
+        + hl * jnp.uint32(head_stride & 0xFFFFFFFF)
+    )
+    return entry_keep(eid, seed, rate).astype(jnp.float32) / (1.0 - rate)
+
+
 # Default contraction precision for the tile passes. HIGHEST (true f32) is
 # the parity default; experiments probe DEFAULT (1-pass bf16 rounding) by
 # passing ``mxu_precision=jax.lax.Precision.DEFAULT`` to
@@ -114,24 +131,33 @@ def _fwd_fused_kernel(
 
     mask = _unpack_mask(mask_ref[0])
     block = mask.shape[0]
+    # HEAD-BATCHED elementwise (round 5, benchmarks/exp_vpu_anchor.py): the
+    # softmax bookkeeping runs as [B, H, B] ops across all heads instead of
+    # a python loop of per-head [B, B] ops — measured 2.23 → 1.70 µs/tile
+    # on the isolated op mix (the VPU vectorizes across the head axis; the
+    # per-head mix IS the tile sweep's cost, DMA-free anchor). Dots stay
+    # per-head (MXU shape). Math is per-element identical to the per-head
+    # form — only the vector layout changes.
+    m3 = mask[:, None, :]
+    raw = s_ref[:][:, :, None] + d_ref[:].T[None, :, :]  # [B, H, B]
+    sc = jnp.where(m3 > 0, _leaky(raw, slope), _NEG)
+    m_old = m_ref[:]
+    m_new = jnp.maximum(m_old, sc.max(axis=2))
+    # no-edges-yet rows: m_old = m_new = _NEG → scale = exp(0) = 1 with
+    # zero accumulators; masked slots: exp(_NEG−_NEG)·mask = 0 — both safe
+    scale = jnp.exp(m_old - m_new)
+    e = jnp.exp(sc - m_new[:, :, None]) * m3
+    den_ref[:] = den_ref[:] * scale + e.sum(axis=2)
+    m_ref[:] = m_new
+    if rate > 0.0:  # denominators are UNDROPPED (reference semantics)
+        e = e * _tile_keep3(
+            rblk_ref[t], cblk_ref[t], seed_ref[0],
+            block=block, heads=heads, n_cols=n_cols,
+            head_stride=head_stride, rate=rate,
+        )
     for h in range(heads):
-        raw = s_ref[:, h][:, None] + d_ref[:, h][None, :]
-        sc = jnp.where(mask > 0, _leaky(raw, slope), _NEG)
-        m_old = m_ref[:, h]
-        m_new = jnp.maximum(m_old, sc.max(axis=1))
-        # no-edges-yet rows: m_old = m_new = _NEG → scale = exp(0) = 1 with
-        # zero accumulators; masked slots: exp(_NEG−_NEG)·mask = 0 — both safe
-        scale = jnp.exp(m_old - m_new)
-        e = jnp.exp(sc - m_new[:, None]) * mask
-        den_ref[:, h] = den_ref[:, h] * scale + e.sum(axis=1)
-        m_ref[:, h] = m_new
-        if rate > 0.0:  # denominators are UNDROPPED (reference semantics)
-            e = e * _tile_keep(
-                rblk_ref[t], cblk_ref[t], seed_ref[0], h,
-                block=block, n_cols=n_cols, head_stride=head_stride, rate=rate,
-            )
-        o_ref[:, h, :] = o_ref[:, h, :] * scale[:, None] + jnp.dot(
-            e, z_ref[:, h, :], preferred_element_type=jnp.float32,
+        o_ref[:, h, :] = o_ref[:, h, :] * scale[:, h][:, None] + jnp.dot(
+            e[:, h, :], z_ref[:, h, :], preferred_element_type=jnp.float32,
             precision=precision,
         )
 
@@ -186,6 +212,13 @@ def _bwd_row_kernel(
 
     mask = _unpack_mask(mask_ref[0])
     block = mask.shape[0]
+    # PER-HEAD loop kept deliberately (round 5): unlike the fwd sweep, the
+    # bwd mixes measure FASTER per-head than head-batched (bwdrow 1.32 vs
+    # 1.84 µs/tile, bwdcol 1.75 vs 2.39 — exp_vpu_anchor.py): the batched
+    # form must materialize [B, H, B] dalpha/alpha temporaries feeding
+    # per-head sliced dots, which costs more than the reduction batching
+    # saves. The fwd sweep (more max/rescale chains, no dot-coupled
+    # temporaries) goes the other way.
     for h in range(heads):
         raw = s_ref[:, h][:, None] + d_ref[:, h][None, :]
         e = jnp.exp(_leaky(raw, slope) - m_ref[:, h][:, None]) * mask
@@ -254,6 +287,7 @@ def _bwd_col_kernel(
 
     mask = _unpack_mask(mask_ref[0])  # [i, j] orientation
     block = mask.shape[0]
+    # per-head loop kept deliberately — see the bwd-row kernel note
     for h in range(heads):
         raw = s_ref[:, h][:, None] + d_ref[:, h][None, :]
         e = jnp.exp(_leaky(raw, slope) - m_ref[:, h][:, None]) * mask

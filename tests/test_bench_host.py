@@ -20,6 +20,8 @@ spec = importlib.util.spec_from_file_location(
 bench = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(bench)
 
+_ALL = ["projection", "sbm", "gat_projection", "gat_train"]
+
 
 def test_traffic_two_engine_floor():
     t = bench.Traffic()
@@ -149,7 +151,7 @@ def test_collect_report_budget_degradation(monkeypatch, capsys):
     monkeypatch.setattr(bench, "_run_worker", fake_worker)
     # generous budget → two processes per workload
     report = bench.collect_report("/nonexistent", budget_s=1e9)
-    assert len(calls) == 6 and set(report) == {"projection", "sbm", "gat_projection"}
+    assert len(calls) == 8 and set(report) == set(_ALL)
     assert all("single_process_due_to_budget" not in e for e in report.values())
 
     # zero budget → the HEADLINE runs (full window, flagged single-process);
@@ -158,10 +160,10 @@ def test_collect_report_budget_degradation(monkeypatch, capsys):
     report = bench.collect_report("/nonexistent", budget_s=0.0)
     assert [c[0] for c in calls] == ["projection"]
     assert calls[0][1] == 1200  # the first workload always gets a full window
-    assert set(report) == {"projection", "sbm", "gat_projection"}
+    assert set(report) == set(_ALL)
     assert report["projection"].get("single_process_due_to_budget")
-    assert report["sbm"] == {"skipped_due_to_budget": True}
-    assert report["gat_projection"] == {"skipped_due_to_budget": True}
+    for w in _ALL[1:]:
+        assert report[w] == {"skipped_due_to_budget": True}
 
     # second worker fails → single-process entry FLAGGED with the cause
     calls.clear()
@@ -222,5 +224,5 @@ def test_collect_report_headline_failure_does_not_unbound_budget(monkeypatch):
     assert report["projection"] == {
         "skipped_due_to_budget": True, "worker_failures": True,
     }
-    assert report["sbm"] == {"skipped_due_to_budget": True}
-    assert report["gat_projection"] == {"skipped_due_to_budget": True}
+    for w in _ALL[1:]:
+        assert report[w] == {"skipped_due_to_budget": True}
