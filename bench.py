@@ -23,6 +23,13 @@ then community-reordered — the framework's one-time preprocessing):
    same layer: the ds-SDDMM row sweep, the transpose column sweep, and the
    rest backward, modeled from the same frozen primitives plus the
    measured per-tile VPU mixes (exp_vpu_anchor.py).
+5. ``e2e_step`` (round 5, VERDICT r4 missing #5) — ONE full Highway-GCN
+   train step (fwd+bwd+adam) at 262k users × 100k-vocab Zipf BoW with the
+   production preset knobs (bf16 slab input, factorized conv, dropout
+   0.5): the number a full-graph training user pays per epoch (reference
+   analog ``gcnmodel.py :: GCN.fit``), with a traffic model composed from
+   the same frozen primitives plus the measured bf16 MXU rate for the
+   dense GEMMs.
 
 ``vs_baseline`` = headline measured / ATTAINABLE roofline. The attainable
 model (reconciled round 3 — VERDICT r2 #1 and weak #1) is the SUM of
@@ -112,7 +119,8 @@ across-process drift. If a worker subprocess fails, the workload falls
 back to one in-process run (flagged in ``detail``, and deferred until all
 subprocess workers have run — the single-tenant TPU must never host two
 measuring processes at once). Total wall time is self-budgeted
-(GCG_BENCH_BUDGET_S, default 1500 s): the headline always gets a full
+(GCG_BENCH_BUDGET_S, default 2100 s — raised round 5 for the two new
+workloads): the headline always gets a full
 window, worker subprocess timeouts are capped by the remaining budget,
 single-process degradations are flagged per cause, and an out-of-time
 workload becomes an explicit ``skipped_due_to_budget`` stub — nothing is
@@ -159,6 +167,10 @@ ACCUM_SWITCH_SECONDS = 0.8e-6
 GAT_MIX_FWD_SECONDS = 1.70e-6
 GAT_MIX_BWDROW_SECONDS = 1.32e-6
 GAT_MIX_BWDCOL_SECONDS = 1.75e-6
+# Dense-matmul MXU rate for the e2e-step model's GEMM terms, measured by
+# exp_tile_anchor.py (mxu-dense, bf16-DEFAULT — XLA's default contraction
+# on TPU, which is what the model's dense layers run).
+MXU_BF16_TFLOPS = 160.9
 # ---- FROZEN model constants (round 4) — see module docstring ----
 HBM_GBPS = 819.0  # TPU v5e stream bandwidth
 TILE_GBPS = 250.0  # measured Mosaic BSR tile-pipeline rate (PERF.md device facts)
@@ -195,6 +207,24 @@ class Traffic:
         # SpMM workloads (their tile kernels are DMA-bound) — the frozen
         # SpMM model is untouched.
         self.vpu_secs = 0.0
+        # scatter/row widths follow the workload's feature dim (FEAT for
+        # the kernel workloads; 600 for the e2e step)
+        self.feat = FEAT
+        # serial seconds for directly-modeled op classes (round-5 e2e step:
+        # the dense GEMMs' MXU time beyond their IO floor) — added to the
+        # byte engine; see add_gemm
+        self.extra_secs = 0.0
+
+    def add_gemm(self, m: int, k: int, n_out: int, *, in_bytes: int = 4):
+        """One dense [m, k] @ [k, n_out] GEMM: IO at stream rate plus any
+        MXU time the IO doesn't cover (max(io, flops) composed additively
+        as io + max(0, flops − io-equivalent))."""
+        io = m * k * in_bytes + (m * n_out + k * n_out) * 4
+        flops = 2.0 * m * k * n_out
+        self.stream_bytes += io
+        self.extra_secs += max(
+            0.0, flops / (MXU_BF16_TFLOPS * 1e12) - io / (HBM_GBPS * 1e9)
+        )
 
     def add_gather(self, rows: float, table_rows: int):
         if table_rows <= WARM_TABLE_ROWS:
@@ -204,7 +234,7 @@ class Traffic:
 
     def add_scatter(self, rows: float, target_rows: int):
         self.rows_scatter += rows
-        self.scatter_target_bytes += target_rows * FEAT * 4
+        self.scatter_target_bytes += target_rows * self.feat * 4
 
     def attainable_secs(self, tile_gbps: float = TILE_GBPS) -> float:
         # two-engine floor (see module docstring — reconciled r3, FROZEN r4):
@@ -220,6 +250,7 @@ class Traffic:
             max(self.tile_bytes / (tile_gbps * 1e9), self.vpu_secs)
             + self.stream_bytes / (HBM_GBPS * 1e9)
             + 2.0 * self.scatter_target_bytes / (SCATTER_TARGET_GBPS * 1e9)
+            + self.extra_secs
         )
         row_engine = (
             (self.rows_big + self.rows_narrow_big) / GATHER_BIG_ROWS_PER_SEC
@@ -238,6 +269,7 @@ class Traffic:
             + self.stream_bytes / (HBM_GBPS * 1e9)
             + 2.0 * self.scatter_target_bytes / (SCATTER_TARGET_GBPS * 1e9)
             + self.accum_switches * ACCUM_SWITCH_SECONDS
+            + self.extra_secs
         )
         row_engine = (
             (self.rows_big + self.rows_narrow_big) / GATHER_BIG_ROWS_PER_SEC
@@ -263,7 +295,7 @@ class Traffic:
         row_bytes += (
             self.rows_narrow_big + self.rows_narrow_warm
         ) * self.narrow_bytes_per_row
-        row_bytes += self.rows_scatter * FEAT * 4  # scatter accumulates in f32
+        row_bytes += self.rows_scatter * self.feat * 4  # scatter accumulates in f32
         return (self.stream_bytes + self.tile_bytes + row_bytes) / (HBM_GBPS * 1e9)
 
 
@@ -311,16 +343,18 @@ def hybrid_traffic(fmt, n_rows: int, *, gather_bytes_per_row: int) -> Traffic:
     return t
 
 
-def factorized_traffic(fa, *, gather_bytes_per_row: int) -> Traffic:
+def factorized_traffic(fa, *, gather_bytes_per_row: int, feat: int = FEAT) -> Traffic:
     """Traffic model for one factorized Â application: B'(B'ᵀh) + R'h + diag.
     Handles both layouts: separate b/r sweeps, or the round-5 merged
     [R'|B'] z-sweep (``zr_tiles`` — one [N, F] writeback, z streamed at the
-    gather dtype)."""
+    gather dtype). ``feat`` parameterizes the feature width (512 for the
+    kernel workloads, the hidden size for the e2e step)."""
     t = Traffic()
     t.gather_bytes_per_row = gather_bytes_per_row
+    t.feat = feat
     n, g = fa.n_rows, fa.n_groups
     z_rows = n + fa.z_pad + g  # br/zr gather-source rows (z = [h; pad; y])
-    z_bytes = gather_bytes_per_row // FEAT  # per-element size of z
+    z_bytes = gather_bytes_per_row // feat  # per-element size of z
     for tiles, rest, table, target, h_bytes in (
         (fa.bt_tiles, fa.bt_rest, n, g, 4),  # B'ᵀ gathers from h, scatters to [G, F]
         (fa.b_tiles, fa.b_rest, g, n, 4),  # B' gathers from y [G, F]
@@ -328,21 +362,21 @@ def factorized_traffic(fa, *, gather_bytes_per_row: int) -> Traffic:
         (fa.zr_tiles, fa.br_rest, z_rows, n, z_bytes),  # merged sweep + rest over z
     ):
         if tiles is not None:
-            _tally_tiles(t, tiles, FEAT, h_bytes=h_bytes)
+            _tally_tiles(t, tiles, feat, h_bytes=h_bytes)
         if rest is not None:
             _tally_trimmed(t, rest, table, target)
     if getattr(fa, "diag_in_tiles", False):
         # diag rides the merged operand (round 5): no diag/add elementwise
         # pass — only the h read and the y write+read remain as streams
         # (out writes are already charged per row block in the tile tally)
-        t.stream_bytes += (n + 2 * g) * FEAT * 4
+        t.stream_bytes += (n + 2 * g) * feat * 4
     else:
         # h read + out write + diag/add elementwise pass
-        t.stream_bytes += (3 * n + 2 * g) * FEAT * 4
+        t.stream_bytes += (3 * n + 2 * g) * feat * 4
     if fa.br_rest is not None or fa.zr_tiles is not None:
         # the stacked gather source z is materialized once per apply: read
         # the f32 sources, write z at the gather dtype
-        t.stream_bytes += (n + g) * FEAT * 4 + (n + g) * gather_bytes_per_row
+        t.stream_bytes += (n + g) * feat * 4 + (n + g) * gather_bytes_per_row
     return t
 
 
@@ -702,11 +736,160 @@ def measure_gat_train(trials: int) -> dict:
     }
 
 
+E2E_VOCAB = 100_000
+E2E_HIDDEN = 600
+E2E_CLASSES = 256
+
+
+def e2e_traffic(xop, fa, n: int, v: int, h: int, c_cls: int) -> Traffic:
+    """Composed traffic model for ONE full Highway-GCN train step
+    (fwd+bwd+adam) at the 262k×100k scale (VERDICT r4 missing #5): slab
+    input + factorized conv + dense GEMMs + adam, every term from the
+    frozen primitive classes (gathers/scatters/streams/tiles) plus the
+    measured bf16 MXU rate for the dense GEMM flops. Model structure
+    (``models/gcn.py`` §3.2): X·W₀ → 2 × (pre-GEMM, Â·, gate) highway conv
+    layers → class head, masked CE, adam."""
+    t = Traffic()
+    t.feat = h
+    t.gather_bytes_per_row = h * 2  # bf16 gathers (the preset knob)
+    # ---- input layer X·W0 (SlabbedBell): fwd slab GEMM + rest gathers;
+    # bwd slab dW GEMM + its C_s-row scatter + rest dW0 scatter
+    c_s = int(xop.cols.shape[0])
+    t.add_gemm(n, c_s, h, in_bytes=2)  # slab fwd (bf16 slab)
+    t.add_gemm(c_s, n, h, in_bytes=2)  # slab dW0 = slabT·G
+    t.add_scatter(c_s, v)  # dW0 slab-row scatter into [V, H]
+    rest = xop.rest
+    if hasattr(rest, "hot"):  # CachedBell: hot slots hit the compact table
+        _tally_bell(t, rest.hot, int(rest.hot_ids.shape[0]))
+        _tally_bell(t, rest.cold, v)
+        slots = rest.hot.padded_slots + rest.cold.padded_slots
+    else:
+        _tally_bell(t, rest, v)
+        slots = rest.padded_slots
+    # bwd dW0 = Xᵀ·G runs as the TRANSPOSE bell (ops/spmm.py ::
+    # _spmm_bell_bwd): one G-row gather per slot from the [N, H] cotangent
+    # plus the ~V-row bucket-order restore take — NOT a scatter into
+    # [V, H] (the transpose bell writes dW0 rows directly); the hot part's
+    # compact-table scatter rides the slab scatter op charged above
+    t.add_gather(slots, n)
+    t.add_gather(v, v)
+    # ---- 2 highway conv layers: fwd = pre-GEMM + Â· + gate GEMM;
+    # bwd = Â· (symmetric) + 2 GEMM backwards each for pre and gate
+    for _ in range(2):
+        for conv_t in (
+            factorized_traffic(fa, gather_bytes_per_row=h * 2, feat=h),
+            factorized_traffic(fa, gather_bytes_per_row=h * 2, feat=h),
+        ):
+            t.stream_bytes += conv_t.stream_bytes
+            t.tile_bytes += conv_t.tile_bytes
+            t.rows_big += conv_t.rows_big
+            t.rows_warm += conv_t.rows_warm
+            t.rows_scatter += conv_t.rows_scatter
+            t.scatter_target_bytes += conv_t.scatter_target_bytes
+            t.accum_switches += conv_t.accum_switches
+        t.add_gemm(n, h, h)  # pre fwd
+        t.add_gemm(n, h, h)  # gate fwd
+        for _ in range(4):  # bwd: dX and dW for pre and gate
+            t.add_gemm(n, h, h)
+        # act/gate-combine/dropout elementwise: ~6 passes of [N, H]
+        t.stream_bytes += 6 * n * h * 4
+    # ---- head + masked CE (fwd logits GEMM, CE ~3 passes, bwd 2 GEMMs)
+    t.add_gemm(n, h, c_cls)
+    t.add_gemm(n, c_cls, h)
+    t.add_gemm(h, n, c_cls)
+    t.stream_bytes += 3 * n * c_cls * 4
+    # ---- adam: read (g, p, m, v) + write (p, m, v) over every param
+    params = v * h + 2 * (2 * (h * h + h)) + h * c_cls + c_cls
+    t.stream_bytes += 7 * params * 4
+    return t
+
+
+def measure_e2e_step(trials: int) -> dict:
+    """One full Highway-GCN train step (fwd+bwd+adam) at 262k users ×
+    100k-vocab Zipf BoW with the production preset knobs (bf16 slab +
+    gathers, factorized projection adjacency, dropout 0.5) — the number a
+    full-graph training user actually pays per epoch (reference analog:
+    ``gcnmodel.py :: GCN.fit``'s epoch step). Ledger home: the round-3
+    627 ms (exp_e2e_slab.py) now has cross-process trials + a model."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from graphconvgeo_tpu.data.synthetic import random_mention_projection_graph
+    from graphconvgeo_tpu.models.gcn import GCNConfig, HighwayGCN
+    from graphconvgeo_tpu.sparse.factorized import FactorizedAdjacency
+    from graphconvgeo_tpu.sparse.formats import SparseGraph
+    from graphconvgeo_tpu.sparse.reorder import bipartite_reordering
+    from graphconvgeo_tpu.utils.timing import device_trial_seconds
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from benchmarks.exp_input_hybrid import zipf_bow
+
+    def build():
+        x = zipf_bow(N, E2E_VOCAB, 110)
+        _, groups = random_mention_projection_graph(
+            N, N_COMM, seed=7, return_structure=True
+        )
+        ro = bipartite_reordering(groups, N, clique_group=True)
+        groups = {g: ro.to_new(np.asarray(m)) for g, m in groups.items()}
+        return x[ro.perm].tocsr(), groups
+
+    x, groups = _cached("e2e_structure", build)
+    fa = FactorizedAdjacency.from_groups(groups, N)
+    edges = sum(int(np.asarray(r).size) for _, r in groups.items())  # mentions
+    cfg = GCNConfig(
+        n_features=E2E_VOCAB, n_classes=E2E_CLASSES, hidden=(E2E_HIDDEN, E2E_HIDDEN),
+        highway=True, dropout=0.5, input_backend="auto",
+        slab_dtype="bfloat16", gather_dtype="bfloat16",
+    )
+    model = HighwayGCN(cfg, SparseGraph(csr=x), fa)
+    params = model.init(jax.random.key(0))
+    y = jnp.asarray(np.random.default_rng(0).integers(0, E2E_CLASSES, N).astype(np.int32))
+    mask = jnp.asarray((np.random.default_rng(1).random(N) < 0.6).astype(np.float32))
+    opt = optax.adam(2e-3)
+    opt_state = opt.init(params)
+
+    def step(carry, arrays, y, mask):
+        params, opt_state, i = carry
+        sub = jax.random.fold_in(jax.random.key(1), i)
+        loss, grads = jax.value_and_grad(
+            lambda p: model.loss(p, y, mask, arrays, rng=sub, train=True)
+        )(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), opt_state, i + 1)
+
+    dts = device_trial_seconds(
+        step, (params, opt_state, jnp.int32(0)), model.arrays, y, mask,
+        iters_lo=1, iters_hi=3, trials=trials,
+    )
+    traffic = e2e_traffic(
+        model.arrays["x"], fa, N, E2E_VOCAB, E2E_HIDDEN, E2E_CLASSES
+    )
+    return {
+        "edges": int(x.nnz),
+        "edge_denominator": "X nnz (BoW entries; the e2e unit is the STEP)",
+        "operator": (
+            f"full Highway-GCN train step (fwd+bwd+adam): bf16 slab input "
+            f"({int(model.arrays['x'].cols.shape[0])} cols) + factorized conv "
+            f"x2 (H={E2E_HIDDEN}) + masked CE, dropout 0.5, "
+            f"{edges} mention entries"
+        ),
+        "trial_s": dts,
+        "model_secs": {
+            "attainable": traffic.attainable_secs(),
+            "attainable_switch_aware": traffic.attainable_secs_switch_aware(),
+            "attainable_overlap": traffic.attainable_overlap_secs(),
+            "strict": traffic.strict_secs(),
+        },
+    }
+
+
 WORKLOADS = {
     "projection": measure_projection,
     "sbm": measure_sbm,
     "gat_projection": measure_gat_projection,
     "gat_train": measure_gat_train,
+    "e2e_step": measure_e2e_step,
 }
 _FRACTION_FIELD = {
     "attainable": "attainable_fraction",
@@ -776,7 +959,7 @@ def _run_worker(name: str, trials: int, cache: str, timeout: int = 1200):
 
 def collect_report(cache: str, budget_s: float) -> dict:
     """Run every workload, 2 fresh processes each when the self-budget
-    allows. The budget (GCG_BENCH_BUDGET_S, default 1500 s) bounds TOTAL
+    allows. The budget (GCG_BENCH_BUDGET_S, default 2100 s) bounds TOTAL
     bench wall time so an external timeout cannot silently truncate the
     artifact: the HEADLINE workload always gets a full window, every
     worker's subprocess timeout is capped by the remaining budget, a
@@ -799,7 +982,7 @@ def collect_report(cache: str, budget_s: float) -> dict:
     # every later workload the full window too — unbounded total wall time,
     # exactly what the self-budget exists to prevent (ADVICE r4 #1).
     attempted = False
-    for name in ("projection", "sbm", "gat_projection", "gat_train"):
+    for name in ("projection", "sbm", "gat_projection", "gat_train", "e2e_step"):
         try:
             remaining = budget_s - (time.time() - t0)
             if attempted and remaining < 120:
@@ -870,7 +1053,7 @@ def main() -> None:
     import tempfile
 
     cache = tempfile.mkdtemp(prefix="gcg_bench_")
-    report = collect_report(cache, float(os.environ.get("GCG_BENCH_BUDGET_S", "1500")))
+    report = collect_report(cache, float(os.environ.get("GCG_BENCH_BUDGET_S", "2100")))
     shutil.rmtree(cache, ignore_errors=True)
     head = report.get("projection") or report.get("sbm") or {}
     print(

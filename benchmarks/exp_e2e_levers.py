@@ -1,0 +1,79 @@
+"""e2e-step lever attempts (VERDICT r4 #7): slab growth + dropout cost.
+
+The e2e_step bench entry (622 ms measured vs 461 ms modeled) leaves a
+~160 ms gap the per-op ledgers don't obviously cover. Two cheap measured
+probes, one variant per process (axon relay):
+
+  base     — the e2e_step configuration exactly (slab 4096, dropout 0.5)
+  nodrop   — dropout 0.0: prices the hashed dropout-mask passes (input
+             slot masks + activation masks) inside the real step
+  slab6k   — slab_cols=6144 @ bf16 (3.2 GB — under the 4.3 GB relay pain
+             point that killed the r2 slab-8k probe): the byte-budget
+             re-sweep the round-4 verdict names; coverage gain over 4096
+             is printed for the ledger
+
+Run: PYTHONPATH=/root/repo:$PYTHONPATH python benchmarks/exp_e2e_levers.py <variant>
+"""
+
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from graphconvgeo_tpu.data.synthetic import random_mention_projection_graph
+from graphconvgeo_tpu.models.gcn import GCNConfig, HighwayGCN
+from graphconvgeo_tpu.sparse.factorized import FactorizedAdjacency
+from graphconvgeo_tpu.sparse.formats import SparseGraph
+from graphconvgeo_tpu.sparse.reorder import bipartite_reordering
+from graphconvgeo_tpu.utils.timing import device_seconds_per_iter
+from benchmarks.exp_input_hybrid import zipf_bow
+
+VARIANT = sys.argv[1] if len(sys.argv) > 1 else "base"
+N, V, H, C = 262_144, 100_000, 600, 256
+
+x = zipf_bow(N, V, 110)
+_, groups = random_mention_projection_graph(N, 1024, seed=7, return_structure=True)
+ro = bipartite_reordering(groups, N, clique_group=True)
+groups = {g: ro.to_new(np.asarray(m)) for g, m in groups.items()}
+fa = FactorizedAdjacency.from_groups(groups, N)
+x = x[ro.perm].tocsr()
+
+slab_cols = 6144 if VARIANT == "slab6k" else 4096
+dropout = 0.0 if VARIANT == "nodrop" else 0.5
+cfg = GCNConfig(
+    n_features=V, n_classes=C, hidden=(H, H), highway=True, dropout=dropout,
+    input_backend="auto", slab_dtype="bfloat16", gather_dtype="bfloat16",
+    slab_cols=slab_cols, slab_byte_budget=4 << 30,
+)
+model = HighwayGCN(cfg, SparseGraph(csr=x), fa)
+xop = model.arrays["x"]
+got_cols = int(xop.cols.shape[0]) if hasattr(xop, "cols") else 0
+freq = np.bincount(x.indices, minlength=V)
+cov = np.sort(freq)[::-1][:got_cols].sum() / x.nnz if got_cols else 0.0
+print(f"{VARIANT}: slab_cols={got_cols} coverage={cov:.3f} dropout={dropout}",
+      flush=True)
+
+params = model.init(jax.random.key(0))
+y = jnp.asarray(np.random.default_rng(0).integers(0, C, N).astype(np.int32))
+mask = jnp.asarray((np.random.default_rng(1).random(N) < 0.6).astype(np.float32))
+opt = optax.adam(2e-3)
+opt_state = opt.init(params)
+
+
+def step(carry, arrays, y, mask):
+    params, opt_state, i = carry
+    sub = jax.random.fold_in(jax.random.key(1), i)
+    loss, grads = jax.value_and_grad(
+        lambda p: model.loss(p, y, mask, arrays, rng=sub, train=True)
+    )(params)
+    updates, opt_state = opt.update(grads, opt_state, params)
+    return (optax.apply_updates(params, updates), opt_state, i + 1)
+
+
+dt = device_seconds_per_iter(
+    step, (params, opt_state, jnp.int32(0)), model.arrays, y, mask,
+    iters_lo=1, iters_hi=4, trials=3,
+)
+print(f"{VARIANT}: full train step {dt*1e3:.1f} ms", flush=True)

@@ -20,7 +20,7 @@ spec = importlib.util.spec_from_file_location(
 bench = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(bench)
 
-_ALL = ["projection", "sbm", "gat_projection", "gat_train"]
+_ALL = ["projection", "sbm", "gat_projection", "gat_train", "e2e_step"]
 
 
 def test_traffic_two_engine_floor():
@@ -151,7 +151,7 @@ def test_collect_report_budget_degradation(monkeypatch, capsys):
     monkeypatch.setattr(bench, "_run_worker", fake_worker)
     # generous budget → two processes per workload
     report = bench.collect_report("/nonexistent", budget_s=1e9)
-    assert len(calls) == 8 and set(report) == set(_ALL)
+    assert len(calls) == 2 * len(_ALL) and set(report) == set(_ALL)
     assert all("single_process_due_to_budget" not in e for e in report.values())
 
     # zero budget → the HEADLINE runs (full window, flagged single-process);
