@@ -236,7 +236,30 @@ class Traffic:
         self.rows_scatter += rows
         self.scatter_target_bytes += target_rows * self.feat * 4
 
-    def attainable_secs(self, tile_gbps: float = TILE_GBPS) -> float:
+    def add(self, other: "Traffic", times: int = 1):
+        """Fold another operator's tally into this one (composed models,
+        e.g. the e2e step absorbing the conv's factorized_traffic). EVERY
+        accumulator field is summed — a hand-copied field list silently
+        drops classes the sub-model later gains (round-5 self-review). The
+        per-row byte widths are configuration, not accumulation: they must
+        match wherever the other tally actually uses them."""
+        if other.rows_big or other.rows_warm:
+            assert other.gather_bytes_per_row == self.gather_bytes_per_row
+        if other.rows_narrow_big or other.rows_narrow_warm:
+            assert other.narrow_bytes_per_row == self.narrow_bytes_per_row
+        if other.rows_scatter:
+            assert other.feat == self.feat
+        for f in (
+            "stream_bytes", "tile_bytes", "rows_big", "rows_warm",
+            "rows_narrow_big", "rows_narrow_warm", "rows_scatter",
+            "scatter_target_bytes", "accum_switches", "vpu_secs",
+            "extra_secs",
+        ):
+            setattr(self, f, getattr(self, f) + times * getattr(other, f))
+
+    def attainable_secs(
+        self, tile_gbps: float = TILE_GBPS, *, switch_aware: bool = False
+    ) -> float:
         # two-engine floor (see module docstring — reconciled r3, FROZEN r4):
         # the BYTE engine (tile pipelines at their measured rate, plain
         # streams, scatter TARGET rewrites) is serial with itself; row-gather
@@ -246,10 +269,15 @@ class Traffic:
         # term becomes max(DMA, measured VPU mix) — a third engine the
         # VERDICT r4 #2 mandated for the gat family; vpu_secs is 0 for the
         # SpMM workloads, whose frozen model is therefore unchanged.
+        # ``switch_aware`` adds the round-5 measured accumulator-switch cost
+        # (serial with the byte engine — a pipeline stall, not overlappable
+        # issue; see ACCUM_SWITCH_SECONDS). CO-REPORTED only; the graded
+        # fraction stays on the frozen model (switch_aware=False).
         byte_engine = (
             max(self.tile_bytes / (tile_gbps * 1e9), self.vpu_secs)
             + self.stream_bytes / (HBM_GBPS * 1e9)
             + 2.0 * self.scatter_target_bytes / (SCATTER_TARGET_GBPS * 1e9)
+            + (self.accum_switches * ACCUM_SWITCH_SECONDS if switch_aware else 0.0)
             + self.extra_secs
         )
         row_engine = (
@@ -260,23 +288,7 @@ class Traffic:
         return max(byte_engine, row_engine)
 
     def attainable_secs_switch_aware(self) -> float:
-        # the frozen two-engine floor PLUS the round-5 measured accumulator-
-        # switch cost (serial with the byte engine — it is a pipeline stall,
-        # not overlappable issue). CO-REPORTED; the graded fraction stays on
-        # the frozen model (see ACCUM_SWITCH_SECONDS).
-        byte_engine = (
-            max(self.tile_bytes / (TILE_GBPS * 1e9), self.vpu_secs)
-            + self.stream_bytes / (HBM_GBPS * 1e9)
-            + 2.0 * self.scatter_target_bytes / (SCATTER_TARGET_GBPS * 1e9)
-            + self.accum_switches * ACCUM_SWITCH_SECONDS
-            + self.extra_secs
-        )
-        row_engine = (
-            (self.rows_big + self.rows_narrow_big) / GATHER_BIG_ROWS_PER_SEC
-            + (self.rows_warm + self.rows_narrow_warm) / GATHER_WARM_ROWS_PER_SEC
-            + self.rows_scatter / SCATTER_ROWS_PER_SEC
-        )
-        return max(byte_engine, row_engine)
+        return self.attainable_secs(switch_aware=True)
 
     def attainable_overlap_secs(self) -> float:
         # the ROUND-2 model (kept for cross-round continuity): perfect
@@ -634,15 +646,14 @@ def measure_sbm(trials: int) -> dict:
     }
 
 
-def measure_gat_projection(trials: int) -> dict:
-    import jax.numpy as jnp
-
+def _gat_graph():
+    """The shared gat workload graph (both gat_* workloads MUST measure the
+    same operand — they share the 'gat_graph' host cache, so a drifted
+    second copy of this builder would silently measure whichever graph got
+    cached first; round-5 self-review)."""
     from graphconvgeo_tpu.data.synthetic import random_mention_projection_graph
-    from graphconvgeo_tpu.ops.attention import gat_attention
-    from graphconvgeo_tpu.sparse.attention_tiles import TiledAttentionPattern
     from graphconvgeo_tpu.sparse.formats import normalize_adjacency
     from graphconvgeo_tpu.sparse.reorder import best_reordering
-    from graphconvgeo_tpu.utils.timing import device_trial_seconds
 
     def build():
         adj = random_mention_projection_graph(N, N_COMM, seed=7)
@@ -651,7 +662,17 @@ def measure_gat_projection(trials: int) -> dict:
         a_hat = normalize_adjacency(adj)  # self-loops; attention: pattern only
         return best_reordering(a_hat, seed=0).permute_graph(a_hat)
 
-    a_hat = _cached("gat_graph", build)
+    return _cached("gat_graph", build)
+
+
+def measure_gat_projection(trials: int) -> dict:
+    import jax.numpy as jnp
+
+    from graphconvgeo_tpu.ops.attention import gat_attention
+    from graphconvgeo_tpu.sparse.attention_tiles import TiledAttentionPattern
+    from graphconvgeo_tpu.utils.timing import device_trial_seconds
+
+    a_hat = _gat_graph()
     edges = int(a_hat.nnz)
     att = TiledAttentionPattern.from_scipy(a_hat, min_tile_nnz=64)
 
@@ -688,21 +709,11 @@ def measure_gat_train(trials: int) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from graphconvgeo_tpu.data.synthetic import random_mention_projection_graph
     from graphconvgeo_tpu.ops.attention import gat_attention
     from graphconvgeo_tpu.sparse.attention_tiles import TiledAttentionPattern
-    from graphconvgeo_tpu.sparse.formats import normalize_adjacency
-    from graphconvgeo_tpu.sparse.reorder import best_reordering
     from graphconvgeo_tpu.utils.timing import device_trial_seconds
 
-    def build():
-        adj = random_mention_projection_graph(N, N_COMM, seed=7)
-        perm = np.random.default_rng(1).permutation(N)
-        adj = adj[perm][:, perm].tocsr()
-        a_hat = normalize_adjacency(adj)
-        return best_reordering(a_hat, seed=0).permute_graph(a_hat)
-
-    a_hat = _cached("gat_graph", build)
+    a_hat = _gat_graph()
     edges = int(a_hat.nnz)
     att = TiledAttentionPattern.from_scipy(a_hat, min_tile_nnz=64)
 
@@ -775,18 +786,9 @@ def e2e_traffic(xop, fa, n: int, v: int, h: int, c_cls: int) -> Traffic:
     t.add_gather(v, v)
     # ---- 2 highway conv layers: fwd = pre-GEMM + Â· + gate GEMM;
     # bwd = Â· (symmetric) + 2 GEMM backwards each for pre and gate
+    conv_t = factorized_traffic(fa, gather_bytes_per_row=h * 2, feat=h)
+    t.add(conv_t, times=4)  # (fwd + bwd Â·) × 2 layers
     for _ in range(2):
-        for conv_t in (
-            factorized_traffic(fa, gather_bytes_per_row=h * 2, feat=h),
-            factorized_traffic(fa, gather_bytes_per_row=h * 2, feat=h),
-        ):
-            t.stream_bytes += conv_t.stream_bytes
-            t.tile_bytes += conv_t.tile_bytes
-            t.rows_big += conv_t.rows_big
-            t.rows_warm += conv_t.rows_warm
-            t.rows_scatter += conv_t.rows_scatter
-            t.scatter_target_bytes += conv_t.scatter_target_bytes
-            t.accum_switches += conv_t.accum_switches
         t.add_gemm(n, h, h)  # pre fwd
         t.add_gemm(n, h, h)  # gate fwd
         for _ in range(4):  # bwd: dX and dW for pre and gate
@@ -843,6 +845,16 @@ def measure_e2e_step(trials: int) -> dict:
         slab_dtype="bfloat16", gather_dtype="bfloat16",
     )
     model = HighwayGCN(cfg, SparseGraph(csr=x), fa)
+    # fail BEFORE the multi-minute measurement if the slab gate declined
+    # (the workload rides the 2 GiB slab_byte_budget boundary — at N=262144
+    # bf16 it binds at exactly 4096 cols) or the rest collapsed: e2e_traffic
+    # models a SlabbedBell with a non-None rest, and an AttributeError after
+    # device_trial_seconds would discard a measured worker run
+    xop_probe = model.arrays["x"]
+    assert hasattr(xop_probe, "cols") and getattr(xop_probe, "rest", None) is not None, (
+        f"e2e workload needs the slab+rest input operand, got "
+        f"{type(xop_probe).__name__}"
+    )
     params = model.init(jax.random.key(0))
     y = jnp.asarray(np.random.default_rng(0).integers(0, E2E_CLASSES, N).astype(np.int32))
     mask = jnp.asarray((np.random.default_rng(1).random(N) < 0.6).astype(np.float32))
@@ -982,7 +994,11 @@ def collect_report(cache: str, budget_s: float) -> dict:
     # every later workload the full window too — unbounded total wall time,
     # exactly what the self-budget exists to prevent (ADVICE r4 #1).
     attempted = False
-    for name in ("projection", "sbm", "gat_projection", "gat_train", "e2e_step"):
+    # iterate the registry itself (insertion order = priority order):
+    # a workload registered in WORKLOADS but missing from a hand-copied
+    # name list here would be reachable via GCG_BENCH_WORKER yet silently
+    # absent from the full artifact (round-5 self-review)
+    for name in WORKLOADS:
         try:
             remaining = budget_s - (time.time() - t0)
             if attempted and remaining < 120:

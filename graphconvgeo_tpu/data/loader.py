@@ -43,6 +43,26 @@ class Split:
         return len(self.users)
 
 
+def _strict_coord(s: str):
+    """Parse a lat/lon field under the malformed-row policy, or None.
+
+    Python's ``float()`` is more lenient than the reference's C parser in
+    ways that would violate the policy's contract ("non-numeric lat/lon are
+    skipped"): it accepts 'nan'/'inf' (injecting NaN coordinates that
+    corrupt the kd-tree/median math hours later) and PEP-515 underscore
+    digits ('1_2' -> 12.0 — a corrupted field read as a WRONG coordinate).
+    Restrict to plain fixed/scientific decimal notation and finite values.
+    """
+    t = s.strip()
+    if not t or "_" in t or t.lower().lstrip("+-").startswith(("nan", "inf")):
+        return None
+    try:
+        v = float(t)
+    except ValueError:
+        return None
+    return v if np.isfinite(v) else None
+
+
 def _read_split(path: str, encoding: str) -> Split:
     users: list = []
     lats: list = []
@@ -65,10 +85,9 @@ def _read_split(path: str, encoding: str) -> Split:
                 bad.append(lineno)
                 continue
             user, lat_s, lon_s, text = parts
-            try:
-                lat = float(lat_s)
-                lon = float(lon_s)
-            except ValueError:
+            lat = _strict_coord(lat_s)
+            lon = _strict_coord(lon_s)
+            if lat is None or lon is None:
                 bad.append(lineno)
                 continue
             user = user.lower()

@@ -484,7 +484,14 @@ def _raw_apply(
         if fa.zr_tiles is not None:
             # the merged sweep streams z in ITS dtype (bf16 z halves the
             # dominant h-block DMA; the contraction rounds to mxu_dtype
-            # anyway, so numerics match the separate sweeps' in-kernel cast)
+            # anyway, so numerics match the separate sweeps' in-kernel cast).
+            # zr_tiles is passed as its own ``mat_t`` only to satisfy the
+            # signature: the [N x (N+pad+G)] operand is NOT symmetric, but
+            # spmm_bsr_flat's inner VJP is unreachable here — _raw_apply is
+            # only ever differentiated through FactorizedAdjacency's
+            # whole-operator custom VJP, which rebuilds the backward from
+            # the b/bt/r operands instead. Do not differentiate through
+            # this call directly.
             out = spmm_bsr_flat(
                 fa.zr_tiles, fa.zr_tiles, z,
                 mxu_dtype=mxu_dtype or jnp.float32, h_dtype=z.dtype,

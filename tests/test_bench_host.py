@@ -20,7 +20,9 @@ spec = importlib.util.spec_from_file_location(
 bench = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(bench)
 
-_ALL = ["projection", "sbm", "gat_projection", "gat_train", "e2e_step"]
+# derived from the registry so a new workload can't silently diverge from
+# the orchestration loop (which also iterates WORKLOADS)
+_ALL = list(bench.WORKLOADS)
 
 
 def test_traffic_two_engine_floor():

@@ -117,6 +117,34 @@ def test_loader_malformed_rows_skip_and_warn(tmp_path):
     assert raw.dev.n_malformed == 0 and raw.test.n_malformed == 0
 
 
+def test_loader_rejects_lenient_float_forms(tmp_path):
+    """Python float() accepts 'nan'/'inf' and PEP-515 underscores; the
+    malformed-row policy must NOT (NaN coords corrupt the kd-tree median
+    math silently; '1_2' is a corrupted field read as a WRONG coordinate
+    by lenient parsing — the reference's C parser rejects all of these)."""
+    path = tmp_path / "user_info.train"
+    rows = [
+        "good\t33.5\t-112.1\tok",
+        "nanrow\tnan\tnan\ttext",
+        "infrow\tinf\t-74.0\ttext",
+        "underscores\t1_2\t-3_4\ttext",
+        "emptycoord\t\t-74.0\ttext",
+        "scinote\t3.35e1\t-1.121e2\tscientific notation IS valid",
+    ]
+    path.write_text("\n".join(rows) + "\n", encoding="latin1")
+    for name in ("dev", "test"):
+        (tmp_path / f"user_info.{name}").write_text(
+            f"{name}user\t30.0\t-90.0\tsome text\n", encoding="latin1"
+        )
+    with pytest.warns(UserWarning, match=r"skipped 4 malformed"):
+        raw = load_dumps(str(tmp_path))
+    assert list(raw.train.users) == ["good", "scinote"]
+    assert raw.train.n_malformed == 4
+    assert np.isfinite(raw.train.lat).all() and np.isfinite(raw.train.lon).all()
+    np.testing.assert_allclose(raw.train.lat[1], 33.5)
+    np.testing.assert_allclose(raw.train.lon[1], -112.1)
+
+
 def test_preprocess_end_to_end_and_cache(tmp_path):
     make_synthetic_dumps(str(tmp_path), n_users=120, n_clusters=3, seed=2)
     cfg = PreprocessConfig(bucket_size=15, celebrity_threshold=5, min_df=2)
