@@ -1,0 +1,99 @@
+"""Slab byte-budget adoption probe at World scale (round-5 ledger follow-up).
+
+``exp_e2e_levers.py`` measured slab_cols=6144 (bf16, 3.2 GB) a +3% e2e-step
+win at 262k×100k, but adoption was gated: the 2 GiB ``slab_byte_budget``
+default also sizes the TIGHTEST configuration in the repo — the full-graph
+1.4M-row World path — where raising it grows the slab ~+1 GB on a chip
+whose headroom was unverified (CAPACITY.json's fitting train config,
+H=256+remat, never reported peak HBM). This probe runs that exact config
+at both budgets on the real v5e:
+
+- budget 2 GiB (shipping default): slab ≈ 766 cols × 1.4M rows bf16
+- budget 3 GiB (candidate):        slab ≈ 1150 cols — fit? step time?
+
+Fit at 3 GiB ⇒ the default can rise (e2e gains the measured +3%, World
+gains slab coverage); OOM ⇒ the gate stays and this file is the cited
+negative. Writes one JSON line per budget; does NOT touch CAPACITY.json.
+
+Run: /opt/venv/bin/python benchmarks/exp_slab_budget.py
+"""
+
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from benchmarks.capacity_world_device import CLASSES, VOCAB, build_structure
+
+
+def main():
+    import jax
+
+    from graphconvgeo_tpu.models.gcn import GCNConfig
+    from graphconvgeo_tpu.parallel.factorized_dist import (
+        DistFactorizedGCN,
+        partition_factorized_raw,
+    )
+    from graphconvgeo_tpu.parallel.mesh import make_graph_mesh
+
+    groups, x, y, mask = build_structure()
+    mesh = make_graph_mesh(1)
+    results = []
+    for budget_gib in (2, 3):
+        rec = {"budget_gib": budget_gib, "ok": False}
+        model = params = opt_state = step = opt = None
+        fpart = None
+        try:
+            t0 = time.time()
+            fpart = partition_factorized_raw(
+                groups, x, y, mask, 1,
+                slab_cols=6144, slab_byte_budget=budget_gib << 30,
+            )
+            rec["partition_s"] = round(time.time() - t0, 1)
+            assert fpart.part.slab is not None, "slab gate declined"
+            rec["slab_cols"] = int(fpart.part.slab_col_ids.shape[0])
+            rec["slab_bytes"] = int(np.asarray(fpart.part.slab).nbytes)
+            cfg = GCNConfig(
+                n_features=VOCAB, n_classes=CLASSES, hidden=(256, 256),
+                highway=True, dropout=0.5, gather_dtype="bfloat16",
+                slab_dtype="bfloat16", remat=True,
+            )
+            model = DistFactorizedGCN(cfg, fpart, mesh, hub_sharded=True)
+            params = model.init(jax.random.key(0))
+            opt, step = model.make_train_step(5e-3)
+            opt_state = opt.init(params)
+            t0 = time.time()
+            params, opt_state, loss = step(params, opt_state, jax.random.key(1))
+            lv = float(loss)
+            rec["warm_step_s"] = round(time.time() - t0, 1)
+            times = []
+            for i in range(3):
+                t0 = time.time()
+                params, opt_state, loss = step(params, opt_state, jax.random.key(2 + i))
+                lv = float(loss)
+                times.append(time.time() - t0)
+            rec["step_s"] = round(float(np.median(times)), 3)
+            rec["loss_finite"] = bool(np.isfinite(lv))
+            rec["ok"] = True
+        except Exception as e:
+            msg = str(e)
+            if "Ran out of memory" in msg or "hbm" in msg.lower():
+                m0 = msg[msg.find("Used"):][:100] if "Used" in msg else msg[:160]
+                rec["error"] = f"compile OOM: {m0}"
+            else:
+                rec["error"] = f"{type(e).__name__}: {msg[:200]}"
+        finally:
+            del model, params, opt_state, step, opt, fpart
+        gc.collect()
+        print(json.dumps(rec), flush=True)
+        results.append(rec)
+    return results
+
+
+if __name__ == "__main__":
+    main()
