@@ -5,6 +5,27 @@ a GraphSAGE-style sampled path ("neighbor-sampled mini-batches"). On TPU the
 idiom is: host-side sampler emits *padded, static-shape* index tensors; the
 device does dense row-gathers and segment reductions (no dynamic shapes under
 jit).
+
+These are thin delegates to XLA ON PURPOSE — the delegation is itself a
+measured design decision, not a placeholder:
+
+- a hand-written Pallas gather was built and benchmarked SLOWER than
+  XLA's (``ops/gather_pallas.py``, kept as the negative-result record);
+  the measured wall is per-row issue rate (~48M rows/s large-table /
+  ~187M rows/s warm — PERF.md "device facts"), which no kernel schedule
+  on this chip moved.
+- scatter/segment reductions were A/B'd across ``segment_sum``, sorted
+  scatter-add with ``unique_indices``, merged targets, and bf16 payloads
+  (PERF.md "closed investigations", benchmarks/exp_scatter_variants.py,
+  exp_scatter_fixed.py): all sit on the same measured ~3.2 ms-per-op
+  target-rewrite + ~61M rows/s marginal floor, so the XLA op is the
+  floor implementation and the bench attainable model charges exactly
+  that cost class.
+
+The production hot paths do NOT route through this module: full-graph
+SpMM uses the Pallas flat-tile/bucketed-ELL operators (``ops/spmm*``),
+and the sampled trainer uses ``CappedEll`` operands. This module is the
+generic form for composition sites (sampled aggregation, tests).
 """
 
 from __future__ import annotations
