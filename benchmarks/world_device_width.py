@@ -47,11 +47,42 @@ CLASSES, VOCAB = 930, 50_000
 SLAB_COLS = 4096  # production Twitter preset slab width (bench e2e_step uses it)
 
 
+def geo_labels(groups: dict, n: int, *, classes: int, seed: int = 11):
+    """Geo-COHERENT labels at the same class count: 930 region centers,
+    each hub community assigned to one, members placed at the center +
+    ~0.35° noise (≈40 km — inside the 161 km band), label = region id,
+    class medians = center coords. With the BoW features random, the only
+    label signal is the mention GRAPH (co-members share a region), so a
+    rising dev Acc@161 is direct evidence the World-width program learns
+    geolocation through the graph — not just that the loss optimizes
+    (``--labels random``, the liveness artifact's mode)."""
+    rng = np.random.default_rng(seed)
+    centers_lat = rng.uniform(-60, 70, classes)
+    centers_lon = rng.uniform(-180, 180, classes)
+    hub_center = rng.integers(0, classes, len(groups))
+    y = np.full(n, -1, np.int64)
+    for g, members in groups.items():
+        m = np.asarray(members)
+        take = m[y[m] < 0]
+        y[take] = hub_center[g]  # first-seen hub wins (nodes join many hubs)
+    orphan = y < 0
+    y[orphan] = rng.integers(0, classes, int(orphan.sum()))
+    lat = centers_lat[y] + rng.normal(0, 0.35, n)
+    lon = centers_lon[y] + rng.normal(0, 0.35, n)
+    return y.astype(np.int32), lat, lon, centers_lat, centers_lon
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ns", default="327680,262144",
                     help="comma list of N to try, first fit wins")
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--labels", choices=("random", "geo"), default="random",
+                    help="random = liveness/optimization artifact; geo = "
+                         "geo-coherent labels so dev Acc@161 can RISE")
+    ap.add_argument("--lr", type=float, default=5e-3)
+    ap.add_argument("--eval-every", type=int, default=0,
+                    help="geo mode: dev-eval every K steps (acc trajectory)")
     ap.add_argument("--out", default="WORLD_DEVICE.json")
     args = ap.parse_args()
 
@@ -124,6 +155,11 @@ def main() -> None:
             groups, x, y, mask, dev_idx, lat, lon, med_lat, med_lon = build_problem(
                 n, vocab=VOCAB, classes=CLASSES
             )
+            if args.labels == "geo":
+                y, lat, lon, med_lat, med_lon = geo_labels(
+                    groups, n, classes=CLASSES
+                )
+            rec["labels"] = args.labels
             cfg = GCNConfig(
                 n_features=VOCAB, n_classes=CLASSES, hidden=(900, 900),
                 highway=True, dropout=0.5, l2=0.0, remat=True,
@@ -150,7 +186,7 @@ def main() -> None:
                   file=sys.stderr, flush=True)
 
             params = model.init(jax.random.key(0))
-            opt = optax.adam(5e-3)
+            opt = optax.adam(args.lr)
             opt_state = opt.init(params)
 
             # own jit (not make_train_step) so we can lower() for the
@@ -192,8 +228,21 @@ def main() -> None:
                   f"(temps {mem.get('temp_size_bytes', 0)/1e9:.2f} GB)",
                   file=sys.stderr, flush=True)
 
+            trainer = DistTrainer(model)  # one instance: predict jits once
+            if args.labels == "geo":
+                # pre-training dev eval: the baseline the post-training
+                # numbers must RISE from (random init ⇒ ~chance, 1/930)
+                pred0 = trainer.predict(params)
+                m0 = geo_eval(pred0[dev_idx], lat[dev_idx], lon[dev_idx],
+                              med_lat, med_lon)
+                rec["dev_eval_start"] = {
+                    "acc_at_161": round(float(m0["acc_at_161"]), 4),
+                    "median_km": round(float(m0["median_km"]), 1),
+                }
+
             losses, wall = [], []
             rng = jax.random.key(2)
+            acc_traj = []
             for i in range(args.steps):
                 rng, k = jax.random.split(rng)
                 t0 = time.time()
@@ -204,6 +253,20 @@ def main() -> None:
                 assert np.isfinite(loss_f), loss_f
                 print(f"step {i}: loss {loss_f:.4f} ({wall[-1]}s wall)",
                       file=sys.stderr, flush=True)
+                if args.eval_every and (i + 1) % args.eval_every == 0:
+                    pk = trainer.predict(params)
+                    mk = geo_eval(pk[dev_idx], lat[dev_idx], lon[dev_idx],
+                                  med_lat, med_lon)
+                    acc_traj.append(
+                        {"step": i + 1,
+                         "acc_at_161": round(float(mk["acc_at_161"]), 4),
+                         "median_km": round(float(mk["median_km"]), 1)}
+                    )
+                    print(f"  dev acc@161 {acc_traj[-1]['acc_at_161']} "
+                          f"median {acc_traj[-1]['median_km']} km",
+                          file=sys.stderr, flush=True)
+            if acc_traj:
+                rec["dev_acc_trajectory"] = acc_traj
             rec["train"] = {
                 "steps": args.steps,
                 "losses": losses,
@@ -212,29 +275,35 @@ def main() -> None:
                 "all_finite": True,
             }
 
-            # relay-safe step time: differenced fori_loop, fixed rng key
-            # (timing the device program, not the trajectory)
-            def tstep(carry, data, rng):
-                p, s = carry
-                loss, grads = jax.value_and_grad(
-                    lambda q: model.loss(q, data, rng=rng)
-                )(p)
-                updates, s = opt.update(grads, s, p)
-                return optax.apply_updates(p, updates), s
+            if args.labels == "geo":
+                # same compiled program as the labels=random artifact —
+                # don't burn chip time re-measuring the step
+                rec["step_seconds_device"] = "see the labels=random artifact"
+            else:
+                # relay-safe step time: differenced fori_loop, fixed rng
+                # key (timing the device program, not the trajectory)
+                def tstep(carry, data, rng):
+                    p, s = carry
+                    loss, grads = jax.value_and_grad(
+                        lambda q: model.loss(q, data, rng=rng)
+                    )(p)
+                    updates, s = opt.update(grads, s, p)
+                    return optax.apply_updates(p, updates), s
 
-            trials = device_trial_seconds(
-                tstep, (params, opt_state), model.data, jax.random.key(3),
-                iters_lo=2, iters_hi=8, trials=3,
-            )
-            rec["step_seconds_device"] = {
-                "median": round(float(np.median(trials)), 3),
-                "trials": [round(float(t), 3) for t in trials],
-            }
-            print(f"N={n}: device step {rec['step_seconds_device']['median']}s",
-                  file=sys.stderr, flush=True)
+                trials = device_trial_seconds(
+                    tstep, (params, opt_state), model.data, jax.random.key(3),
+                    iters_lo=2, iters_hi=8, trials=3,
+                )
+                rec["step_seconds_device"] = {
+                    "median": round(float(np.median(trials)), 3),
+                    "trials": [round(float(t), 3) for t in trials],
+                }
+                print(f"N={n}: device step "
+                      f"{rec['step_seconds_device']['median']}s",
+                      file=sys.stderr, flush=True)
 
             t0 = time.time()
-            pred = DistTrainer(model).predict(params)
+            pred = trainer.predict(params)
             m = geo_eval(pred[dev_idx], lat[dev_idx], lon[dev_idx],
                          med_lat, med_lon)
             rec["dev_eval"] = {
