@@ -221,7 +221,13 @@ def _bwd_row_kernel(
     # temporaries) goes the other way.
     for h in range(heads):
         raw = s_ref[:, h][:, None] + d_ref[:, h][None, :]
-        e = jnp.exp(_leaky(raw, slope) - m_ref[:, h][:, None]) * mask
+        # mask BEFORE exp, mirroring the forward: a masked slot whose raw
+        # score exceeds the row's edge max by ~89 would overflow exp to inf
+        # and inf*0 = NaN would poison every gradient (fwd stays finite —
+        # the round-5 review's repro); where→_NEG underflows to exact 0
+        e = jnp.exp(
+            jnp.where(mask > 0, _leaky(raw, slope), _NEG) - m_ref[:, h][:, None]
+        ) * mask
         alpha = e / den_ref[:, h][:, None]
         dalpha = jnp.dot(
             g_ref[:, h, :], z_ref[:, h, :].T, preferred_element_type=jnp.float32,
@@ -290,7 +296,10 @@ def _bwd_col_kernel(
     # per-head loop kept deliberately — see the bwd-row kernel note
     for h in range(heads):
         raw = s_ref[:, h][:, None] + d_ref[:, h][None, :]
-        e = jnp.exp(_leaky(raw, slope) - m_ref[:, h][:, None]) * mask
+        # mask before exp — see the bwd-row kernel note (NaN-overflow guard)
+        e = jnp.exp(
+            jnp.where(mask > 0, _leaky(raw, slope), _NEG) - m_ref[:, h][:, None]
+        ) * mask
         alpha = e / den_ref[:, h][:, None]
         kf = None
         if rate > 0.0:
@@ -448,7 +457,13 @@ def _rest_bwd(rest, s, d, m, den, c, z_heads, g_heads, *, slope, seed, rate, n_c
         n_b = idx.shape[0]
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, n_b, 1)
         raw = sl(s_sorted)[:, :, None] + jnp.take(d_t, idx, axis=1)  # [H, n_b, K]
-        e = jnp.exp(_leaky(raw, slope) - sl(m_sorted)[:, :, None]) * valid[None]
+        # mask before exp — padding slots all index column 0, so an
+        # unmasked exp of a hot column-0 score overflows (NaN-overflow
+        # guard, see the bwd-row kernel note)
+        e = jnp.exp(
+            jnp.where(valid[None] > 0, _leaky(raw, slope), _NEG)
+            - sl(m_sorted)[:, :, None]
+        ) * valid[None]
         alpha = e / sl(den_sorted)[:, :, None]
         g_b = jax.lax.dynamic_slice_in_dim(g_sorted, start, n_b, 0)
         dalpha = _ell_sddmm_heads(idx, g_b.reshape(n_b, heads * fp), z_flat, heads)

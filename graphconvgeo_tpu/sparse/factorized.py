@@ -189,7 +189,7 @@ class FactorizedAdjacency:
         block: int = 128,
         min_tile_nnz: int = 48,
         combined_rest: bool = True,
-        merged_tiles: bool = True,
+        merged_tiles: bool | None = None,
         hub_order: str = "median",
     ) -> "FactorizedAdjacency":
         """Build from the mention structure (``data/graph.py ::
@@ -205,8 +205,10 @@ class FactorizedAdjacency:
         ``combined_rest`` merges the B' and R' residuals into one bell over
         the stacked gather source [h; pad; y] — one [N, F] output scatter
         instead of two (see the field comment); ``False`` keeps the
-        separate-rest layout for A/B measurement. ``merged_tiles`` (requires
-        ``combined_rest``) additionally merges the B' and R' DENSE tiles
+        separate-rest layout for A/B measurement. ``merged_tiles`` (default
+        ``None`` = on exactly when ``combined_rest`` is; explicitly ``True``
+        without ``combined_rest`` is a loud error, not a silent downgrade)
+        additionally merges the B' and R' DENSE tiles
         into one flat sweep over the same z — doubling the per-row-block
         run length and halving the [N, F] output writebacks (see the
         ``zr_tiles`` field comment); exactness unaffected either way.
@@ -227,6 +229,13 @@ class FactorizedAdjacency:
         b_tiles = r_tiles = zr_tiles = None
         b_rest = r_rest = br_rest = None
         z_pad = 0
+        if merged_tiles is None:
+            merged_tiles = combined_rest
+        elif merged_tiles and not combined_rest:
+            # fail loudly: silently measuring the separate layout against a
+            # config that EXPLICITLY asked for the merged sweep would record
+            # numbers under the wrong operator (round-5 review)
+            raise ValueError("merged_tiles=True requires combined_rest=True")
         if combined_rest:
             # column space of z = [h; zeros(z_pad); y]: R' entries keep
             # their column (h rows), B' entries shift by the 128-aligned
@@ -488,14 +497,21 @@ def _raw_apply(
             # zr_tiles is passed as its own ``mat_t`` only to satisfy the
             # signature: the [N x (N+pad+G)] operand is NOT symmetric, but
             # spmm_bsr_flat's inner VJP is unreachable here — _raw_apply is
-            # only ever differentiated through FactorizedAdjacency's
-            # whole-operator custom VJP, which rebuilds the backward from
-            # the b/bt/r operands instead. Do not differentiate through
-            # this call directly.
+            # only ever differentiated through the operator-level custom
+            # VJP (_factorized_core), whose backward exploits that the
+            # COMPOSED operator Â is symmetric and re-runs this same
+            # forward apply on the cotangent (see _factorized_bwd). Do not
+            # differentiate through this call directly.
+            # stays f32 (the kernel's accumulator dtype) like every other
+            # layout — casting to h.dtype here would round the accumulated
+            # output before the rest add ONLY on this path, making the
+            # merged/separate A/B dtype- and precision-divergent for
+            # non-f32 h (round-5 review; production h is f32, bf16 rides
+            # gather_dtype/mxu_dtype, so this changes nothing measured)
             out = spmm_bsr_flat(
                 fa.zr_tiles, fa.zr_tiles, z,
                 mxu_dtype=mxu_dtype or jnp.float32, h_dtype=z.dtype,
-            )[: fa.n_rows].astype(h.dtype)
+            )[: fa.n_rows]
         else:
             out = _apply_factor(fa.b_tiles, None, y, n_out=fa.n_rows, mxu_dtype=mxu_dtype)
             if fa.r_tiles is not None:

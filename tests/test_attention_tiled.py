@@ -89,6 +89,38 @@ def test_tiled_grads_match_oracle(rng, min_tile_nnz):
         np.testing.assert_allclose(np.asarray(gt), np.asarray(gd), rtol=5e-4, atol=5e-5)
 
 
+@pytest.mark.parametrize("min_tile_nnz", [50, 10_000])  # tiles+rest / all-rest
+def test_tiled_grads_finite_with_extreme_masked_scores(rng, min_tile_nnz):
+    """Round-5 review regression: the backward kernels used to apply the
+    pattern mask AFTER exp, so a MASKED slot whose raw score exceeds the
+    row's edge max by ~89 overflowed exp to inf and inf*0 = NaN poisoned
+    every gradient while the forward (mask-before-exp) stayed finite.
+    Node 0 gets a huge feature so its d-score towers over every real edge;
+    rest-path padding slots also index column 0, so both the tile and the
+    padded-ELL backward hit the overflow."""
+    a, z, a_src, a_dst = _mk(rng, n=72)
+    z = z.at[0, :].set(200.0)  # hot column 0: masked raw scores ≫ edge max
+    att = TiledAttentionPattern.from_scipy(a, block=32, min_tile_nnz=min_tile_nnz)
+
+    def loss(z_, asrc_, adst_):
+        return jnp.sum(gat_attention_tiled(att, z_, asrc_, adst_,
+                                           negative_slope=SLOPE))
+
+    assert np.isfinite(float(loss(z, a_src, a_dst)))  # fwd was always fine
+    grads = jax.grad(loss, argnums=(0, 1, 2))(z, a_src, a_dst)
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all(), "NaN/inf gradient"
+    # and the gradients still MATCH the dense oracle under the hot scores
+    dense = jnp.asarray(a.toarray())
+    g_d = jax.grad(
+        lambda z_, s_, d_: jnp.sum(dense_oracle(dense, z_, s_, d_)),
+        argnums=(0, 1, 2),
+    )(z, a_src, a_dst)
+    for gt, gd in zip(grads, g_d):
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(gd),
+                                   rtol=5e-4, atol=5e-5)
+
+
 def test_tiled_isolated_rows(rng):
     # rows with only a self-loop and a pattern with empty row/col blocks
     n = 70

@@ -258,3 +258,17 @@ def test_factorized_hub_order_exact(rng, hub_order):
         )
         got = spmm_factorized(fa, h)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
+
+
+def test_merged_tiles_requires_combined_rest(rng):
+    """Explicitly asking for the merged sweep without the combined rest is a
+    loud error (a silent downgrade would record measurements under the wrong
+    operator); the default (None) auto-follows combined_rest."""
+    n = 256
+    groups = {g: rng.choice(n, size=6, replace=False) for g in range(20)}
+    with pytest.raises(ValueError, match="combined_rest"):
+        FactorizedAdjacency.from_groups(
+            groups, n, combined_rest=False, merged_tiles=True
+        )
+    fa = FactorizedAdjacency.from_groups(groups, n, combined_rest=False)
+    assert fa.zr_tiles is None  # auto: separate layout, no error
