@@ -21,8 +21,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-import numpy as np
-
+from graphconvgeo_tpu.utils.vjp import zero_cotangents
 from graphconvgeo_tpu.ops.spmm import _spmm_ell_train_core
 from graphconvgeo_tpu.sparse.formats import AttentionEll, BucketedAttention
 
@@ -208,23 +207,7 @@ def _attn_bucketed_bwd(res, g):
     dh = jnp.take(dh_sorted, att.inv_perm_c, axis=0).astype(h.dtype)
     if dh.shape[0] != h.shape[0]:  # pattern columns may undercover h's rows
         dh = jnp.zeros_like(h).at[: dh.shape[0]].set(dh)
-    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
-
-    def zero_att(a):
-        return BucketedAttention(
-            indices=tuple(f0(i) for i in a.indices),
-            valid=tuple(v * 0.0 for v in a.valid),
-            row_ids=tuple(f0(r) for r in a.row_ids),
-            perm=f0(a.perm),
-            inv_perm=f0(a.inv_perm),
-            indices_t=tuple(f0(i) for i in a.indices_t),
-            valid_t=tuple(v * 0.0 for v in a.valid_t),
-            perm_t=tuple(f0(p) for p in a.perm_t),
-            inv_perm_c=f0(a.inv_perm_c),
-            n_cols=a.n_cols,
-        )
-
-    return (zero_att(att), tuple(dalphas), dh)
+    return (zero_cotangents(att), tuple(dalphas), dh)
 
 
 _attn_bucketed_spmm.defvjp(_attn_bucketed_fwd, _attn_bucketed_bwd)

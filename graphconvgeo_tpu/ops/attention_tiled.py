@@ -35,10 +35,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from graphconvgeo_tpu.utils.vjp import zero_cotangents
 from graphconvgeo_tpu.ops.dropout import entry_keep
 from graphconvgeo_tpu.sparse.attention_tiles import TiledAttentionPattern
 from graphconvgeo_tpu.sparse.formats import _round_up
@@ -547,9 +547,11 @@ def _layer_fwd_impl(att, z, a_src, a_dst, seed, slope, rate, precision):
             att.rest, s[:n], d[: z.shape[0]], z_heads, slope=slope,
             seed=seed, rate=rate, n_cols_g=att.n_cols, head_stride=hstride,
         )
-        m_rp = _pad_rows(m_r, npad) if m_r.shape[0] != npad else m_r
-        if m_r.shape[0] != npad:  # padding rows: no rest edges
-            m_rp = m_rp.at[m_r.shape[0]:].set(_NEG)
+        # pad to the row grid with the _NEG sentinel: padding rows saw no
+        # rest edges, so their rest max must read as "empty"
+        m_rp = jnp.pad(
+            m_r, ((0, npad - m_r.shape[0]), (0, 0)), constant_values=_NEG
+        )
         m = jnp.maximum(m_t, m_rp)
         m = jnp.where(m > _NEG / 2, m, 0.0)  # rows with no edges: neutral
         a_t = jnp.where(m_t > _NEG / 2, jnp.exp(m_t - m), 0.0)
@@ -628,13 +630,13 @@ def _tiled_gat_bwd(slope, rate, precision, res, g):
     dz_heads = dz_heads.at[:n].add(jnp.einsum("nh,hf->nhf", ds[:n], a_src))
     da_src = jnp.einsum("nh,nhf->hf", ds[:n], z_heads[:n])
     da_dst = jnp.einsum("nh,nhf->hf", dd, z_heads)
-    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
-    zeros_att = jax.tree.map(
-        lambda leaf: f0(leaf) if jnp.issubdtype(leaf.dtype, jnp.integer) else leaf * 0.0,
-        att,
+    return (
+        zero_cotangents(att),
+        dz_heads.reshape(z.shape).astype(z.dtype),
+        da_src,
+        da_dst,
+        zero_cotangents(seed),
     )
-    dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
-    return (zeros_att, dz_heads.reshape(z.shape).astype(z.dtype), da_src, da_dst, dseed)
 
 
 _tiled_gat_core.defvjp(_tiled_gat_fwd, _tiled_gat_bwd)

@@ -31,8 +31,8 @@ from typing import Literal
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
+from graphconvgeo_tpu.utils.vjp import zero_cotangents
 from graphconvgeo_tpu.sparse.formats import (
     BsrFlat,
     BsrMatrix,
@@ -118,10 +118,7 @@ def _spmm_ell_fwd(indices, values, indices_t, values_t, h):
 def _spmm_ell_bwd(res, g):
     indices, values, indices_t, values_t = res
     dh = _ell_matvec(indices_t, values_t, g)
-    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
-    # zero cotangents derived from the residuals (not fresh zeros) so they
-    # keep the varying mesh axes under shard_map
-    return (f0(indices), values * 0.0, f0(indices_t), values_t * 0.0, dh)
+    return (*zero_cotangents((indices, values, indices_t, values_t)), dh)
 
 
 _spmm_ell_core.defvjp(_spmm_ell_fwd, _spmm_ell_bwd)
@@ -143,10 +140,14 @@ def _spmm_ell_train_bwd(res, g):
     dh = _ell_matvec(indices_t, values_t, g)
     # dL/dvalues[i,k] = <g[i], h[indices[i,k]]> — exactly SDDMM on the pattern
     dvalues = sddmm_ell(indices, g.astype(values.dtype), h.astype(values.dtype))
-    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
     # values_t only participates in the backward program; the primal output
     # does not depend on it, so its true cotangent is zero
-    return (f0(indices), dvalues, f0(indices_t), values_t * 0.0, dh)
+    return (
+        zero_cotangents(indices),
+        dvalues,
+        *zero_cotangents((indices_t, values_t)),
+        dh,
+    )
 
 
 _spmm_ell_train_core.defvjp(_spmm_ell_train_fwd, _spmm_ell_train_bwd)
@@ -197,20 +198,7 @@ def _spmm_bell_fwd(bell, bell_t, h):
 def _spmm_bell_bwd(res, g):
     bell, bell_t, h_marker = res
     dh = _bell_matvec(bell_t, g.astype(h_marker.dtype)).astype(h_marker.dtype)
-    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
-
-    def zeros_like_bell(b):
-        return BucketedEll(
-            indices=tuple(f0(i) for i in b.indices),
-            values=tuple(v * 0.0 for v in b.values),
-            row_ids=tuple(f0(r) for r in b.row_ids),
-            perm=f0(b.perm),
-            inv_perm=f0(b.inv_perm),
-            n_cols=b.n_cols,
-            natural=b.natural,
-        )
-
-    return (zeros_like_bell(bell), zeros_like_bell(bell_t), dh)
+    return (*zero_cotangents((bell, bell_t)), dh)
 
 
 _spmm_bell_core.defvjp(_spmm_bell_fwd, _spmm_bell_bwd)

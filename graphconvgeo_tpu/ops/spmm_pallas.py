@@ -27,10 +27,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from graphconvgeo_tpu.utils.vjp import zero_cotangents
 from graphconvgeo_tpu.sparse.formats import BsrFlat, BsrMatrix, _round_up
 
 
@@ -141,16 +141,7 @@ def _spmm_bsr_bwd(fblk, mxu_dtype, res, g):
     dh = _bsr_matmul(
         tiles_t, tidx_t, tcol_t, g.astype(tiles_t.dtype), fblk=fblk, mxu_dtype=mxu_dtype
     )
-    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
-    return (
-        jnp.zeros_like(tiles),
-        f0(tidx),
-        f0(tcol),
-        jnp.zeros_like(tiles_t),
-        f0(tidx_t),
-        f0(tcol_t),
-        dh.astype(g.dtype),
-    )
+    return (*zero_cotangents((tiles, tidx, tcol, tiles_t, tidx_t, tcol_t)), dh.astype(g.dtype))
 
 
 _spmm_bsr_core.defvjp(_spmm_bsr_fwd, _spmm_bsr_bwd)
@@ -318,16 +309,10 @@ def _flat_bwd(rb, rb_t, fblk, mxu_dtype, res, g):
     dh = _bsr_flat_matmul(
         tiles_t, rowblk_t, colblk_t, first_t, g_p, n_row_blocks=rb_t, fblk=fblk, mxu_dtype=mxu_dtype
     )
-    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
     return (
-        jnp.zeros_like(tiles),
-        f0(rowblk),
-        f0(colblk),
-        f0(first),
-        jnp.zeros_like(tiles_t),
-        f0(rowblk_t),
-        f0(colblk_t),
-        f0(first_t),
+        *zero_cotangents(
+            (tiles, rowblk, colblk, first, tiles_t, rowblk_t, colblk_t, first_t)
+        ),
         dh.astype(g.dtype),
     )
 

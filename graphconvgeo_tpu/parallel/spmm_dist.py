@@ -26,11 +26,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
 from graphconvgeo_tpu.ops.spmm import _ell_matvec
 from graphconvgeo_tpu.parallel.mesh import GRAPH_AXIS
 from graphconvgeo_tpu.parallel.partition import StackedBell
+from graphconvgeo_tpu.utils.vjp import zero_cotangents
 
 
 def device_slice(op):
@@ -46,16 +45,8 @@ def _op_matvec(op, h):
     return _ell_matvec(op.indices, op.values, h)
 
 
-def _zeros_op(op):
-    """Zero cotangents for an operand pytree: float0 for integer leaves,
-    value*0 for float leaves (derived from residuals, not fresh zeros, so
-    they keep their varying mesh axes under shard_map)."""
-    return jax.tree.map(
-        lambda leaf: np.zeros(leaf.shape, dtype=jax.dtypes.float0)
-        if jnp.issubdtype(leaf.dtype, jnp.integer)
-        else leaf * 0.0,
-        op,
-    )
+# zero cotangents for operand pytrees (shared rule: utils/vjp.py)
+_zeros_op = zero_cotangents
 
 
 @jax.custom_vjp
@@ -207,8 +198,7 @@ def _input_spmm_bwd(axis, res, g):
     # value ourselves.
     dw0 = _ell_matvec(xt_idx, xt_val, g)
     dw0 = jax.lax.psum(dw0, axis)
-    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
-    return (f0(x_idx), x_val * 0.0, f0(xt_idx), xt_val * 0.0, dw0)
+    return (*zero_cotangents((x_idx, x_val, xt_idx, xt_val)), dw0)
 
 
 _input_spmm.defvjp(_input_spmm_fwd, _input_spmm_bwd)

@@ -46,6 +46,7 @@ import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
 
+from graphconvgeo_tpu.utils.vjp import zero_cotangents
 from graphconvgeo_tpu.sparse.formats import (
     BsrFlat,
     BucketedEll,
@@ -561,12 +562,7 @@ def _factorized_bwd(gather_dtype, mxu_dtype, res, g):
     dh = _raw_apply(fa, g.astype(marker.dtype), gather_dtype, mxu_dtype).astype(marker.dtype)
     if n_in != dh.shape[0]:  # h may carry extra (padding) rows — zero cotangent
         dh = jnp.zeros((n_in, dh.shape[1]), dh.dtype).at[: dh.shape[0]].set(dh)
-    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
-    zeros_fa = jax.tree.map(
-        lambda leaf: f0(leaf) if jnp.issubdtype(leaf.dtype, jnp.integer) else leaf * 0.0,
-        fa,
-    )
-    return (zeros_fa, dh)
+    return (zero_cotangents(fa), dh)
 
 
 _factorized_core.defvjp(_factorized_fwd, _factorized_bwd)

@@ -1,0 +1,37 @@
+"""Shared custom-VJP cotangent helper.
+
+Every sparse-operator backward in this package must return zero
+cotangents for its non-differentiable operands (index tables, permutes,
+masks).  The rule is identical everywhere:
+
+- non-inexact leaves (int32 index tables, bool masks, uint seeds) get
+  ``float0`` zeros — JAX's tangent type for non-differentiable values;
+- inexact leaves return ``leaf * 0.0`` DERIVED from the residual, not a
+  fresh ``jnp.zeros``: under ``shard_map`` a fresh zeros array has no
+  varying mesh axes, and the transpose rule rejects the mismatch against
+  the primal operand's sharding.
+
+Reference analog: the Theano graph in gcnmodel.py :: GCN has no custom
+gradients (its sparse ops are library-differentiated); this helper
+exists because the TPU design re-expresses every sparse op as a
+custom-VJP pair (SURVEY.md §3.3, N2).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def zero_cotangents(operands):
+    """Zero cotangents for an operand pytree (array, tuple, or registered
+    dataclass): ``float0`` for non-inexact leaves, ``leaf * 0.0`` for
+    float leaves.  Static (aux) fields of registered dataclasses pass
+    through untouched by ``jax.tree.map``."""
+    return jax.tree.map(
+        lambda leaf: leaf * 0.0
+        if jnp.issubdtype(jnp.result_type(leaf), jnp.inexact)
+        else np.zeros(jnp.shape(leaf), dtype=jax.dtypes.float0),
+        operands,
+    )

@@ -34,3 +34,37 @@ def test_device_seconds_per_iter_cpu():
     x = jnp.ones((256, 256))
     dt = device_seconds_per_iter(lambda v: v @ x * 1e-3, x, iters_lo=1, iters_hi=3, trials=1)
     assert dt > 0
+
+
+def test_zero_cotangents_rule():
+    """The shared VJP helper: float0 for non-inexact leaves, derived zeros
+    (leaf * 0.0, preserving dtype) for float leaves; registered-dataclass
+    static fields pass through untouched."""
+    import jax
+    import jax.numpy as jnp
+
+    from graphconvgeo_tpu.sparse.formats import EllMatrix
+    from graphconvgeo_tpu.utils.vjp import zero_cotangents
+
+    out = zero_cotangents(
+        (
+            jnp.arange(6, dtype=jnp.int32).reshape(2, 3),
+            jnp.ones((2, 3), jnp.bfloat16),
+            jnp.zeros((4,), jnp.bool_),
+            jnp.ones((2,), jnp.uint32),
+        )
+    )
+    assert out[0].dtype == jax.dtypes.float0 and out[0].shape == (2, 3)
+    assert out[1].dtype == jnp.bfloat16 and not out[1].any()
+    assert out[2].dtype == jax.dtypes.float0 and out[2].shape == (4,)
+    assert out[3].dtype == jax.dtypes.float0
+
+    mat = EllMatrix(
+        indices=jnp.zeros((2, 1), jnp.int32),
+        values=jnp.ones((2, 1), jnp.float32),
+        n_cols=2,
+    )
+    z = zero_cotangents(mat)
+    assert z.n_cols == 2  # static field untouched
+    assert z.indices.dtype == jax.dtypes.float0
+    assert z.values.dtype == jnp.float32 and not z.values.any()
