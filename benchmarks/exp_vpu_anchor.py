@@ -109,6 +109,51 @@ def _mix_kernel(mask_ref, s_ref, d_ref, z_ref, o_ref, den_ref, m_ref,
             )
         den_ref[:] += draw.sum(axis=0).T
         return
+    if variant == "headbatch_exp2":
+        # prices a log2-domain refactor: scores pre-scaled by log2(e)
+        # (simulated on the narrow [B, H] s/d, where the real refactor
+        # would hoist it out of the kernel entirely), both exps → exp2.
+        # If Mosaic's exp already lowers to exp2+mul this reads flat.
+        c = 1.4426950408889634
+        raw = (s_ref[:] * c)[:, :, None] + (d_ref[:] * c).T[None, :, :]
+        m3 = mask[:, None, :]
+        sc = jnp.where(m3 > 0, _leaky(raw, SLOPE), _NEG)
+        m_old = m_ref[:]
+        m_new = jnp.maximum(m_old, sc.max(axis=2))
+        scale = jnp.exp2(m_old - m_new)
+        e = jnp.exp2(sc - m_new[:, :, None]) * m3
+        den_ref[:] = den_ref[:] * scale + e.sum(axis=2)
+        m_ref[:] = m_new
+        for h in range(HEADS):
+            o_ref[:, h, :] = o_ref[:, h, :] * scale[:, h][:, None] + jnp.dot(
+                e[:, h, :], z_ref[:, h, :], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        return
+    if variant == "headbatch_cheap":
+        # round-5 op-mix reduction candidate ("cheaper softmax
+        # bookkeeping", ROADMAP): express the masked leaky score as
+        #   sc = max(raw, slope·raw) + bias,  bias = (mask − 1)·1e30
+        # max-form leaky (valid for 0<slope<1) kills the sign select;
+        # the additive bias kills the mask select — two fewer VPU ops on
+        # the [B, H, B] tensor per tile, at the cost of one sub+mul on
+        # the [B, B] mask (amortized over H). e still multiplies by the
+        # {0,1} mask so empty rows (m ≈ −1e30 → sc−m ≈ 0) stay zeroed.
+        bias = (mask - 1.0) * (-_NEG)
+        raw = s_ref[:][:, :, None] + d_ref[:].T[None, :, :]
+        sc = jnp.maximum(raw, SLOPE * raw) + bias[:, None, :]
+        m_old = m_ref[:]
+        m_new = jnp.maximum(m_old, sc.max(axis=2))
+        scale = jnp.exp(m_old - m_new)
+        e = jnp.exp(sc - m_new[:, :, None]) * mask[:, None, :]
+        den_ref[:] = den_ref[:] * scale + e.sum(axis=2)
+        m_ref[:] = m_new
+        for h in range(HEADS):
+            o_ref[:, h, :] = o_ref[:, h, :] * scale[:, h][:, None] + jnp.dot(
+                e[:, h, :], z_ref[:, h, :], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        return
     if variant == "headbatch":
         # the one untried layout lever (VERDICT r4 #2): batch ALL heads
         # through each VPU op as [B, H, B] arrays ([i, h, j] — m/den/s/d
